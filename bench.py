@@ -1,0 +1,69 @@
+"""Benchmark harness — times every registered query end-to-end on the
+bench scale factor and prints ONE JSON line (driver contract).
+
+Execution is ``df.write.format("noop")`` so the full plan runs without
+driver-side collection cost. DuckDB wall-clock per query is recorded
+alongside (it is both the oracle and the baseline timer — SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from sparkclif.registry import all_queries
+    from sparkclif.session import get_spark
+
+    spark = get_spark("sparkclif-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    # Warm up JVM / codegen / parquet footer caches outside the timings.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    specs["d_agg_groupby"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    duck: dict[str, float] = {}
+    try:
+        from sparkclif.oracle import run_oracle
+
+        for name in sorted(specs):
+            if specs[name].oracle is None:
+                continue
+            t0 = time.perf_counter()
+            run_oracle(specs[name].oracle, sf_dir)
+            duck[name] = round(time.perf_counter() - t0, 4)
+    except Exception:
+        pass
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sparkclif_total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "duckdb_baseline": duck,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

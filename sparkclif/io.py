@@ -1,0 +1,58 @@
+"""Testdata table loaders.
+
+The driver's testbed (TESTDATA.md) is one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``. Loads are lazy (parquet footer
+read only); Catalyst pushes filters/column pruning into the scan.
+
+At 100 TB each of these would be a partitioned parquet/Delta dataset;
+the loader interface (name -> DataFrame) is the only thing the query
+layer sees, so swapping the physical layout is a one-file change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testbed table (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false) which Spark cannot
+    represent; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
+    as nanos-since-epoch long and is converted here to a microsecond
+    timestamp (matching DuckDB's comparison semantics at µs grain).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testbed table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,128 @@
+"""Group A — scans / sources / sinks (SURVEY.md §2.2 group A).
+
+Reference ties: R5/R6 (line split + blank filter, metadata.py:54-58),
+R14/R15 (JSON document load/sink, state.py:44-90), R25 (single-column
+text scan, mcide.py:33-39).
+
+Scale notes: every query here is a single parquet scan with pushdown;
+``a_scan_parquet`` aggregates via partial+final (no wide shuffle of raw
+rows), ``a_scan_text_lines`` keeps the token pipeline inside array
+lambdas (no explode => no row blowup), ``a_sink_roundtrip`` writes
+columnar and re-reads with column pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.registry import register
+
+
+@register(
+    "a_scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(l_orderkey) AS min_orderkey,
+           max(l_orderkey) AS max_orderkey,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    """,
+)
+def a_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan + per-column min/max/count (footer-stat friendly)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@register(
+    "a_scan_text_lines",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           toks[1] AS first_token,
+           toks[-1] AS last_token
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> trim(x) <> '') AS toks
+        FROM documents
+    )
+    """,
+)
+def a_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/token scan: split -> trim -> drop blanks (mCIDE CSV semantics,
+    reference mcide.py:33-39 / metadata.py:54-58), kept inside array
+    lambdas so no row explosion happens at scale."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: F.trim(x) != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+@register(
+    "a_scan_json_string",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_scan_json_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (reference R3/R14: yaml/json parse into
+    fixed schema, metadata.py:38-41)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register("a_sink_roundtrip", oracle=None)  # rows-only: exercises a write path
+def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a projection to parquet, re-read, return a checksum row.
+
+    Reference tie: R15 (JSON document sink, state.py:70-90) — but the
+    engine's canonical sink is columnar parquet, partition-parallel,
+    instead of the reference's whole-file rewrite per mutation."""
+    out = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/roundtrip.parquet"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    shutil.rmtree(out, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("key_checksum"),
+    )

@@ -1,0 +1,270 @@
+"""Group C — joins (SURVEY.md §2.2 group C).
+
+Reference ties: R17 (user->site point lookup = broadcast hash join),
+R13 (dense matrix init = crossJoin), R26 (duplicate guard = anti join),
+R22 (dashboard null-extension = outer join + fillna).
+
+Scale notes:
+- Dims (region 5, nation 25, supplier small) broadcast explicitly; the
+  5-way star join runs as a chain of broadcast hash joins over ONE
+  lineitem scan — no shuffle until the final small aggregate.
+- The theta join keeps the small side (supplier) broadcast so the
+  nested-loop product is bounded per task.
+- The as-of join is the union-sort single-shuffle operator from
+  sparkclif.operators.asof — no |L|x|R| blowup per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.operators.asof import asof_join
+from sparkclif.registry import register
+
+
+@register(
+    "c_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders |x| customer (reference R17 point lookup,
+    state.py:107-108, generalized to a distributed hash join)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "c_join_broadcast_chain",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def c_join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join with broadcast dims (reference R13/R22 dimension
+    semantics). nation/region always broadcast; customer/orders go
+    through Catalyst's choice (broadcast at this scale, shuffle join at
+    100 TB with AQE picking the strategy)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "c_join_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 4) AS sum_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def c_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null extension — every customer appears even
+    with no orders (the dense-matrix semantics of reference R13/R22:
+    every site appears in the dashboard even with no status)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "c_join_full_outer",
+    oracle="""
+    SELECT coalesce(cn.n_nationkey, sn.n_nationkey) AS nationkey,
+           cn.n_customers,
+           sn.n_suppliers
+    FROM (SELECT c_nationkey AS n_nationkey, count(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS n_nationkey, count(*) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) sn
+    USING (n_nationkey)
+    """,
+)
+def c_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on both sides (supplier side
+    filtered so some nations genuinely have no match)."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    sn = (
+        s.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cn.join(sn, "n_nationkey", "full").select(
+        F.col("n_nationkey").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "c_join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS grp, count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS sum_acctbal
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS grp, count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS sum_acctbal
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def c_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) + left-anti (NOT EXISTS) — the duplicate-check-
+    before-append guard of reference mcide.py:58-59 (R26)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+
+    def side(how: str, tag: str) -> DataFrame:
+        return (
+            c.join(o, "c_custkey", how)
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            )
+            .select(F.lit(tag).alias("grp"), "n_customers", "sum_acctbal")
+        )
+
+    return side("left_semi", "with_orders").unionByName(side("left_anti", "without_orders"))
+
+
+@register(
+    "c_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (reference R13 dense matrix init: new project x every
+    site, state.py:29-31)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "c_join_theta",
+    oracle="""
+    SELECT s_suppkey,
+           count(*) AS n_richer_customers,
+           round(max(c_acctbal), 4) AS max_cust_bal
+    FROM supplier JOIN customer
+      ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 1000
+    GROUP BY s_suppkey
+    """,
+)
+def c_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range (theta) join on acctbal bands. Physical plan:
+    broadcast nested-loop with supplier (the small side, bounded by
+    construction) broadcast — the per-task product stays |customer
+    partition| x |supplier|."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_acctbal > s.s_acctbal) & (c.c_acctbal <= s.s_acctbal + 1000),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_richer_customers"),
+            F.round(F.max("c_acctbal"), 4).alias("max_cust_bal"),
+        )
+    )
+
+
+@register(
+    "c_join_asof",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           m.o_orderkey AS asof_o_orderkey,
+           round(m.o_totalprice, 4) AS asof_price
+    FROM events e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m USING (event_id)
+    """,
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to its user's latest prior order
+    (backward, inclusive). Uses the single-shuffle union-sort operator
+    (sparkclif/operators/asof.py) — the longitudinal alignment pattern
+    of the CLIF consortium's data format."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = table(spark, sf_dir, "orders")
+    joined = asof_join(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("asof_o_orderkey"),
+        F.round("asof_o_totalprice", 4).alias("asof_price"),
+    )

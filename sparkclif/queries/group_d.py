@@ -1,0 +1,251 @@
+"""Group D — aggregation (SURVEY.md §2.2 group D).
+
+Reference ties: R22 (the status-dashboard pivot, state.py:145-179 — the
+reference's flagship query), R19 (ordered grouped string agg,
+state.py:116-134), R26 (set membership), R14 (map explode = unpivot).
+
+Scale notes:
+- Every groupBy here goes through partial (map-side) + final
+  aggregation automatically — the shuffle carries only group keys +
+  partial states, never raw rows.
+- The pivot uses an EXPLICIT value list: Spark's pivot otherwise runs
+  an extra distinct-collection job, and an unbounded value set is the
+  reference's own pivot-explosion hazard (SURVEY.md §4.2). At 100 TB the
+  value list comes from the catalog, not from a scan.
+- approx_* sketches (rows-only check) are the 100 TB substitutes for
+  exact distinct/percentile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.registry import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "d_agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 4) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    """,
+)
+def d_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped global aggregate (partial+final, single row out)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "d_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def d_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (powers entry()): TPC-H Q1-style pricing summary —
+    scan -> pushed filter -> hash agg (partial+final) -> sort. The
+    grouped-rollup analog of the reference's status dashboard (R22)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "d_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the
+    hood) — reference R26 set-membership semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "d_agg_collect_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           string_agg(c_name, ' ' ORDER BY c_custkey) AS members
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    """,
+)
+def d_agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ORDERED string aggregation — the POC-mention formatter
+    of reference state.py:116-134 (R19): collect members per group,
+    deterministic intra-group order, single-string render.
+    sort_array(collect_list(struct(k, v))) makes the order explicit
+    (the reference relied on dict insertion order)."""
+    c = table(spark, sf_dir, "customer")
+    members = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))),
+            lambda s: s["c_name"],
+        ),
+        " ",
+    )
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"), members.alias("members"))
+    )
+
+
+@register(
+    "d_agg_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region -> nation -> grand total."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "d_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS "click",
+           count(*) FILTER (WHERE event_type = 'error') AS "error",
+           count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+           count(*) FILTER (WHERE event_type = 'view') AS "view"
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def d_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TAB — the reference's flagship status_table pivot
+    (state.py:145-179, R22): rows x columns matrix with a default for
+    missing cells. Explicit pivot value list (no distinct-collection
+    job; bounded columns — the reference's own 25-char truncation is
+    the same hazard-control)."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .fillna(0, subset=EVENT_TYPES)
+    )
+    return out
+
+
+@register(
+    "d_agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS DOUBLE) AS n_customers,
+               sum(c_acctbal) AS sum_acctbal,
+               avg(c_acctbal) AS avg_acctbal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'n_customers' AS metric, round(n_customers, 4) AS val FROM wide
+    UNION ALL
+    SELECT c_nationkey, 'sum_acctbal' AS metric, round(sum_acctbal, 4) AS val FROM wide
+    UNION ALL
+    SELECT c_nationkey, 'avg_acctbal' AS metric, round(avg_acctbal, 4) AS val FROM wide
+    """,
+)
+def d_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt wide -> long (reference R14: legacy JSON map exploded to
+    rows)."""
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("n_customers"),
+        F.sum("c_acctbal").alias("sum_acctbal"),
+        F.avg("c_acctbal").alias("avg_acctbal"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "sum_acctbal", "avg_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="raw_val",
+    ).select("c_nationkey", "metric", F.round("raw_val", 4).alias("val"))
+
+
+@register("d_agg_approx", oracle=None)  # rows-only: sketches differ across engines
+def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct /
+    percentile: HLL++ approx_count_distinct and GK percentile_approx."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5), 4).alias("p50_price"),
+        F.round(F.percentile_approx("l_extendedprice", 0.95), 4).alias("p95_price"),
+    )

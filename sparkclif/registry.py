@@ -1,0 +1,53 @@
+"""Query registry — the driver-checked surface.
+
+Every implemented operator from SURVEY.md §2.2 registers itself here as
+a (spark_fn, oracle_sql) pair. ``__spark_entry__.queries()`` /
+``oracle_sql()`` are thin views over this registry.
+
+Contract (SURVEY.md §5.2):
+- spark_fn(spark, sf_dir) -> DataFrame
+- oracle is ANSI SQL runnable by DuckDB over the same parquet tables
+  (pre-registered views), or None for rows-only checks.
+- Column names must match exactly between the two; computed float
+  columns are rounded on BOTH sides; every sort/window has a
+  deterministic tiebreaker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB, or None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import triggers registration of every group module.
+    from sparkclif import queries  # noqa: F401
+
+    return dict(REGISTRY)

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Local-mode settings tuned for the driver harness (local[32], single
+JVM); every setting here is also the right default on a real cluster
+except ``spark.driver.memory`` (cluster: set executor memory/cores via
+the submit config instead).
+
+Scale notes (100 TB design):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+- ``spark.sql.shuffle.partitions`` is a *starting* number; AQE coalesces
+  down. On a 1000-executor cluster you'd raise the initial value to
+  ~2-3x total cores and let AQE trim.
+- UTC session timezone pins timestamp semantics to the oracle's
+  (DuckDB is UTC-naive).
+- Arrow enabled: pandas UDF / toPandas paths are vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testbed events.ts is parquet TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long, converted in io.table()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
