@@ -9,4 +9,7 @@ from sparkclif.queries import (  # noqa: F401
     group_b,
     group_c,
     group_d,
+    group_e,
+    group_f,
+    group_g,
 )
