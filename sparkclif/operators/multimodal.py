@@ -1,0 +1,87 @@
+"""Multimodal column plumbing (SURVEY.md north star): image/audio/video
+as opaque ``binary`` columns + typed metadata, with decode/feature-
+extract as Arrow-batched mapInPandas kernels.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic stub (byte-level features standing in for pixel/sample
+features) — clearly marked below. Everything around it — schema,
+partitioning, Arrow batch shape, UDF signature — is the real 100 TB
+plumbing: binary payloads never leave the executor, features are
+computed batch-wise, and the output schema is fixed up front.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "byte_mean double, byte_entropy double, feature array<double>"
+)
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Testbed adapter: materialize an opaque binary column from text
+    (stands in for an image/audio payload) + typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB decode: a real deployment would dispatch on media_type to
+    PIL/libsndfile/pyav here. Deterministic byte-view instead — the
+    Spark-side contract (bytes in, fixed-length feature out) is real."""
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 4) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each batch is decoded and reduced to fixed-length
+    features without any per-row Python dispatch overhead beyond the
+    batch loop; payload bytes stay executor-local."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                batch["doc_id"], batch["payload"], batch["media_type"]
+            ):
+                arr = _decode_stub(payload, mtype)
+                n = len(arr)
+                if n == 0:
+                    rows.append((doc_id, mtype, 0, 0.0, 0.0, [0.0] * feat_dim))
+                    continue
+                hist = np.bincount(arr.astype(np.int64) % 256, minlength=256) / n
+                nz = hist[hist > 0]
+                entropy = float(-(nz * np.log2(nz)).sum())
+                # fixed-length "feature": mean of feat_dim equal chunks
+                chunks = np.array_split(arr, feat_dim)
+                feat = [float(round(c.mean(), 4)) if len(c) else 0.0 for c in chunks]
+                rows.append(
+                    (doc_id, mtype, n, float(round(arr.mean(), 4)), round(entropy, 4), feat)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "byte_mean",
+                    "byte_entropy",
+                    "feature",
+                ],
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)

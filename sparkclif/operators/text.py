@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All hot-path logic is native Spark expressions (whole-stage codegen,
+no Python in the loop); the only shuffles are the final aggregates.
+At 100 TB these run as embarrassingly-parallel scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list (public, language-agnostic English core).
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+# Marker words for the n-gram-style language-ID heuristic. The testbed
+# corpus is synthetic word soup, so markers are drawn from its vocab;
+# for real corpora this would be per-language character n-gram tables.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "es": ["el", "y"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with blank-drop (reference R5/R6
+    semantics: split -> trim -> drop empties)."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word segmentation: runs of letters, runs of digits,
+    or single non-space symbols — the standard pre-tokenizer regex."""
+    return F.regexp_extract_all(text, F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), 1)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    clean = F.regexp_replace(text, r"[^a-zA-Z ]", "")
+    return F.length(clean) / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite doc-quality heuristic in [0, 1]: balanced length,
+    some stopwords, mostly alphabetic — the usual pretraining filters."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.3 * stopword_ratio(text) + 0.3 * alpha_ratio(text), 4
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Marker-word language ID; 'und' (undetermined) when no marker
+    hits. First matching language in fixed order wins (deterministic)."""
+    toks = tokens(text)
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        hit = F.arrays_overlap(toks, F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]))
+        out = F.when(hit, F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_sha256(text: Column | str) -> Column:
+    return F.sha2(normalize_text(text), 256)
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word-level n-gram shingles as an array of 'w1 w2 w3' strings.
+    Pure array lambdas — no explode, no Python."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))

@@ -12,4 +12,6 @@ from sparkclif.queries import (  # noqa: F401
     group_e,
     group_f,
     group_g,
+    group_i,
+    group_j,
 )

@@ -1,0 +1,305 @@
+"""Group I — LLM-data-pipeline operators (SURVEY.md §2.2 group I +
+north-star additions): text analysis, dedup family, similarity search,
+multimodal columns.
+
+Implementations live in sparkclif/operators/; these are the
+driver-checked query bindings over the testbed ``documents`` and
+``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.operators import dedup as D
+from sparkclif.operators import multimodal as M
+from sparkclif.operators import similarity as S
+from sparkclif.operators import text as T
+from sparkclif.registry import register
+
+
+@register(
+    "i_text_tokenize",
+    oracle="""
+    SELECT lang, tok, count(*) AS n
+    FROM (
+        SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY lang, tok
+    HAVING count(*) >= 5
+    """,
+)
+def i_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> explode -> word frequency per language (threshold 5
+    to keep the result bounded at scale)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "i_text_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+                AS BIGINT) AS total_tokens,
+           round(count(DISTINCT lang) * 1.0, 4) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def i_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus rollup: doc/char/token counts."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(T.token_count("text")).cast("long").alias("total_tokens"),
+        F.round(F.countDistinct("lang") * 1.0, 4).alias("n_langs"),
+    )
+
+
+@register(
+    "i_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> lower(x) IN
+                 ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS stop_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS alpha_ratio
+    FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    """,
+)
+def i_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality signals: token count, stopword ratio, alpha ratio
+    (the standard pretraining quality filters)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
+    )
+
+
+@register(
+    "i_text_langid",
+    oracle="""
+    SELECT guess, count(*) AS n_docs,
+           count(*) FILTER (WHERE guess = lang) AS n_agree
+    FROM (
+        SELECT lang,
+               CASE WHEN list_has_any(toks, ['the', 'a']) THEN 'en'
+                    WHEN list_has_any(toks, ['der', 'und']) THEN 'de'
+                    WHEN list_has_any(toks, ['le', 'et']) THEN 'fr'
+                    WHEN list_has_any(toks, ['el', 'y']) THEN 'es'
+                    ELSE 'und' END AS guess
+        FROM (
+            SELECT lang, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        )
+    )
+    GROUP BY guess
+    """,
+)
+def i_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID + agreement with the labeled lang
+    column. First language in fixed (en,de,fr,es) order wins."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_guess("text").alias("guess"))
+        .groupBy("guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("guess") == F.col("lang"), 1)).alias("n_agree"),
+        )
+    )
+
+
+@register(
+    "i_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           sha256(norm) AS fp_sha256
+    FROM (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    """,
+)
+def i_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 + sha256 over normalized text
+    (lowercase, collapsed whitespace) — the dedup key primitive."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(T.normalize_text("text")).alias("fp_md5"),
+        T.fingerprint_sha256("text").alias("fp_sha256"),
+    )
+
+
+@register(
+    "i_dedup_exact",
+    oracle="""
+    SELECT doc_id, content_hash, group_size
+    FROM (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+               row_number() OVER (PARTITION BY
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                   AS group_size
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def i_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized sha256 -> keep lowest doc_id per hash
+    group (reference R26 duplicate-guard, at corpus scale)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs).select("doc_id", "content_hash", "group_size")
+
+
+@register(
+    "i_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+        FROM (
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1),
+                 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def i_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between consecutive doc pairs — the exact
+    verification kernel that MinHash candidates feed into at scale
+    (bounded linear pairing here; the LSH bucket join bounds it there)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(T.word_shingles(F.col("text"), 3)).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+    )
+
+
+@register("i_dedup_minhash", oracle=None)  # rows-only: hash-seeded approximation
+def i_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: 32-lane signatures, 8
+    bands, bucket self-join (pairs only meet inside a shared band
+    bucket). Property-tested against exact Jaccard in tests/."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=32, shingle_n=3)
+    return D.minhash_candidate_pairs(sigs, num_bands=8)
+
+
+@register("i_dedup_simhash", oracle=None)  # rows-only: hash-based fingerprint
+def i_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints + bucket sizes (same-fingerprint
+    docs are near-dup candidates)."""
+    docs = table(spark, sf_dir, "documents")
+    fps = D.simhash64(docs)
+    w = Window.partitionBy("simhash")
+    return fps.withColumn("bucket_size", F.count("*").over(w))
+
+
+@register("i_sim_cosine_topk", oracle=None)  # rows-only: float-heavy; numpy-verified in tests
+def i_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors per vector — broadcast + block
+    matmul + block-local top-k + global merge (no N^2 row blowup)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, k=3)
+
+
+@register("i_sim_lsh_ann", oracle=None)  # rows-only: approximate by construction
+def i_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via seeded random-hyperplane LSH buckets (4
+    OR-ed tables x 6 bits) + exact re-rank within bucket; recall vs
+    exact measured in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_ann(emb, k=3)
+
+
+@register(
+    "i_multimodal_join",
+    oracle="""
+    SELECT label, pos, round(avg(comp), 4) AS centroid_comp, count(*) AS n
+    FROM (
+        SELECT e.label,
+               unnest(range(1, len(e.embedding) + 1)) AS pos,
+               unnest(CAST(e.embedding AS DOUBLE[])) AS comp
+        FROM embeddings e
+        JOIN documents d ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en'
+    )
+    WHERE pos <= 8
+    GROUP BY label, pos
+    """,
+)
+def i_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join text docs to their embeddings, filter by doc metadata,
+    per-label centroid components (posexplode over the vector; first 8
+    dims to bound output)."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    joined = emb.join(
+        docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    )
+    exploded = joined.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "comp")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "comp")
+    return (
+        exploded.filter(F.col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("comp"), 4).alias("centroid_comp"), F.count("*").alias("n"))
+    )
+
+
+@register("i_multimodal_features", oracle=None)  # rows-only: stubbed decode kernel
+def i_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal plumbing: opaque payload + typed
+    metadata -> Arrow-batched mapInPandas feature extraction (decode
+    step stubbed deterministically; see operators/multimodal.py)."""
+    docs = table(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs)
+    return M.extract_features(media).select(
+        "doc_id", "media_type", "n_bytes", "byte_mean", "byte_entropy"
+    )
