@@ -12,6 +12,7 @@ from sparkclif.queries import (  # noqa: F401
     group_e,
     group_f,
     group_g,
+    group_h,
     group_i,
     group_j,
 )

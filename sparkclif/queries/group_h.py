@@ -1,0 +1,161 @@
+"""Group H — streaming (SURVEY.md §2.2 group H). Window semantics are
+oracle-checked in batch (identical expressions run under readStream);
+h_stream_upsert runs a REAL Structured Streaming query with file-source
+micro-batches.
+
+Reference tie: R36 (the socket-mode event loop) and R21/R31 (status
+upserts) — the engine replaces the reference's in-process mutation
+with watermarked micro-batch MERGE.
+
+Scale notes: tumbling/session windows shuffle on (window, key) with
+partial aggregation; state store (RocksDB at scale) holds only open
+windows past the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.registry import register
+
+
+@register(
+    "h_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def h_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums (batch-equivalent of the
+    streaming agg; window() is the same expression under readStream)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "h_sliding",
+    oracle="""
+    SELECT to_timestamp((floor(epoch(ts) / 900) * 900 - k * 900)::BIGINT)
+               AS window_start,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    GROUP BY 1
+    """,
+)
+def h_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes — each event lands in 4
+    overlapping windows (the oracle generates the same 4 offsets)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "h_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def h_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap, per user — session_window() in
+    Spark, gaps-and-islands (lag + cumulative sum) as the oracle.
+    Boundary pinned: a gap of exactly 30min starts a NEW session in
+    both formulations."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+        )
+        .select("user_id", "session_start_us", "n_events", "first_event", "last_event")
+    )
+
+
+@register("h_stream_upsert", oracle=None)  # rows-only: real streaming harness
+def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming: events split into 4 files -> file
+    source, one file per micro-batch -> watermark + dropDuplicates ->
+    foreachBatch last-wins MERGE. Returns the final state table
+    (per (user_id, event_type) latest value). Batch/stream parity with
+    f_distinct is asserted in tests/test_streaming.py."""
+    from sparkclif.streaming.upsert import stream_upsert_events
+
+    src = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/stream_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    ev = table(spark, sf_dir, "events")
+    # Build the simulated stream log: a time-ordered file sequence with
+    # strictly increasing mtimes (Spark's file source orders micro-
+    # batches by mtime — equal mtimes would randomize arrival order and
+    # the watermark would then drop valid data). Chunk construction is
+    # harness setup, not engine work.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n_chunks = 4
+    chunk = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        path = f"{src}/chunk-{i:04d}.parquet"
+        tbl = pa.Table.from_pandas(pdf.iloc[i * chunk : (i + 1) * chunk])
+        ts_idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            ts_idx,
+            pa.field("ts", pa.timestamp("us")),
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = ev.schema
+    state = stream_upsert_events(spark, src, schema)
+    out = spark.createDataFrame(state)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("kept_event_id"),
+        F.round("value", 4).alias("kept_value"),
+    )
