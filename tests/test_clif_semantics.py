@@ -1,0 +1,237 @@
+"""Reference-semantics golden + property tests (SURVEY.md §5.2 layers
+2-3). A ~60-line python model of the reference's dict semantics
+(state.py / metadata.py behavior, reimplemented as executable spec —
+NOT imported from the reference) is replayed against the engine."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkclif.clif import dashboard as DB
+from sparkclif.clif import fixtures as FX
+from sparkclif.clif import metadata as MD
+from sparkclif.clif import status_store as SS
+from sparkclif.clif.commands import apply_command_log
+
+
+# ---------------------------------------------------------------- model
+class RefModel:
+    """Executable spec of the reference's sequential dict semantics."""
+
+    def __init__(self):
+        self.projects = {}  # repo_url -> {name, site_status: {site: status}}
+        self.pocs = {}  # user_id -> site
+
+    def release(self, repo_url, name):
+        self.projects[repo_url] = {
+            "name": name,
+            "site_status": {s: "❓" for s in FX.SITES},
+        }
+
+    def set_poc(self, user_id, site):
+        self.pocs[user_id] = site
+
+    def status_update(self, user_id, repo_url, status):
+        site = self.pocs.get(user_id)
+        if site is None or repo_url not in self.projects:
+            return False
+        self.projects[repo_url]["site_status"][site] = status
+        return True
+
+    def status_table(self):
+        if not self.projects:
+            return "No active projects."
+        names = []
+        for p in self.projects.values():
+            n = p["name"]
+            names.append(n[:22] + "..." if len(n) > 25 else n)
+        site_width = max(len("Site"), max(len(s) for s in FX.SITES))
+        widths = [site_width] + [max(8, len(n)) for n in names]
+        header = ["Site".ljust(site_width)] + [
+            n.ljust(widths[i + 1]) for i, n in enumerate(names)
+        ]
+        lines = [" | ".join(header), "-" * (sum(widths) + 3 * (len(widths) - 1))]
+        for site in FX.SITES:
+            row = [site.ljust(site_width)] + [
+                p["site_status"].get(site, "❓").center(widths[i + 1])
+                for i, p in enumerate(self.projects.values())
+            ]
+            lines.append(" | ".join(row))
+        return "\n".join(lines)
+
+
+# ------------------------------------------------------------- metadata
+def test_metadata_fallback_ladder(spark):
+    repos = spark.createDataFrame(
+        [(u,) for u in FX.ALL_REPO_URLS], "repo_url string"
+    )
+    docs = FX.demo_repo_documents(spark)
+    out = {r.repo_url: r for r in MD.extract_metadata(repos, docs).collect()}
+
+    y = out["https://github.com/org/yaml-repo"]
+    assert y.project_name == "Yaml Project"
+    assert y.description == "From yaml"
+    assert y.tables_required == ["vitals", "labs"]
+
+    j = out["https://github.com/org/json-repo"]
+    assert j.project_name == "Json Project"  # 'name' fallback key
+    assert j.tables_required == ["adt"]
+
+    r = out["https://github.com/org/readme-repo"]
+    assert r.project_name == "Vent Outcomes"  # heading stripped
+    assert r.description == "Weaning analysis across CLIF sites."
+    # LAST 'tables required' match wins (metadata.py loop overwrites).
+    # Reference quirk reproduced: in 'tables required - adt' the
+    # optional [:-] can't reach past the space, so the dash lands IN
+    # the captured value — verified against re.search on the exact
+    # reference pattern.
+    assert r.tables_required == ["- adt"]
+
+    b = out["https://github.com/org/bare-repo"]
+    assert b.project_name == "bare-repo"  # URL last segment
+    assert b.description == ""
+    assert b.tables_required == []
+
+
+def test_metadata_first_match_list_split(spark):
+    """A doc whose only tables line uses mixed , ; separators."""
+    repos = spark.createDataFrame([("https://github.com/org/x",)], "repo_url string")
+    docs = spark.createDataFrame(
+        [
+            (
+                "https://github.com/org/x",
+                "README.md",
+                "# T\nDesc\nTables Required: a, b; c ,, d\n",
+            )
+        ],
+        "repo_url string, path string, body string",
+    )
+    r = MD.extract_metadata(repos, docs).collect()[0]
+    assert r.tables_required == ["a", "b", "c", "d"]
+
+
+def test_github_raw_url(spark):
+    df = spark.createDataFrame(
+        [("https://github.com/org/repo/",)], "repo_url string"
+    ).select(MD.github_raw_url(F.col("repo_url"), "project.yaml").alias("u"))
+    assert (
+        df.collect()[0].u
+        == "https://raw.githubusercontent.com/org/repo/main/project.yaml"
+    )
+
+
+# ------------------------------------------------------------ dashboard
+def test_dashboard_golden_vs_model(spark):
+    model = RefModel()
+    projects = FX.demo_projects(spark)
+    sites = FX.sites_df(spark)
+    status = SS.init_site_status(projects, sites)
+    for r in projects.orderBy("released_at").collect():
+        model.release(r.repo_url, r.project_name)
+
+    updates = [
+        ("https://github.com/Common-Longitudinal-ICU-data-Format/sepsis-study",
+         "Rush University", "✅"),
+        ("https://github.com/Common-Longitudinal-ICU-data-Format/mortality",
+         "MIMIC-IV", "🛠"),
+        ("https://github.com/Common-Longitudinal-ICU-data-Format/sepsis-study",
+         "Rush University", "❌"),  # overwrite same cell
+    ]
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2025, 2, 1)
+    for i, (repo, site, st) in enumerate(updates):
+        status = SS.set_site_status(status, repo, site, st, t0 + timedelta(minutes=i))
+        model.projects[repo]["site_status"][site] = st
+
+    rendered = DB.render_status_table(status, projects, sites)
+    assert rendered == model.status_table()
+    # truncation really happened (>25-char name present in fixtures)
+    assert "Ventilation Outcomes L..." in rendered
+
+
+def test_dashboard_empty(spark):
+    sites = FX.sites_df(spark)
+    empty_projects = FX.demo_projects(spark).filter(F.lit(False))
+    empty_status = SS.init_site_status(empty_projects, sites)
+    assert DB.render_status_table(empty_status, empty_projects, sites) == "No active projects."
+
+
+# ---------------------------------------------------------- status store
+def test_poc_last_wins_and_mentions(spark):
+    sites = FX.sites_df(spark)
+    pocs = FX.demo_pocs(spark)
+    cur = {r.user_id: r.site_name for r in SS.current_pocs(pocs).collect()}
+    assert cur["U0000002"] == "Rush University"  # reassigned, last wins
+    m = SS.poc_mentions(pocs, sites)
+    # site order: UChicago (1,3 by assigned_at), then Rush (2)
+    assert m == "<@U0000001> <@U0000003> <@U0000002>"
+
+
+def test_poc_mentions_empty(spark):
+    pocs = FX.demo_pocs(spark).filter(F.lit(False))
+    assert SS.poc_mentions(pocs, FX.sites_df(spark)) == "Site POCs"
+
+
+def test_site_for_user(spark):
+    pocs = FX.demo_pocs(spark)
+    assert SS.site_for_user(pocs, "U0000002") == "Rush University"
+    assert SS.site_for_user(pocs, "U9999999") is None
+
+
+# ------------------------------------------------------------- commands
+@pytest.mark.parametrize("seed", [7, 42])
+def test_command_log_matches_model(spark, seed):
+    """Random command log replayed sequentially through the python
+    model must equal the engine's one-shot relational application."""
+    rng = random.Random(seed)
+    users = [f"U{i:07d}" for i in range(6)]
+    repos = [f"https://github.com/org/p{i}" for i in range(3)]
+    model = RefModel()
+    rows = []
+    eid = 0
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2025, 3, 1)
+    for step in range(120):
+        ts = t0 + timedelta(minutes=step)
+        kind = rng.choice(["release", "set_poc", "status_update", "status_update"])
+        user = rng.choice(users)
+        if kind == "release":
+            repo = rng.choice(repos)
+            model.release(repo, f"Proj {repo[-1]}")
+            payload = (
+                f'{{"repo_url": "{repo}", "project_name": "Proj {repo[-1]}"}}'
+            )
+        elif kind == "set_poc":
+            site = rng.choice(FX.SITES)
+            model.set_poc(user, site)
+            payload = f'{{"site": "{site}"}}'
+        else:
+            repo = rng.choice(repos)
+            st = rng.choice(["✅", "🛠", "❌"])
+            model.status_update(user, repo, st)
+            payload = f'{{"value": "{repo}|{st}"}}'
+        rows.append((eid, ts, kind, user, payload))
+        eid += 1
+
+    log = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, kind string, user_id string, payload string"
+    )
+    projects, status_cur, pocs_cur, errors = apply_command_log(
+        log, FX.sites_df(spark)
+    )
+    got = {
+        (r.repo_url, r.site_name): r.status for r in status_cur.collect()
+    }
+    want = {
+        (repo, site): st
+        for repo, p in model.projects.items()
+        for site, st in p["site_status"].items()
+    }
+    assert got == want
+    got_pocs = {r.user_id: r.site_name for r in pocs_cur.collect()}
+    assert got_pocs == model.pocs
