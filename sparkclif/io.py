@@ -47,6 +47,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the session's default parallelism before
+    compute-heavy per-row work (hashing, shingling, UDF kernels).
+
+    A single small parquet file scans as ONE partition (parquet can't
+    split below a row group), serializing heavy expression work onto
+    one core. At 100 TB the scan already yields thousands of
+    partitions, so this is a no-op there — only the tiny-file case
+    pays the extra (cheap) shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -47,26 +47,49 @@ def minhash_signatures(
     """Per-doc MinHash signature: array of num_hashes int64 minima over
     word-shingle hashes. Signature computed entirely in expressions —
     shingles stay an array (no explode), the k hash lanes are
-    array_min(transform(shingles, xxhash64(seed)))."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    array_min(transform(shingles, xxhash64(seed))).
+
+    Two-stage hashing keeps this O(shingles) not O(shingles * k):
+    each shingle STRING is xxhash64'd exactly once, then the k lanes
+    re-mix the resulting int64 (8-byte hash, ~free) instead of
+    re-hashing the string k times. Each non-cheap array expression is
+    materialized in its own projection: CollapseProject refuses to
+    inline a non-cheap expression referenced more than once, so
+    tokenization and the base hash each run once per doc (naive
+    inlining made this 30x slower)."""
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__shingles")
+    )
+    based = shingled.select(
+        F.col(id_col),
+        F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform("__h", lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return based.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """LSH banding: split signatures into bands, bucket-join on
-    (band_idx, band_hash). Output candidate (id_a < id_b) pairs with
-    estimated Jaccard (signature agreement rate). The only shuffle is
-    the band-bucket join — docs never pair outside a shared bucket."""
+    """LSH banding: split signatures into bands, then bucket-LOCAL pair
+    generation — groupBy (band_idx, band_hash), collect members, emit
+    all id_a < id_b pairs inside each bucket with estimated Jaccard
+    (signature agreement rate).
+
+    One shuffle total (the bucket groupBy), and the signature lineage
+    is evaluated once — a bucket self-JOIN instead would evaluate the
+    full signature pipeline once per join side. Buckets larger than
+    ``max_bucket`` are dropped: a giant bucket means the band hash
+    carries no signal there, and the cap bounds per-bucket memory and
+    pair blowup under skew (the 100 TB guard)."""
     # docs too short to shingle have all-null signatures — they carry
     # no similarity signal and would all collide in one bucket
     sigs = sigs.filter(F.col("signature")[0].isNotNull())
@@ -94,34 +117,42 @@ def minhash_candidate_pairs(
             ).alias("band_idx", "band_hash"),
         )
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("signature").alias("sig_a"),
-        "band_idx",
-        "band_hash",
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("signature").alias("sig"))
+                )
+            ).alias("members")
+        )
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("signature").alias("sig_b"),
-        "band_idx",
-        "band_hash",
+    agree = lambda sa, sb: F.size(  # noqa: E731
+        F.filter(F.zip_with(sa, sb, lambda a, b: (a == b).cast("int")), lambda x: x == 1)
     )
-    pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-            lambda x: x == 1,
+    pair_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda a: F.transform(
+                F.filter("members", lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.round(agree(a["sig"], b["sig"]) / F.size(a["sig"]), 4).alias(
+                        "est_jaccard"
+                    ),
+                ),
+            ),
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.size("sig_a"), 4).alias("est_jaccard"),
+    # the same pair can surface from several bands with identical est —
+    # dedup on ids only (no signatures cross this shuffle)
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 

@@ -124,45 +124,75 @@ def lsh_ann(
     more candidates; at 100 TB you tune (n_tables, n_planes) to the
     target recall and let the bucket join bound the work."""
     rng = np.random.RandomState(seed)
+    base = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # norm in its own projection (non-cheap, reused by every component)
+    normed = base.select(
+        id_col,
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("nrm"),
+    )
     sig_cols = [
-        lsh_signature(F.col(vec_col), rng.normal(size=(n_planes, dim))).alias(f"s{t}")
+        lsh_signature(F.col("v"), rng.normal(size=(n_planes, dim))).alias(f"s{t}")
         for t in range(n_tables)
     ]
-    tagged = embeddings.select(F.col(id_col), F.col(vec_col), *sig_cols)
+    tagged = normed.select(
+        F.col(id_col),
+        F.transform(
+            "v", lambda x: x / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(1.0)
+        ).alias("nv"),
+        *sig_cols,
+    )
     # (table_id, bucket) rows; vectors meet only inside a shared bucket
     exploded = tagged.select(
         id_col,
-        vec_col,
+        "nv",
         F.posexplode(F.array(*[F.col(f"s{t}") for t in range(n_tables)])).alias(
             "table_id", "bucket"
         ),
     )
-    left = exploded.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "table_id", "bucket"
+    # bucket-LOCAL pair generation: one groupBy shuffle, signature
+    # lineage evaluated once (a self-join would evaluate it per side).
+    # Pairs leave the bucket as (id, id, cosine) — 24 bytes, never two
+    # dim-length vectors. Oversized buckets (hash carries no signal
+    # there) are dropped: the skew/memory guard for the 100 TB regime.
+    buckets = (
+        exploded.groupBy("table_id", "bucket")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("nv").alias("nv"))
+            ).alias("members")
+        )
+        .filter((F.size("members") >= 2) & (F.size("members") <= 1024))
     )
-    right = exploded.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vb"),
-        "table_id",
-        "bucket",
+    cos = lambda va, vb: F.aggregate(  # noqa: E731
+        F.zip_with(va, vb, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    pair_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda a: F.transform(
+                F.filter("members", lambda b: b["id"] != a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("vec_id"),
+                    b["id"].alias("neighbor_id"),
+                    cos(a["nv"], b["nv"]).alias("cosine"),
+                ),
+            ),
         )
     )
+    # same pair from different tables has identical cosine: max dedups
     pairs = (
-        left.join(right, ["table_id", "bucket"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .dropDuplicates(["vec_id", "neighbor_id"])
-        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_id", "p.neighbor_id", "p.cosine")
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkclif.io import table
+from sparkclif.io import spread, table
 from sparkclif.operators import dedup as D
 from sparkclif.operators import multimodal as M
 from sparkclif.operators import similarity as S
@@ -204,7 +204,7 @@ def i_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between consecutive doc pairs — the exact
     verification kernel that MinHash candidates feed into at scale
     (bounded linear pairing here; the LSH bucket join bounds it there)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.array_distinct(T.word_shingles(F.col("text"), 3)).alias("shingles")
     )
@@ -225,7 +225,7 @@ def i_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: 32-lane signatures, 8
     bands, bucket self-join (pairs only meet inside a shared band
     bucket). Property-tested against exact Jaccard in tests/."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     sigs = D.minhash_signatures(docs, num_hashes=32, shingle_n=3)
     return D.minhash_candidate_pairs(sigs, num_bands=8)
 
@@ -234,7 +234,7 @@ def i_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints + bucket sizes (same-fingerprint
     docs are near-dup candidates)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     fps = D.simhash64(docs)
     w = Window.partitionBy("simhash")
     return fps.withColumn("bucket_size", F.count("*").over(w))
@@ -253,7 +253,7 @@ def i_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via seeded random-hyperplane LSH buckets (4
     OR-ed tables x 6 bits) + exact re-rank within bucket; recall vs
     exact measured in tests."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     return S.lsh_ann(emb, k=3)
 
 
@@ -298,7 +298,7 @@ def i_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: opaque payload + typed
     metadata -> Arrow-batched mapInPandas feature extraction (decode
     step stubbed deterministically; see operators/multimodal.py)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     media = M.attach_fake_media(docs)
     return M.extract_features(media).select(
         "doc_id", "media_type", "n_bytes", "byte_mean", "byte_entropy"
