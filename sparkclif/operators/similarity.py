@@ -200,3 +200,166 @@ def lsh_ann(
         .filter(F.col("rn") <= k)
         .select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rn")
     )
+
+
+PAIRS_SCHEMA = "id_a long, id_b long, cosine double"
+
+
+def cosine_threshold_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    with cosine >= tau. Broadcast + block matmul, same kernel shape as
+    cosine_topk: each Arrow batch BLAS-multiplies against the broadcast
+    matrix and emits ONLY qualifying pairs — the N^2 similarity matrix
+    is never materialized as rows.
+
+    Scale path: broadcast works while one side fits executor memory
+    (~millions of vectors); past that, swap the candidate generator for
+    the LSH bucket join (lsh_ann) and keep this kernel as the exact
+    verifier within buckets.
+
+    The kernel thresholds with a 1e-4 margin and the final filter
+    applies round(cosine, 4) >= tau, so boundary pairs agree with a
+    SQL oracle that rounds the same way."""
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = _normalize(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for batch in batches:
+            q_ids = batch[id_col].to_numpy()
+            q = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
+            sims = q @ all_mat.T
+            # only (id_a < id_b) and above the (margin-relaxed) threshold
+            keep_q, keep_j = np.nonzero(
+                (sims >= tau - 1e-4) & (q_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[keep_q],
+                    "id_b": all_ids[keep_j],
+                    "cosine": sims[keep_q, keep_j],
+                }
+            )
+
+    blocks = embeddings.select(id_col, vec_col).mapInPandas(block_pairs, PAIRS_SCHEMA)
+    return blocks.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).filter(F.col("cosine") >= tau)
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate nearest neighbors: a coarse k-means
+    quantizer buckets vectors into inverted lists; each query probes
+    its ``n_probe`` nearest centroids and searches only those lists.
+
+    Layout (the 100 TB shape):
+    - TRAIN: centroids fitted on a driver-side sample (here: the whole
+      table — it is tiny locally; at scale you'd sample ~1M vectors),
+      deterministic seed = the lowest ``n_clusters`` ids.
+    - ASSIGN: one scan; mapInPandas argmax against broadcast centroids
+      emits (cluster, id, normalized vec) postings, plus n_probe probe
+      rows per query. Both sides partition by cluster.
+    - SEARCH: cogrouped applyInPandas per cluster — BLAS matmul of the
+      cluster's probes x postings, emit per-cluster top-k only. Work
+      is bounded per cluster; only k rows per (query, cluster) shuffle.
+    - MERGE: global window top-k over the probed clusters' candidates.
+    """
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas().sort_values(id_col)
+    ids = pdf[id_col].to_numpy()
+    mat = _normalize(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
+    # deterministic Lloyd iterations (cosine/IP metric on unit vectors)
+    cent = mat[:n_clusters].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        centroids = bc.value
+        for batch in batches:
+            b_ids = batch[id_col].to_numpy()
+            q = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
+            sims = q @ centroids.T
+            order = np.argsort(-sims, axis=1)
+            out = {
+                "cluster": order[:, 0].astype("int64"),
+                "vec_id": b_ids,
+                "nv": list(q),
+                "is_query": np.zeros(len(b_ids), dtype=bool),
+            }
+            frames = [pd.DataFrame(out)]
+            for p in range(n_probe):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": order[:, p].astype("int64"),
+                            "vec_id": b_ids,
+                            "nv": list(q),
+                            "is_query": np.ones(len(b_ids), dtype=bool),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    tagged = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_kernel,
+        "cluster long, vec_id long, nv array<double>, is_query boolean",
+    )
+    postings = tagged.filter(~F.col("is_query")).drop("is_query")
+    probes = tagged.filter(F.col("is_query")).drop("is_query")
+
+    def search_kernel(key, probe_pdf: pd.DataFrame, post_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty or post_pdf.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine"])
+        q_ids = probe_pdf["vec_id"].to_numpy()
+        q = np.vstack(probe_pdf["nv"].to_numpy())
+        p_ids = post_pdf["vec_id"].to_numpy()
+        p = np.vstack(post_pdf["nv"].to_numpy())
+        sims = q @ p.T
+        rows = []
+        for i, qid in enumerate(q_ids):
+            row = sims[i]
+            mask = p_ids != qid
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            take = min(k, len(cand))
+            top = cand[np.argpartition(-row[cand], take - 1)[:take]]
+            top = top[np.lexsort((p_ids[top], -row[top]))]
+            for j in top:
+                rows.append((qid, p_ids[j], float(row[j])))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine"])
+
+    local = (
+        probes.groupBy("cluster")
+        .cogroup(postings.groupBy("cluster"))
+        .applyInPandas(search_kernel, TOPK_SCHEMA)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rn")
+    )

@@ -15,7 +15,6 @@ windows past the watermark horizon.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,40 +121,36 @@ def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch last-wins MERGE. Returns the final state table
     (per (user_id, event_type) latest value). Batch/stream parity with
     f_distinct is asserted in tests/test_streaming.py."""
+    from sparkclif.streaming.source import write_time_chunks
     from sparkclif.streaming.upsert import stream_upsert_events
 
     src = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/stream_src"
-    shutil.rmtree(src, ignore_errors=True)
-    os.makedirs(src, exist_ok=True)
     ev = table(spark, sf_dir, "events")
-    # Build the simulated stream log: a time-ordered file sequence with
-    # strictly increasing mtimes (Spark's file source orders micro-
-    # batches by mtime — equal mtimes would randomize arrival order and
-    # the watermark would then drop valid data). Chunk construction is
-    # harness setup, not engine work.
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
-    n_chunks = 4
-    chunk = (len(pdf) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        path = f"{src}/chunk-{i:04d}.parquet"
-        tbl = pa.Table.from_pandas(pdf.iloc[i * chunk : (i + 1) * chunk])
-        ts_idx = tbl.schema.get_field_index("ts")
-        tbl = tbl.set_column(
-            ts_idx,
-            pa.field("ts", pa.timestamp("us")),
-            tbl.column("ts").cast(pa.timestamp("us")),
-        )
-        pq.write_table(tbl, path)
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-    schema = ev.schema
-    state = stream_upsert_events(spark, src, schema)
+    write_time_chunks(ev, src, n_chunks=4)
+    state = stream_upsert_events(spark, src, ev.schema)
     out = spark.createDataFrame(state)
     return out.select(
         "user_id",
         "event_type",
         F.col("event_id").alias("kept_event_id"),
         F.round("value", 4).alias("kept_value"),
+    )
+
+
+@register("h_stateful_sessions", oracle=None)  # rows-only: real stateful streaming
+def h_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: incremental per-user
+    sessionization via applyInPandasWithState (O(1) state per key —
+    the open-session accumulator). Snapshots fold last-wins; result
+    matches the batch h_session gaps-and-islands output row-for-row
+    (asserted in tests/test_streaming.py)."""
+    from sparkclif.streaming.source import write_time_chunks
+    from sparkclif.streaming.stateful import stream_sessionize
+
+    src = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/stateful_src"
+    ev = table(spark, sf_dir, "events")
+    write_time_chunks(ev, src, n_chunks=3)
+    sessions = stream_sessionize(spark, src, ev.schema)
+    return spark.createDataFrame(sessions).select(
+        "user_id", "session_start_us", "n_events", "first_event", "last_event"
     )

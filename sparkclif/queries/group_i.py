@@ -303,3 +303,33 @@ def i_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).select(
         "doc_id", "media_type", "n_bytes", "byte_mean", "byte_entropy"
     )
+
+
+@register(
+    "i_dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON b.vec_id > a.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def i_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.4):
+    broadcast + block-matmul kernel emits only qualifying (id_a < id_b)
+    pairs — the N^2 similarity matrix never materializes as rows. At
+    100 TB the LSH bucket join generates candidates and this kernel
+    verifies them (see operators/similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_threshold_pairs(emb, tau=0.4)
+
+
+@register("i_sim_ivf", oracle=None)  # rows-only: approximate by construction
+def i_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: coarse k-means quantizer -> inverted lists
+    per centroid -> n_probe=2 probed lists per query -> cogrouped
+    per-cluster BLAS search -> global top-k merge. Recall vs exact
+    top-k measured in tests/test_llm_ops.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_ann(emb, k=3, n_clusters=16, n_probe=2)

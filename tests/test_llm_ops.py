@@ -125,3 +125,40 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert row.n_bytes > 0
         assert 0 <= row.byte_entropy <= 8.0
         assert len(row.feature) == 4
+
+
+def test_cosine_threshold_pairs_match_numpy(spark, sf_dir, emb_np):
+    ids, mat = emb_np
+    emb = table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_threshold_pairs(emb, tau=0.4).collect()
+    }
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and round(sims[i, j], 4) >= 0.4:
+                want[(ids[i], ids[j])] = round(sims[i, j], 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir, emb_np):
+    ids, mat = emb_np
+    emb = table(spark, sf_dir, "embeddings")
+    got1 = sorted((r.vec_id, r.neighbor_id) for r in S.ivf_ann(emb, k=3).collect())
+    got2 = sorted((r.vec_id, r.neighbor_id) for r in S.ivf_ann(emb, k=3).collect())
+    assert got1 == got2, "IVF ANN is nondeterministic across runs"
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exact_pairs = set()
+    for qi in range(len(ids)):
+        row = sims[qi].copy()
+        row[qi] = -np.inf
+        for j in np.argsort(-row)[:3]:
+            exact_pairs.add((ids[qi], ids[j]))
+    hits = len(set(got1) & exact_pairs)
+    assert hits / len(exact_pairs) > 0.05, "IVF recall collapsed to ~0"

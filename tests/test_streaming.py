@@ -18,3 +18,14 @@ def test_stream_upsert_matches_batch_dedup(spark, sf_dir):
         for r in qs["f_distinct"].fn(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stateful_sessions_match_batch_session_window(spark, sf_dir):
+    """applyInPandasWithState sessionizer == batch session_window
+    (h_session), row for row."""
+    qs = all_queries()
+    stream_rows = sorted(
+        tuple(r) for r in qs["h_stateful_sessions"].fn(spark, sf_dir).collect()
+    )
+    batch_rows = sorted(tuple(r) for r in qs["h_session"].fn(spark, sf_dir).collect())
+    assert stream_rows == batch_rows
