@@ -85,3 +85,52 @@ def extract_features(media: DataFrame, feat_dim: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, media_type string, frame_idx int, n_bytes long, "
+    "frame_mean double, frame_std double"
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one payload row -> ``n_frames`` frame rows (the
+    video keyframe-extraction shape). DECODE is the deterministic stub
+    (equal byte segments stand in for decoded frames — a real
+    deployment dispatches to pyav/ffmpeg here); the one-to-many Arrow
+    batch shape, fixed output schema, and executor-local payload
+    handling are the real plumbing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                batch["doc_id"], batch["payload"], batch["media_type"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                n = len(arr)
+                for f in range(n_frames):
+                    seg = arr[f * n // n_frames : (f + 1) * n // n_frames]
+                    rows.append(
+                        (
+                            doc_id,
+                            mtype,
+                            f,
+                            len(seg),
+                            float(round(seg.mean(), 4)) if len(seg) else 0.0,
+                            float(round(seg.std(), 4)) if len(seg) else 0.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "frame_idx",
+                    "n_bytes",
+                    "frame_mean",
+                    "frame_std",
+                ],
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)

@@ -95,3 +95,24 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Polynomial rolling hash (Rabin-Karp style) over character codes:
+    h = fold(h * 31 + code) mod 1e9+7. Pure JVM expressions; the char
+    list never leaves the executor. Cross-engine deterministic (same
+    fold is expressible as DuckDB list_reduce), unlike md5/sha only in
+    that it supports incremental/windowed extension at scale."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, F.lit(1))),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )

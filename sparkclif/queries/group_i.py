@@ -333,3 +333,64 @@ def i_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k measured in tests/test_llm_ops.py."""
     emb = table(spark, sf_dir, "embeddings")
     return S.ivf_ann(emb, k=3, n_clusters=16, n_probe=2)
+
+
+@register(
+    "i_text_bpe_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', 1))
+                AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def i_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: BPE-ish pre-tokenizer regex (letter
+    runs | digit runs | single symbols) vs whitespace — the token
+    budget estimators for a pretraining corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "i_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            [CAST(ascii(substring(text, i, 1)) AS BIGINT)
+                             for i in range(1, length(text) + 1)]),
+               (acc, c) -> (acc * 31 + c) % 1000000007
+           ) AS rhash
+    FROM documents
+    """,
+)
+def i_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash per doc — the incremental
+    fingerprint primitive (same fold computed by the DuckDB oracle)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", T.rolling_hash("text").alias("rhash"))
+
+
+@register("i_multimodal_frames", oracle=None)  # rows-only: stubbed decode kernel
+def i_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many multimodal kernel: payload -> 4 sampled frames via
+    mapInPandas (video keyframe shape; decode stubbed, plumbing real).
+    Rolled up per (media_type, frame_idx) to bound output."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    media = M.attach_fake_media(docs)
+    frames = M.sample_frames(media, n_frames=4)
+    return (
+        frames.groupBy("media_type", "frame_idx")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("frame_mean"), 4).alias("avg_frame_mean"),
+            F.round(F.avg("frame_std"), 4).alias("avg_frame_std"),
+        )
+    )

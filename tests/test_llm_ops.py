@@ -162,3 +162,18 @@ def test_ivf_recall_and_determinism(spark, sf_dir, emb_np):
             exact_pairs.add((ids[qi], ids[j]))
     hits = len(set(got1) & exact_pairs)
     assert hits / len(exact_pairs) > 0.05, "IVF recall collapsed to ~0"
+
+
+def test_sample_frames_shape_and_determinism(spark, sf_dir):
+    from sparkclif.operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    media = M.attach_fake_media(docs)
+    r1 = sorted(M.sample_frames(media, n_frames=4).collect())
+    r2 = sorted(M.sample_frames(media, n_frames=4).collect())
+    assert r1 == r2
+    by_doc = {}
+    for row in r1:
+        by_doc.setdefault(row.doc_id, []).append(row.frame_idx)
+    for doc_id, frames in by_doc.items():
+        assert sorted(frames) == [0, 1, 2, 3], f"doc {doc_id}: {frames}"
