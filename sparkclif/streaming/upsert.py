@@ -42,12 +42,42 @@ def stream_upsert_events(
 
     Returns the final state as pandas (the local stand-in for the
     MERGE-target table). One file per trigger => multiple genuine
-    micro-batches, exercising cross-batch upsert semantics."""
+    micro-batches, exercising cross-batch upsert semantics.
+
+    Late-data policy: withWatermark + dropDuplicates evicts dedup
+    STATE but (verified empirically on Spark 4.x) does not filter
+    watermark-late input rows for the dedup operator — only windowed
+    aggregations do that. The engine therefore enforces the horizon
+    explicitly at the MERGE: rows older than (max event time of PRIOR
+    batches - watermark) are dropped, matching Spark's one-batch-lag
+    watermark semantics exactly (tests/test_streaming.py)."""
     state: dict[tuple, tuple] = {}
+    amount, unit = watermark.split()
+    delta_us = int(amount) * {
+        "second": 1,
+        "seconds": 1,
+        "minute": 60,
+        "minutes": 60,
+        "hour": 3600,
+        "hours": 3600,
+    }[unit] * 1_000_000
+    horizon: dict[str, int | None] = {"max_us": None}
 
     def batch_merge(batch_df: DataFrame, epoch_id: int) -> None:
         deduped = last_wins(batch_df, ["user_id", "event_type"], ["ts", "event_id"])
-        for r in deduped.collect():
+        rows = deduped.collect()
+        us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+        cutoff = None if horizon["max_us"] is None else horizon["max_us"] - delta_us
+        batch_max = max((us(r.ts) for r in rows), default=None)
+        if batch_max is not None:
+            horizon["max_us"] = (
+                batch_max
+                if horizon["max_us"] is None
+                else max(horizon["max_us"], batch_max)
+            )
+        for r in rows:
+            if cutoff is not None and us(r.ts) < cutoff:
+                continue  # beyond the watermark horizon: dropped
             key = (r.user_id, r.event_type)
             prev = state.get(key)
             cand = (r.ts, r.event_id, r.value)
@@ -59,7 +89,11 @@ def stream_upsert_events(
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])
+        # event-time column INCLUDED in the dedup keys: Spark's
+        # streaming dedup only drops watermark-late rows (and evicts
+        # state) when the watermark attribute is part of the keys;
+        # event_id is unique so the dedup semantics are unchanged
+        .dropDuplicates(["event_id", "ts"])
     )
     q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
     q.processAllAvailable()

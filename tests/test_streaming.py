@@ -29,3 +29,62 @@ def test_stateful_sessions_match_batch_session_window(spark, sf_dir):
     )
     batch_rows = sorted(tuple(r) for r in qs["h_session"].fn(spark, sf_dir).collect())
     assert stream_rows == batch_rows
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy (SURVEY.md §5.2 layer 4): an event arriving in
+    a later micro-batch with ts older than (max seen ts - watermark) is
+    dropped by withWatermark + dropDuplicates state eviction semantics;
+    an in-horizon late event is kept."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.streaming.upsert import stream_upsert_events
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(path, rows, mtime):
+        tbl = pa.Table.from_pydict(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # batch 0: two on-time events, max ts = 12:00 + 3h => watermark
+    # horizon (1h) = 14:00 after this batch
+    write_chunk(
+        f"{src}/c0.parquet",
+        [
+            (1, 10, "click", base, 1.0),
+            (2, 10, "click", base + dt.timedelta(hours=3), 2.0),
+        ],
+        1_700_000_000,
+    )
+    # batch 1: event_id 3 is 2h59m late but inside no horizon (ts 12:30
+    # < 14:00 horizon) => DROPPED; event_id 4 at 14:30 is kept
+    write_chunk(
+        f"{src}/c1.parquet",
+        [
+            (3, 10, "late", base + dt.timedelta(minutes=30), 3.0),
+            (4, 10, "ok", base + dt.timedelta(hours=2, minutes=30), 4.0),
+        ],
+        1_700_000_001,
+    )
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    state = stream_upsert_events(spark, src, schema, watermark="1 hour")
+    kept_types = set(state["event_type"])
+    assert "late" not in kept_types, "event beyond watermark horizon must be dropped"
+    assert {"click", "ok"} <= kept_types
