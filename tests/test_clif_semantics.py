@@ -235,3 +235,61 @@ def test_command_log_matches_model(spark, seed):
     assert got == want
     got_pocs = {r.user_id: r.site_name for r in pocs_cur.collect()}
     assert got_pocs == model.pocs
+
+
+def test_legacy_document_roundtrip(spark):
+    """Lossless clif_bot_data.json import -> tables -> export
+    (R14/R15; document shape workflow.md:145-160)."""
+    import json
+
+    from sparkclif.clif.legacy import export_document, import_document
+
+    doc = {
+        "projects": {
+            "https://github.com/org/p1": {
+                "metadata": {
+                    "project_name": "P One",
+                    "description": "first",
+                    "tables_required": ["adt", "labs"],
+                },
+                "site_status": {"Site A": "✅", "Site B": "❓"},
+            },
+            "https://github.com/org/p2": {
+                "metadata": {
+                    "project_name": "P Two",
+                    "description": "",
+                    "tables_required": [],
+                },
+                "site_status": {},
+            },
+        },
+        "pocs": {"U1": "Site A", "U2": "Site B"},
+        "poc_assignments": {"Site A": {"U1": "General"}, "Site B": {"U2": "P One"}},
+    }
+    projects, site_status, pocs, assigns = import_document(spark, json.dumps(doc))
+    assert projects.count() == 2
+    assert site_status.count() == 2  # p2 has an empty matrix
+    assert pocs.count() == 2
+    assert assigns.count() == 2
+    out = json.loads(export_document(projects, site_status, pocs, assigns))
+    assert out == doc
+
+
+def test_legacy_import_tolerates_missing_keys(spark):
+    """The reference silently tolerates absent/partial documents
+    (state.py:47-68); import must yield empty relations, and metadata
+    defaults '' / [] (metadata.py:42-45)."""
+    import json
+
+    from sparkclif.clif.legacy import import_document
+
+    projects, site_status, pocs, assigns = import_document(spark, "{}")
+    assert projects.count() == 0
+    assert site_status.count() == 0
+    assert pocs.count() == 0
+    assert assigns.count() == 0
+
+    partial = {"projects": {"r": {}}}
+    projects, site_status, _, _ = import_document(spark, json.dumps(partial))
+    row = projects.collect()[0]
+    assert (row.project_name, row.description, list(row.tables_required)) == ("", "", [])

@@ -1,0 +1,84 @@
+"""Physical-plan regression tests — lock in the scale-critical plan
+properties (SCALE.md): predicate pushdown reaching the parquet scan,
+column pruning, broadcast joins for bounded dimensions, map-side
+partial aggregation, and no total sort in per-group top-k.
+
+These guard against silent plan regressions (e.g. a refactor routing a
+filter through an opaque UDF, which would kill row-group skipping at
+100 TB while still passing every correctness test).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sparkclif.registry import all_queries
+
+
+def formatted_plan(spark, name, sf_dir):
+    df = all_queries()[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(spark, "b_filter_project", sf_dir)
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert pushed and "GreaterThanOrEqual" in pushed.group(1), (
+        "range predicates must reach the parquet scan"
+    )
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read is not None
+    n_cols = len(read.group(1).split(","))
+    assert n_cols <= 6, f"column pruning lost: scan reads {n_cols} columns"
+
+
+def test_star_join_is_pure_broadcast(spark, sf_dir):
+    plan = formatted_plan(spark, "c_join_broadcast_chain", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "dimension star join must broadcast, not shuffle"
+    )
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_theta_join_broadcasts_small_side(spark, sf_dir):
+    plan = formatted_plan(spark, "c_join_theta", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "non-equi join must BNLJ with the small side broadcast"
+    )
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(spark, "d_agg_groupby", sf_dir)
+    # partial + final hash aggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2, "map-side partial agg missing"
+
+
+def test_topk_per_group_has_no_global_sort(spark, sf_dir):
+    plan = formatted_plan(spark, "e_topk_per_group", sf_dir)
+    # window sort is per-partition-key; a global Sort over the full
+    # relation without partitioning would appear as Exchange rangepartitioning
+    assert "rangepartitioning" not in plan.lower(), (
+        "per-group top-k must not range-partition (global sort)"
+    )
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(spark, "f_sort_limit", sf_dir)
+    assert "TakeOrderedAndProject" in plan, (
+        "orderBy().limit() must plan as TakeOrdered, not total sort"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["i_dedup_exact", "i_text_tokenize", "g_regex_extract"]
+)
+def test_no_python_udf_on_native_paths(spark, sf_dir, name):
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        f"{name} must stay JVM-side (no Python eval in the hot path)"
+    )
