@@ -126,3 +126,31 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("key_checksum"),
     )
+
+
+@register(
+    "a_sink_partitioned",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned re-read: write lineitem
+    partitioned by l_returnflag, read back one partition. The re-read
+    filter prunes at the directory level (PartitionFilters, zero
+    non-matching files opened) — the layout that makes 100 TB fact
+    tables scannable. The write itself is the exercised sink."""
+    out = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/partitioned.parquet"
+    shutil.rmtree(out, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )

@@ -249,3 +249,26 @@ def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("l_extendedprice", 0.5), 4).alias("p50_price"),
         F.round(F.percentile_approx("l_extendedprice", 0.95), 4).alias("p95_price"),
     )
+
+
+@register(
+    "d_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(median(l_discount), 4) AS med_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (the oracle-checkable companion
+    to the d_agg_approx sketches; at 100 TB you pay one sort per group
+    for exactness or use the GK sketch)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.median("l_discount"), 4).alias("med_discount"),
+    )

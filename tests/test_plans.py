@@ -82,3 +82,11 @@ def test_no_python_udf_on_native_paths(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         f"{name} must stay JVM-side (no Python eval in the hot path)"
     )
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    plan = formatted_plan(spark, "a_sink_partitioned", sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), (
+        "re-read of the hive-partitioned sink must prune at directory level"
+    )
