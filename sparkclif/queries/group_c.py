@@ -268,3 +268,101 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_o_orderkey"),
         F.round("asof_o_totalprice", 4).alias("asof_price"),
     )
+
+
+@register(
+    "c_join_bucketed",
+    oracle="""
+    SELECT o.o_custkey,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS sum_price,
+           max(c.c_mktsegment) AS segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY o.o_custkey
+    """,
+)
+def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides bucketed by the join key
+    into the same bucket count, so the join needs NO shuffle exchange
+    on either side (asserted in tests/test_plans.py) — the layout that
+    turns the 100 TB fact-to-fact join from a full network shuffle
+    into a local merge. The bucketed write itself is the sink
+    exercise; on a cluster these are the canonical stored tables."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in (
+        ("b_orders", orders, "o_custkey"),
+        ("b_customer", customer, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a fresh in-memory catalog can't see a prior session's table,
+        # so clear the physical location too
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    # disable broadcast so the plan proves bucketing (not broadcast)
+    # removes the exchange; at real scale both sides exceed broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        out = (
+            bo.join(bc, bo.o_custkey == bc.c_custkey)
+            .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+                F.max("c_mktsegment").alias("segment"),
+            )
+        )
+        out.collect()  # execute under the no-broadcast conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@register(
+    "c_join_salted",
+    oracle="""
+    SELECT e.event_type,
+           n.n_name,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY e.event_type, n.n_name
+    """,
+)
+def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the fact side's hot join key is decorated
+    with a random-free deterministic salt (key, event_id % N_SALT) and
+    the dim side replicated N_SALT ways, splitting each hot key's rows
+    across N_SALT reducers. Result provably equals the plain join (the
+    oracle IS the plain join). At 100 TB this (or AQE skew-join, which
+    is enabled) is what keeps one hot user/shingle from stalling the
+    stage."""
+    N_SALT = 8
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", (F.col("user_id") % 25).alias("jk")
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("jk"), "n_name"
+    )
+    salted_fact = ev.withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
+    salted_dim = nation.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    return (
+        salted_fact.join(salted_dim, ["jk", "salt"])
+        .groupBy("event_type", "n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -40,5 +40,10 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         # testbed events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long, converted in io.table()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table sink (c_join_bucketed) needs a warehouse dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/warehouse",
+        )
     )
     return builder.getOrCreate()
