@@ -108,10 +108,11 @@ def lsh_signature(vec_col, planes: np.ndarray):
 def lsh_ann(
     embeddings: DataFrame,
     k: int = 3,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    target_bucket: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -120,10 +121,19 @@ def lsh_ann(
 
     ``n_tables`` independent hash tables are OR-ed (standard LSH
     amplification): a pair is a candidate if it collides in ANY table.
-    Each table AND-s ``n_planes`` bits. More tables => higher recall,
-    more candidates; at 100 TB you tune (n_tables, n_planes) to the
-    target recall and let the bucket join bound the work."""
+    Each table AND-s ``n_planes`` bits.
+
+    ``n_planes`` defaults to log2(N / target_bucket): in-bucket pair
+    work is quadratic in bucket size, so a FIXED plane count blows up
+    as the corpus grows (measured: 16x vectors -> 24x wall with 6
+    planes). Scaling bits with corpus size holds expected bucket size
+    — and therefore per-bucket work — constant; recall is then tuned
+    with ``n_tables``."""
     rng = np.random.RandomState(seed)
+    if n_planes is None:
+        n = embeddings.count()
+        n_planes = max(4, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
+        n_planes = min(n_planes, 62)
     base = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
