@@ -33,7 +33,7 @@ from sparkclif.registry import register
            max(l_shipdate) AS max_shipdate,
            round(min(l_extendedprice), 4) AS min_price,
            round(max(l_extendedprice), 4) AS max_price,
-           round(sum(l_quantity), 4) AS sum_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_qty
     FROM lineitem
     """,
 )
@@ -48,7 +48,7 @@ def a_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_shipdate"),
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"), 4).alias("sum_qty"),
     )
 
 
@@ -122,7 +122,7 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"), 4).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("key_checksum"),
     )

@@ -32,7 +32,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     oracle="""
     SELECT count(*) AS n_rows,
            count(DISTINCT o_custkey) AS n_customers,
-           round(sum(o_totalprice), 4) AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_price,
            round(avg(o_totalprice), 4) AS avg_price,
            round(min(o_totalprice), 4) AS min_price,
            round(max(o_totalprice), 4) AS max_price
@@ -40,12 +40,19 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     """,
 )
 def d_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungrouped global aggregate (partial+final, single row out)."""
+    """Ungrouped global aggregate (partial+final, single row out).
+
+    Large-magnitude double sums accumulate in DECIMAL on both engines:
+    float summation order differs (parallel partials vs sequential)
+    and at ~1e10 magnitude the drift exceeds the round(4) grid —
+    caught at sf0.1. Decimal addition is exact => order-independent."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 4
+        ).alias("sum_price"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         F.round(F.min("o_totalprice"), 4).alias("min_price"),
         F.round(F.max("o_totalprice"), 4).alias("max_price"),
@@ -56,10 +63,10 @@ def d_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_agg_groupby",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -80,10 +87,12 @@ def d_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            # money sums accumulate in DECIMAL: exact, order-independent
+            # (float partial-sum order differs from the oracle's)
+            F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(30,6)")).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(30,6)")).cast("double"), 4).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
