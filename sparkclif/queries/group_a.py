@@ -131,7 +131,8 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_sink_partitioned",
     oracle="""
-    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+    SELECT l_returnflag, count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_price
     FROM lineitem
     WHERE l_returnflag = 'R'
     GROUP BY l_returnflag
@@ -152,5 +153,5 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 4).alias("sum_price"),
     )

@@ -75,7 +75,7 @@ def b_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT price_band,
            status_norm,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS sum_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_price
     FROM (
         SELECT CASE WHEN o_totalprice < 20000 THEN 'small'
                     WHEN o_totalprice < 60000 THEN 'medium'
@@ -103,6 +103,6 @@ def b_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_band", "status_norm")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 4).alias("sum_price"),
         )
     )

@@ -29,7 +29,7 @@ from sparkclif.registry import register
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_price,
            round(avg(o_totalprice), 4) AS avg_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -45,7 +45,7 @@ def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 4).alias("sum_price"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
@@ -56,7 +56,7 @@ def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -83,9 +83,14 @@ def c_join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
         )
     )
 

@@ -161,7 +161,7 @@ def d_agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 4) AS sum_acctbal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -179,7 +179,7 @@ def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double"), 4).alias("sum_acctbal"),
         )
     )
 

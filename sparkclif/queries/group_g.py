@@ -149,7 +149,7 @@ def g_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_math_funcs",
     oracle="""
     SELECT l_returnflag,
-           round(sum(round(l_extendedprice, 1)), 4) AS sum_rounded,
+           round(CAST(sum(CAST(round(l_extendedprice, 1) AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_rounded,
            round(sum(abs(l_discount - 0.05)), 4) AS sum_absdev,
            round(sum(CAST(ceil(l_quantity) AS DOUBLE)), 4) AS sum_ceil,
            round(sum(CAST(floor(l_quantity) AS DOUBLE)), 4) AS sum_floor,
@@ -168,7 +168,7 @@ def g_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     greatest/least, aggregated per returnflag."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.round("l_extendedprice", 1)), 4).alias("sum_rounded"),
+        F.round(F.sum(F.round("l_extendedprice", 1).cast("decimal(30,6)")).cast("double"), 4).alias("sum_rounded"),
         F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_absdev"),
         F.round(F.sum(F.ceil("l_quantity").cast("double")), 4).alias("sum_ceil"),
         F.round(F.sum(F.floor("l_quantity").cast("double")), 4).alias("sum_floor"),
