@@ -69,6 +69,8 @@ def stream_sessionize(spark, source_dir: str, schema) -> pd.DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from sparkclif.streaming.source import stream_shuffle
+
     snapshots: list[pd.DataFrame] = []
 
     def sink(batch_df, epoch_id: int) -> None:
@@ -90,9 +92,10 @@ def stream_sessionize(spark, source_dir: str, schema) -> pd.DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
-    q = stream.writeStream.foreachBatch(sink).outputMode("update").start()
-    q.processAllAvailable()
-    q.stop()
+    with stream_shuffle(spark):
+        q = stream.writeStream.foreachBatch(sink).outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
 
     all_rows = pd.concat(snapshots, ignore_index=True)
     # last-wins per (user, session start): snapshots only ever grow

@@ -95,9 +95,12 @@ def stream_upsert_events(
         # event_id is unique so the dedup semantics are unchanged
         .dropDuplicates(["event_id", "ts"])
     )
-    q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
-    q.processAllAvailable()
-    q.stop()
+    from sparkclif.streaming.source import stream_shuffle
+
+    with stream_shuffle(spark):
+        q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
 
     rows = [
         {"user_id": k[0], "event_type": k[1], "ts": v[0], "event_id": v[1], "value": v[2]}
