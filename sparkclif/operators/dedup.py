@@ -18,10 +18,27 @@ All of it is native expressions + joins; no Python UDFs.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkclif.operators.text import fingerprint_sha256, normalize_text, tokens, word_shingles
+
+# splitmix64 finalizer constants (public domain, Steele et al.) — the
+# per-lane remix applied to base shingle hashes in numpy uint64
+# (wrapping) arithmetic
+_SM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * _SM_M1
+    x = (x ^ (x >> np.uint64(27))) * _SM_M2
+    return x ^ (x >> np.uint64(31))
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,27 +67,36 @@ def minhash_signatures(
     array_min(transform(shingles, xxhash64(seed))).
 
     Two-stage hashing keeps this O(shingles) not O(shingles * k):
-    each shingle STRING is xxhash64'd exactly once, then the k lanes
-    re-mix the resulting int64 (8-byte hash, ~free) instead of
-    re-hashing the string k times. Each non-cheap array expression is
-    materialized in its own projection: CollapseProject refuses to
-    inline a non-cheap expression referenced more than once, so
-    tokenization and the base hash each run once per doc (naive
-    inlining made this 30x slower)."""
-    shingled = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__shingles")
-    )
-    based = shingled.select(
+    each shingle STRING is xxhash64'd exactly once (JVM scan-side),
+    then the k lanes re-mix the resulting int64. The remix+min runs as
+    a vectorized numpy kernel (mapInPandas, splitmix64 of h + lane *
+    golden): k JVM array-lambda passes interpreted ~k*|shingles| hash
+    exprs per doc and were ~3x slower than one Arrow transfer plus a
+    (|shingles|, k) wrapped-uint64 broadcast in numpy."""
+    based = df.select(
         F.col(id_col),
-        F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__h"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform("__h", lambda h: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return based.select(F.col(id_col), sig.alias("signature"))
+    lane_offsets = (
+        np.arange(1, num_hashes + 1, dtype=np.uint64) * _SM_GOLDEN
+    )  # per-lane seed
+
+    def remix_min(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for did, h in zip(batch[id_col], batch["__h"]):
+                ids.append(did)
+                if h is None or len(h) == 0:
+                    sigs.append(None)  # too short to shingle: no signal
+                    continue
+                base = np.asarray(h, dtype=np.int64).view(np.uint64)
+                mixed = _splitmix64(base[:, None] + lane_offsets[None, :])
+                sigs.append(mixed.min(axis=0).view(np.int64))
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return based.mapInPandas(remix_min, f"{id_col} long, signature array<long>")
 
 
 def minhash_candidate_pairs(
@@ -169,24 +195,33 @@ def ngram_jaccard(
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """SimHash fingerprint per doc: xxhash64 each distinct token,
-    explode, per-bit majority vote as ``bits`` map-side-combined sums
-    (one groupBy shuffle carrying only (id, 64 ints)), then pack the
-    sign bits into one int64. All JVM expressions, no Python."""
+    """SimHash fingerprint per doc: xxhash64 each distinct token (JVM
+    scan-side), then per-bit majority vote + sign-bit packing in a
+    vectorized numpy kernel (mapInPandas). ZERO shuffles: token hashes
+    never leave their scan partition (the earlier explode + 64
+    aggregate-expression formulation shuffled (id, token_hash) rows and
+    interpreted 64 conditionals per token). Docs with no tokens emit no
+    row (matching the explode formulation's semantics)."""
     tok_hashes = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).select(id_col, F.xxhash64("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    voted = tok_hashes.groupBy(id_col).agg(*votes)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return voted.select(F.col(id_col), fp.alias("simhash"))
+        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
+            "__h"
+        ),
+    )
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def vote_pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fps = [], []
+            for did, h in zip(batch[id_col], batch["__h"]):
+                if h is None or len(h) == 0:
+                    continue
+                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                ones = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+                majority = (2 * ones > len(x)).astype(np.uint64)  # vote > 0
+                fp = (majority << shifts).sum(dtype=np.uint64)
+                ids.append(did)
+                fps.append(int(np.array([fp], dtype=np.uint64).view(np.int64)[0]))
+            yield pd.DataFrame({id_col: ids, "simhash": pd.Series(fps, dtype="int64")})
+
+    return tok_hashes.mapInPandas(vote_pack, f"{id_col} long, simhash long")

@@ -64,22 +64,28 @@ def j_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j_pandas_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized per-group normalization via applyInPandas (Arrow
     batches, pandas kernel): znorm = (v - mean)/std with SAMPLE stddev
-    (pandas ddof=1 == stddev_samp — pinned, SURVEY.md §2.2)."""
+    (pandas ddof=1 == stddev_samp — pinned, SURVEY.md §2.2).
+
+    Grouped on a COARSENED key (hash(user_id) into 64 buckets), with
+    the per-user groupby vectorized inside the kernel: a grouped-map
+    UDF pays fixed cost per GROUP INVOCATION, so keying directly on a
+    high-cardinality column (1 user ≈ a handful of rows) drowns in
+    per-group overhead. All rows of a user share a bucket, so the
+    per-user statistics are exact."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=1)
-        mean = pdf["value"].mean()
-        if pd.isna(std) or std == 0:
-            z = pd.Series([None] * len(pdf), dtype="float64")
-        else:
-            z = ((pdf["value"] - mean) / std).round(4)
+        g = pdf.groupby("user_id")["value"]
+        mean = g.transform("mean")
+        std = g.transform("std")  # ddof=1 == stddev_samp
+        z = ((pdf["value"] - mean) / std.where(std != 0)).round(4)
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        znorm, "event_id long, user_id long, znorm double"
+    return (
+        ev.groupBy(F.pmod(F.hash("user_id"), F.lit(64)).alias("__g"))
+        .applyInPandas(znorm, "event_id long, user_id long, znorm double")
     )
 
 
