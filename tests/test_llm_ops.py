@@ -177,3 +177,51 @@ def test_sample_frames_shape_and_determinism(spark, sf_dir):
         by_doc.setdefault(row.doc_id, []).append(row.frame_idx)
     for doc_id, frames in by_doc.items():
         assert sorted(frames) == [0, 1, 2, 3], f"doc {doc_id}: {frames}"
+
+
+def test_minhash_short_docs_get_null_signature(spark):
+    """Docs too short to shingle (< n tokens) carry no similarity
+    signal: the numpy remix kernel must emit a NULL signature and the
+    banding stage must exclude them (they'd otherwise all collide in
+    one giant bucket)."""
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d e f"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.signature for r in D.minhash_signatures(docs).collect()}
+    assert sigs[1] is None
+    assert sigs[2] == sigs[3] and sigs[2] is not None  # exact dups: equal sigs
+    pairs = D.minhash_candidate_pairs(D.minhash_signatures(docs)).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_simhash_drops_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "hello world hello")], "doc_id long, text string"
+    )
+    rows = D.simhash64(docs).collect()
+    assert [r.doc_id for r in rows] == [2]
+
+
+def test_lsh_ann_block_merge_is_exact_within_buckets(spark):
+    """Vectors sharing every bucket (identical signatures) must get
+    their true top-k: per-bucket top-k + global merge loses nothing
+    when a candidate is top-k in some shared bucket."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=64)
+    rows = [
+        (i, (base + 0.01 * i * rng.normal(size=64)).astype("float32").tolist())
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.lsh_ann(emb, k=2, n_planes=4, n_tables=2).collect()
+    mat = np.vstack([np.array(r[1]) for r in rows]).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    for r in got:
+        # every returned neighbor's cosine must match the exact value
+        assert abs(r.cosine - round(float(sims[r.vec_id, r.neighbor_id]), 4)) < 1e-9

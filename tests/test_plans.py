@@ -111,3 +111,49 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_simhash_has_no_shuffle(spark, sf_dir):
+    """SimHash votes/packing run inside the scan partition (numpy
+    kernel over scan-side token hashes): the plan must contain NO
+    Exchange — token hashes never cross the wire."""
+    from sparkclif.io import table
+    from sparkclif.operators.dedup import simhash64
+
+    df = simhash64(table(spark, sf_dir, "documents"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, "simhash must be shuffle-free"
+    assert "MapInPandas" in plan
+
+
+def test_minhash_pairs_single_shuffle(spark, sf_dir):
+    """MinHash-LSH candidate generation budget: exactly the bucket
+    groupBy + the final pair-dedup groupBy — no extra exchange from
+    signature computation or banding."""
+    from sparkclif.io import table
+    from sparkclif.operators.dedup import minhash_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
+    pairs = minhash_candidate_pairs(sigs)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"minhash pair-gen grew extra shuffles:\n{plan}"
+
+
+def test_lsh_ann_shuffle_budget(spark, sf_dir):
+    """LSH ANN: one bucket-groupBy exchange for the re-rank plus the
+    dedup/merge exchanges on (vec_id[, neighbor_id]) — signature
+    computation itself (mapInPandas over the scan) must add none."""
+    from sparkclif.io import table
+    from sparkclif.operators.similarity import lsh_ann
+
+    df = lsh_ann(table(spark, sf_dir, "embeddings"), k=3)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, f"LSH ANN grew extra shuffles:\n{plan}"
