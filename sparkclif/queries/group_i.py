@@ -203,10 +203,34 @@ def i_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between consecutive doc pairs — the exact
     verification kernel that MinHash candidates feed into at scale
-    (bounded linear pairing here; the LSH bucket join bounds it there)."""
+    (bounded linear pairing here; the LSH bucket join bounds it there).
+
+    Shingling runs as an Arrow-batched Python kernel: the equivalent
+    nested array-lambda expression tree costs ~3 s of whole-stage
+    codegen compilation PER SESSION (it is expanded into both join
+    sides), dominating the query at bench scale. First-occurrence
+    dedup matches array_distinct / DuckDB list_distinct; the Jaccard
+    itself stays JVM-side (array_intersect/array_union)."""
+    import re
+
+    import pandas as pd
+
     docs = spread(table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.array_distinct(T.word_shingles(F.col("text"), 3)).alias("shingles")
+
+    def shingle_kernel(batches):
+        for batch in batches:
+            ids, shingles = [], []
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                toks = [t for t in re.split(r"\s+", text) if t]
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+                ids.append(did)
+                shingles.append(list(grams))
+            yield pd.DataFrame({"doc_id": ids, "shingles": shingles})
+
+    sh = docs.select("doc_id", "text").mapInPandas(
+        shingle_kernel, "doc_id long, shingles array<string>"
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
