@@ -25,9 +25,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_queries()
-    # Warm up JVM / codegen / parquet footer caches outside the timings.
+    # Warm up JVM / codegen / parquet footer caches AND the Arrow
+    # Python worker pool outside the timings (the first pandas-kernel
+    # query otherwise absorbs ~1-2 s of worker spawn).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     specs["d_agg_groupby"].fn(spark, sf_dir).collect()
+    spark.range(32_000).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
