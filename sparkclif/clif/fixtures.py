@@ -127,7 +127,8 @@ def demo_repo_documents(spark: SparkSession) -> DataFrame:
             '"tables_required": ["adt"]}',
         ),
         ("https://github.com/org/readme-repo", "README.md", readme),
-        # repo with no recognized docs at all -> name from URL
+        # bare-repo: no recognized docs at all -> project_name ''
+        # (URL fallback applies only when a README row exists)
     ]
     return spark.createDataFrame(rows, "repo_url string, path string, body string")
 

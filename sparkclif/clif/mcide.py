@@ -30,11 +30,17 @@ def read_catalog(spark: SparkSession, base_dir: str) -> DataFrame:
         .withColumn("table_name", F.element_at(F.split("path", "/"), -2))
         .withColumn("fname", F.element_at(F.split("path", "/"), -1))
         .withColumn(
+            # Strip the prefix using the directory-derived table_name so
+            # tables whose names contain underscores (respiratory_support,
+            # medication_admin_continuous, ...) resolve correctly —
+            # mirrors reference removeprefix(f"clif_{table}_")
+            # (mcide.py:20-31); a '[^_]+' regex would stop at the first
+            # underscore and yield e.g. 'support_device_category'.
             "variable",
-            F.regexp_replace(
-                F.regexp_replace("fname", r"_categories\.csv$", ""),
-                r"^clif_[^_]+_",
-                "",
+            F.expr(
+                "regexp_replace("
+                "  regexp_replace(fname, '_categories\\\\.csv$', ''),"
+                "  concat('^clif_', table_name, '_'), '')"
             ),
         )
     )

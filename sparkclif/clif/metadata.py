@@ -169,13 +169,15 @@ def extract_metadata(repos: DataFrame, docs: DataFrame) -> DataFrame:
     out = repos.join(best, "repo_url", "left")
     url_fallback = F.element_at(F.split(F.rtrim(F.col("repo_url")), "/"), -1)
     # structured sources: name coalesce ladder + '' defaults
-    # (metadata.py:42-45); README: empty title also falls back to URL
-    # (metadata.py:67-68)
+    # (metadata.py:42-45); README: empty title falls back to URL
+    # (metadata.py:67-68) — but ONLY when a README row exists (the
+    # reference's URL fallback runs inside the 200-response branch, so
+    # a repo with no sources at all yields project_name='').
     project_name = F.coalesce(
         F.nullif(F.col("m.project_name"), F.lit("")),
         F.nullif(F.col("m.name"), F.lit("")),
-        F.when(F.col("src_rank").isin(0, 1), F.lit("")),
-        url_fallback,
+        F.when(F.col("src_rank") == 2, url_fallback),
+        F.lit(""),
     )
     return out.select(
         "repo_url",

@@ -6,10 +6,12 @@ between a Spark query and its DuckDB oracle SQL.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from sparkclif.io import TABLES
@@ -28,16 +30,34 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _norm_cell(v: Any) -> Any:
-    if v is None:
+    """Canonicalize a cell, PRESERVING type class.
+
+    The driver's value-hash stringifies cells, so int64 2758 and float64
+    2758.0 hash differently (this caught g_date_funcs/g_math_funcs in
+    round 1 while a Python ``==`` compare passed them). Tag each cell
+    with its broad type class so the local sim is at least as strict.
+    """
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return None
         # final guard: parity rounding already happened query-side
-        return round(v, 4)
-    if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().replace(tzinfo=None)
-    return v
+        return ("f", round(float(v), 4))
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+        return ("t", str(ts.replace(tzinfo=None)))
+    if isinstance(v, _dt.date):
+        return ("d", str(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    return ("s", str(v))
 
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:

@@ -85,7 +85,7 @@ def a_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events
@@ -105,7 +105,19 @@ def a_scan_json_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a_sink_roundtrip", oracle=None)  # rows-only: exercises a write path
+@register(
+    "a_sink_roundtrip",
+    # The write->re-read is an identity on the projected columns, so the
+    # post-roundtrip aggregate is directly checkable against lineitem.
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS sum_price,
+           CAST(sum(CAST(l_orderkey AS BIGINT) * l_linenumber) AS BIGINT) AS key_checksum
+    FROM lineitem
+    """,
+)
 def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a projection to parquet, re-read, return a checksum row.
 
@@ -123,8 +135,10 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
-        F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("key_checksum"),
+        F.round(
+            F.sum(F.round("l_extendedprice", 4).cast("decimal(38,6)")).cast("double"), 4
+        ).alias("sum_price"),
+        F.sum(F.col("l_orderkey") * F.col("l_linenumber")).cast("long").alias("key_checksum"),
     )
 
 

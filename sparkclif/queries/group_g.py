@@ -111,10 +111,11 @@ def g_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS o_month,
            count(*) AS n_orders,
            count(DISTINCT CAST(dayofweek(o_orderdate) AS INT) + 1) AS n_dows,
-           min(CAST(epoch(o_orderdate) AS BIGINT)) AS min_epoch,
+           min(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) * 86400)
+               AS min_epoch,
            max(CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)) AS max_plus3m,
-           sum(CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT))
-               AS sum_days_since
+           CAST(sum(CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT))
+               AS BIGINT) AS sum_days_since
     FROM orders
     GROUP BY 1, 2
     """,
@@ -128,7 +129,13 @@ def g_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
             F.month("o_orderdate").alias("o_month"),
             F.dayofweek("o_orderdate").alias("dow"),  # 1=Sunday (DuckDB dayofweek+1)
-            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            # tz-free epoch: days-since-epoch * 86400 (unix_timestamp would
+            # depend on the driver session's spark.sql.session.timeZone)
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+                .cast("long")
+                * 86400
+            ).alias("epoch_s"),
             F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
             F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
                 "days_since"
@@ -150,15 +157,15 @@ def g_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            round(CAST(sum(CAST(round(l_extendedprice, 1) AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_rounded,
-           round(sum(abs(l_discount - 0.05)), 4) AS sum_absdev,
+           round(CAST(sum(CAST(round(abs(l_discount - 0.05), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_absdev,
            round(sum(CAST(ceil(l_quantity) AS DOUBLE)), 4) AS sum_ceil,
            round(sum(CAST(floor(l_quantity) AS DOUBLE)), 4) AS sum_floor,
-           round(sum(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7), 4) AS sum_pmod,
-           round(sum(sqrt(l_quantity)), 4) AS sum_sqrt,
-           round(sum(ln(l_extendedprice + 1)), 4) AS sum_ln,
-           round(sum(pow(l_discount, 2)), 4) AS sum_pow,
-           round(sum(greatest(l_quantity, 25.0)), 4) AS sum_greatest,
-           round(sum(least(l_quantity, 25.0)), 4) AS sum_least
+           CAST(sum(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7) AS BIGINT) AS sum_pmod,
+           round(CAST(sum(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_sqrt,
+           round(CAST(sum(CAST(round(ln(l_extendedprice + 1), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_ln,
+           round(CAST(sum(CAST(round(pow(l_discount, 2), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_pow,
+           round(CAST(sum(CAST(round(greatest(l_quantity, 25.0), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_greatest,
+           round(CAST(sum(CAST(round(least(l_quantity, 25.0), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_least
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -167,17 +174,24 @@ def g_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math expression surface: round/abs/ceil/floor/pmod/pow/sqrt/ln/
     greatest/least, aggregated per returnflag."""
     li = table(spark, sf_dir, "lineitem")
+
+    def dsum(col):
+        # Per-row round -> exact decimal sum: the result is independent of
+        # partial-aggregation order, unlike a parallel double sum whose
+        # round-at-4 can flip with the driver's partition count.
+        return F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum(F.round("l_extendedprice", 1).cast("decimal(30,6)")).cast("double"), 4).alias("sum_rounded"),
-        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_absdev"),
+        F.round(dsum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_absdev"),
         F.round(F.sum(F.ceil("l_quantity").cast("double")), 4).alias("sum_ceil"),
         F.round(F.sum(F.floor("l_quantity").cast("double")), 4).alias("sum_floor"),
-        F.round(F.sum(F.pmod(F.col("l_orderkey"), F.lit(7))), 4).alias("sum_pmod"),
-        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
-        F.round(F.sum(F.log(F.col("l_extendedprice") + 1)), 4).alias("sum_ln"),
-        F.round(F.sum(F.pow("l_discount", F.lit(2))), 4).alias("sum_pow"),
-        F.round(F.sum(F.greatest("l_quantity", F.lit(25.0))), 4).alias("sum_greatest"),
-        F.round(F.sum(F.least("l_quantity", F.lit(25.0))), 4).alias("sum_least"),
+        F.sum(F.pmod(F.col("l_orderkey"), F.lit(7))).cast("long").alias("sum_pmod"),
+        F.round(dsum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
+        F.round(dsum(F.log(F.col("l_extendedprice") + 1)), 4).alias("sum_ln"),
+        F.round(dsum(F.pow("l_discount", F.lit(2))), 4).alias("sum_pow"),
+        F.round(dsum(F.greatest("l_quantity", F.lit(25.0))), 4).alias("sum_greatest"),
+        F.round(dsum(F.least("l_quantity", F.lit(25.0))), 4).alias("sum_least"),
     )
 
 

@@ -27,7 +27,7 @@ from sparkclif.registry import register
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

@@ -91,7 +91,9 @@ def test_metadata_fallback_ladder(spark):
     assert r.tables_required == ["- adt"]
 
     b = out["https://github.com/org/bare-repo"]
-    assert b.project_name == "bare-repo"  # URL last segment
+    # No sources at all -> '' (the reference's URL fallback only runs
+    # inside the README 200-response branch, metadata.py:67-68).
+    assert b.project_name == ""
     assert b.description == ""
     assert b.tables_required == []
 

@@ -14,6 +14,11 @@ FIXTURE_FILES = {
     "vitals/clif_vitals_vital_category_categories.csv": "heart_rate\nsbp\n spo2 \n\n",
     "labs/clif_labs_lab_category_categories.csv": "sodium\npotassium\n",
     "labs/clif_labs_lab_specimen_categories.csv": "blood\nurine\n",
+    # underscore table name: prefix strip must use the full table name,
+    # not '^clif_[^_]+_' (ADVICE r01 medium)
+    "respiratory_support/clif_respiratory_support_device_category_categories.csv": (
+        "imv\nnippv\nhigh_flow_nc\n"
+    ),
     "00_template/clif_00_template_x_categories.csv": "placeholder\n",
     "vitals/README.md": "not a categories file\n",
 }
@@ -35,12 +40,19 @@ def catalog(spark, mcide_dir):
 
 
 def test_list_tables_excludes_00(spark, catalog):
-    assert MC.list_tables(catalog) == ["labs", "vitals"]
+    assert MC.list_tables(catalog) == ["labs", "respiratory_support", "vitals"]
 
 
 def test_variable_filename_roundtrip(spark, catalog):
     assert MC.list_variables(catalog, "labs") == ["lab_category", "lab_specimen"]
     assert MC.list_variables(catalog, "vitals") == ["vital_category"]
+    # underscore table: 'device_category', NOT 'support_device_category'
+    assert MC.list_variables(catalog, "respiratory_support") == ["device_category"]
+    assert MC.list_values(catalog, "respiratory_support", "device_category") == [
+        "imv",
+        "nippv",
+        "high_flow_nc",
+    ]
 
 
 def test_values_trimmed_ordered_blankless(spark, catalog):
