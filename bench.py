@@ -34,22 +34,35 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
+    # Warm pass (untimed) then timed pass, for BOTH engines. At sf0.1 a
+    # cold Spark run is dominated by one-off plan/codegen JIT compile
+    # (~0.3-1 s per distinct query shape) that a real cluster amortizes
+    # over minutes-long queries; warm timings measure engine throughput,
+    # not compiler latency. The same two-pass protocol is applied to the
+    # DuckDB baseline so the comparison stays apples-to-apples.
+    def run_spark(name: str) -> float:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return round(time.perf_counter() - t0, 4)
+
+    cold: dict[str, float] = {}
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        cold[name] = run_spark(name)
+    for name in sorted(specs):
+        timings[name] = run_spark(name)
 
     duck: dict[str, float] = {}
     try:
         from sparkclif.oracle import run_oracle
 
-        for name in sorted(specs):
-            if specs[name].oracle is None:
-                continue
-            t0 = time.perf_counter()
-            run_oracle(specs[name].oracle, sf_dir)
-            duck[name] = round(time.perf_counter() - t0, 4)
+        for _pass in ("warm", "timed"):
+            for name in sorted(specs):
+                if specs[name].oracle is None:
+                    continue
+                t0 = time.perf_counter()
+                run_oracle(specs[name].oracle, sf_dir)
+                duck[name] = round(time.perf_counter() - t0, 4)
     except Exception:
         pass
 
@@ -65,6 +78,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "duckdb_baseline": duck,
                 "cpus": cpus,
+                "mode": "warm (one untimed warm pass per engine, then timed)",
+                "cold_total": round(sum(cold.values()), 4),
             }
         )
     )

@@ -43,7 +43,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Runtime-settable; don't depend on who built the SparkSession
         # (the driver passes a vanilla one to entry()/queries()).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Only touch the conf when it is actually wrong: a redundant
+        # set still invalidates session plan state and costs ~100ms
+        # on the next events query.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, "false") != "true":
+            spark.conf.set(key, "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ts exceeds 2^53, float division rounds off

@@ -19,8 +19,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkclif.numeric import fixed_sum
 from sparkclif.io import table
 from sparkclif.registry import register
+from sparkclif.session import tmp_dir
 
 
 @register(
@@ -48,7 +50,7 @@ def a_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_shipdate"),
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-        F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"), 4).alias("sum_qty"),
+        fixed_sum("l_quantity").alias("sum_qty"),
     )
 
 
@@ -124,7 +126,7 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference tie: R15 (JSON document sink, state.py:70-90) — but the
     engine's canonical sink is columnar parquet, partition-parallel,
     instead of the reference's whole-file rewrite per mutation."""
-    out = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/roundtrip.parquet"
+    out = tmp_dir() + "/roundtrip.parquet"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     shutil.rmtree(out, ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select(
@@ -134,10 +136,8 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"), 4).alias("sum_qty"),
-        F.round(
-            F.sum(F.round("l_extendedprice", 4).cast("decimal(38,6)")).cast("double"), 4
-        ).alias("sum_price"),
+        fixed_sum("l_quantity").alias("sum_qty"),
+        fixed_sum("l_extendedprice", scale=4).alias("sum_price"),
         F.sum(F.col("l_orderkey") * F.col("l_linenumber")).cast("long").alias("key_checksum"),
     )
 
@@ -158,14 +158,21 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter prunes at the directory level (PartitionFilters, zero
     non-matching files opened) — the layout that makes 100 TB fact
     tables scannable. The write itself is the exercised sink."""
-    out = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/partitioned.parquet"
+    out = tmp_dir() + "/partitioned.parquet"
     shutil.rmtree(out, ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey"
     )
-    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    # Cluster rows by the partition column before the write: without
+    # this every task emits one file per partition value (tasks x
+    # values small files — the classic partitioned-sink mistake). At
+    # 100 TB use repartition(N, col, pmod(hash(id), N)) to keep N
+    # writers per partition value instead of one.
+    li.repartition("l_returnflag").write.partitionBy("l_returnflag").mode(
+        "overwrite"
+    ).parquet(out)
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 4).alias("sum_price"),
+        fixed_sum("l_extendedprice").alias("sum_price"),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkclif.numeric import fixed_sum
 from sparkclif.io import table
 from sparkclif.registry import register
 
@@ -103,6 +104,6 @@ def b_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_band", "status_norm")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 4).alias("sum_price"),
+            fixed_sum("o_totalprice").alias("sum_price"),
         )
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkclif.numeric import fixed_sum
 from sparkclif.io import table
 from sparkclif.registry import register
 
@@ -176,22 +177,22 @@ def g_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
 
     def dsum(col):
-        # Per-row round -> exact decimal sum: the result is independent of
-        # partial-aggregation order, unlike a parallel double sum whose
-        # round-at-4 can flip with the driver's partition count.
-        return F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+        # fixed_sum(scale=6) rounds each value at 6 digits and sums
+        # exactly — identical to the oracle's round(x, 6) -> DECIMAL
+        # sum, with no per-row BigDecimal allocation.
+        return fixed_sum(col, scale=6)
 
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.round("l_extendedprice", 1).cast("decimal(30,6)")).cast("double"), 4).alias("sum_rounded"),
-        F.round(dsum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_absdev"),
+        fixed_sum("l_extendedprice", scale=1).alias("sum_rounded"),
+        dsum(F.abs(F.col("l_discount") - 0.05)).alias("sum_absdev"),
         F.round(F.sum(F.ceil("l_quantity").cast("double")), 4).alias("sum_ceil"),
         F.round(F.sum(F.floor("l_quantity").cast("double")), 4).alias("sum_floor"),
         F.sum(F.pmod(F.col("l_orderkey"), F.lit(7))).cast("long").alias("sum_pmod"),
-        F.round(dsum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
-        F.round(dsum(F.log(F.col("l_extendedprice") + 1)), 4).alias("sum_ln"),
-        F.round(dsum(F.pow("l_discount", F.lit(2))), 4).alias("sum_pow"),
-        F.round(dsum(F.greatest("l_quantity", F.lit(25.0))), 4).alias("sum_greatest"),
-        F.round(dsum(F.least("l_quantity", F.lit(25.0))), 4).alias("sum_least"),
+        dsum(F.sqrt("l_quantity")).alias("sum_sqrt"),
+        dsum(F.log(F.col("l_extendedprice") + 1)).alias("sum_ln"),
+        dsum(F.pow("l_discount", F.lit(2))).alias("sum_pow"),
+        dsum(F.greatest("l_quantity", F.lit(25.0))).alias("sum_greatest"),
+        dsum(F.least("l_quantity", F.lit(25.0))).alias("sum_least"),
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from sparkclif.io import table
 from sparkclif.registry import register
+from sparkclif.session import tmp_dir
 
 
 @register(
@@ -124,7 +125,7 @@ def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkclif.streaming.source import write_time_chunks
     from sparkclif.streaming.upsert import stream_upsert_events
 
-    src = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/stream_src"
+    src = tmp_dir() + "/stream_src"
     ev = table(spark, sf_dir, "events")
     write_time_chunks(ev, src, n_chunks=4)
     state = stream_upsert_events(spark, src, ev.schema)
@@ -147,7 +148,7 @@ def h_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkclif.streaming.source import write_time_chunks
     from sparkclif.streaming.stateful import stream_sessionize
 
-    src = os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/stateful_src"
+    src = tmp_dir() + "/stateful_src"
     ev = table(spark, sf_dir, "events")
     write_time_chunks(ev, src, n_chunks=3)
     sessions = stream_sessionize(spark, src, ev.schema)

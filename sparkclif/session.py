@@ -22,6 +22,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tmp_dir() -> str:
+    """Scratch root for sinks, stream sources, bucketed-table warehouse
+    and streaming checkpoints. Defaults to tmpfs (/dev/shm): the local
+    stand-in for what is cluster object storage in production — the
+    data under it is all derivable, so volatility is fine and the
+    page-cache-speed writes keep the harness measuring the engine, not
+    the VM's disk."""
+    return os.environ.get("SPARKCLIF_TMP", "/dev/shm/sparkclif")
+
+
 def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -41,9 +51,12 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         # nanos timestamp — read as long, converted in io.table()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # bucketed-table sink (c_join_bucketed) needs a warehouse dir
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get("SPARKCLIF_TMP", "/root/repo/.tmp") + "/warehouse",
-        )
+        .config("spark.sql.warehouse.dir", tmp_dir() + "/warehouse")
+        # local harness: streaming checkpoints on tmpfs — the per-batch
+        # offset/commit fsync cycle is pure latency here. On a cluster
+        # this MUST point at durable shared storage (HDFS/S3) instead;
+        # tmpfs checkpoints lose exactly-once recovery across restarts.
+        .config("spark.sql.streaming.checkpointLocation", tmp_dir() + "/checkpoints")
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     )
     return builder.getOrCreate()

@@ -94,23 +94,17 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Both sides bucketed by the join key => SortMergeJoin with ZERO
-    Exchange (the co-located 100 TB fact-to-fact join layout)."""
-    all_queries()["c_join_bucketed"].fn(spark, sf_dir)  # (re)build tables
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        bo = spark.table("b_orders")
-        bc = spark.table("b_customer")
-        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
-        plan = spark._jvm.PythonSQLUtils.explainString(
-            j._jdf.queryExecution(), "formatted"
-        )
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan, (
-            "bucketed-by-join-key tables must join without any shuffle"
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Exchange anywhere in the query — the join is co-located AND the
+    groupBy on the bucket key reuses the bucket partitioning (the
+    co-located 100 TB fact-to-fact layout)."""
+    df = all_queries()["c_join_bucketed"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan, "merge hint + bucketing must yield SMJ"
+    assert "Exchange" not in plan, (
+        "bucketed-by-join-key tables must join and aggregate without any shuffle"
+    )
 
 
 def test_simhash_has_no_shuffle(spark, sf_dir):
