@@ -58,7 +58,7 @@ def main() -> None:
 
         for _pass in ("warm", "timed"):
             for name in sorted(specs):
-                if specs[name].oracle is None:
+                if specs[name].oracle is None or not specs[name].oracle_in_bench:
                     continue
                 t0 = time.perf_counter()
                 run_oracle(specs[name].oracle, sf_dir)

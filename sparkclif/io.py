@@ -11,6 +11,8 @@ layer sees, so swapping the physical layout is a one-file change.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,6 +31,16 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Per-session {(sf_dir, table) -> DataFrame}. A DataFrame is an
+# immutable logical plan, so handing the same one to every query is
+# safe, and it skips the per-call file listing + parquet footer read
+# (~50 ms) that a metastore-backed catalog would also amortize. Weakly
+# keyed on the session so entries die with it — a fresh session can
+# never see a stale plan.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testbed table (lazy parquet scan).
@@ -40,6 +52,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     if name == "events":
         # Runtime-settable; don't depend on who built the SparkSession
         # (the driver passes a vanilla one to entry()/queries()).
@@ -53,6 +69,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ts exceeds 2^53, float division rounds off
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[(sf_dir, name)] = df
     return df
 
 
@@ -68,9 +85,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _num_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+# df.rdd.getNumPartitions() runs the physical planner (~100 ms); the
+# input split count of an immutable plan never changes, so probe once.
+_NPART_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
+
+
+def _num_partitions(df: DataFrame) -> int:
+    n = _NPART_CACHE.get(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPART_CACHE[df] = n
+    return n
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -25,6 +25,16 @@ FEATURE_SCHEMA = (
 )
 
 
+def _r4(x: float) -> float:
+    """Round half AWAY FROM ZERO at 4 digits — the engine-wide
+    convention (Spark round / DuckDB round). Python's built-in round
+    is half-to-even and disagrees exactly on the .xxxx5 grid points an
+    integer-sum mean can land on."""
+    import math
+
+    return math.floor(abs(x) * 1e4 + 0.5) / 1e4 * (1 if x >= 0 else -1)
+
+
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Testbed adapter: materialize an opaque binary column from text
     (stands in for an image/audio payload) + typed metadata."""
@@ -68,9 +78,9 @@ def extract_features(media: DataFrame, feat_dim: int = 4) -> DataFrame:
                 entropy = float(-(nz * np.log2(nz)).sum())
                 # fixed-length "feature": mean of feat_dim equal chunks
                 chunks = np.array_split(arr, feat_dim)
-                feat = [float(round(c.mean(), 4)) if len(c) else 0.0 for c in chunks]
+                feat = [_r4(float(c.mean())) if len(c) else 0.0 for c in chunks]
                 rows.append(
-                    (doc_id, mtype, n, float(round(arr.mean(), 4)), round(entropy, 4), feat)
+                    (doc_id, mtype, n, _r4(float(arr.mean())), _r4(entropy), feat)
                 )
             yield pd.DataFrame(
                 rows,
@@ -117,8 +127,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                             mtype,
                             f,
                             len(seg),
-                            float(round(seg.mean(), 4)) if len(seg) else 0.0,
-                            float(round(seg.std(), 4)) if len(seg) else 0.0,
+                            _r4(float(seg.mean())) if len(seg) else 0.0,
+                            _r4(float(seg.std())) if len(seg) else 0.0,
                         )
                     )
             yield pd.DataFrame(

@@ -229,7 +229,24 @@ def g_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("g_map_json_funcs", oracle=None)  # rows-only: map/JSON key order is engine-specific
+@register(
+    "g_map_json_funcs",
+    # The map->JSON->map round trip must be LOSSLESS: the exploded
+    # output equals the plain relational (user, type, count) facts it
+    # started from, which is exactly what this oracle states. (The
+    # intermediate JSON string itself stays engine-specific — key
+    # order — and is deliberately not part of the checked output.)
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_keys,
+           event_type, n
+    FROM counts
+    """,
+)
 def g_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map + JSON round trip — the legacy nested-JSON document shape of
     reference state.py:44-90 (R14/R15): rows -> map_from_entries ->

@@ -115,7 +115,22 @@ def h_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("h_stream_upsert", oracle=None)  # rows-only: real streaming harness
+@register(
+    "h_stream_upsert",
+    # The stream's final state is SQL-checkable: the source chunks are
+    # time-ordered, so no row is ever beyond the watermark horizon and
+    # the folded state equals a plain relational last-wins over all
+    # events. (Late-data DROP behavior is exercised separately with
+    # crafted out-of-order chunks in tests/test_streaming.py.)
+    oracle="""
+    SELECT user_id, event_type,
+           event_id AS kept_event_id,
+           round(value, 4) AS kept_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
 def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: events split into 4 files -> file
     source, one file per micro-batch -> watermark + dropDuplicates ->
@@ -138,7 +153,34 @@ def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("h_stateful_sessions", oracle=None)  # rows-only: real stateful streaming
+@register(
+    "h_stateful_sessions",
+    # Same gaps-and-islands oracle as the batch h_session: the
+    # incremental stateful operator's folded snapshots must equal the
+    # relational sessionization row-for-row — a strictly stronger
+    # check than the rows-only smoke it replaced.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
 def h_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: incremental per-user
     sessionization via applyInPandasWithState (O(1) state per key —

@@ -264,7 +264,26 @@ def i_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.withColumn("bucket_size", F.count("*").over(w))
 
 
-@register("i_sim_cosine_topk", oracle=None)  # rows-only: float-heavy; numpy-verified in tests
+@register(
+    "i_sim_cosine_topk",
+    # Exact operator => exact SQL oracle (pairwise cosine + windowed
+    # top-k). oracle_in_bench=False: the N^2 pairwise join is DuckDB's
+    # only formulation and costs ~10 s at sf0.1 — not a comparable
+    # baseline for the O(N*batch) block-matmul plan; correctness is
+    # still hash-checked at sf0.01.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           round(array_cosine_similarity(a.v, b.v), 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY array_cosine_similarity(a.v, b.v) DESC, b.vec_id
+           ) AS INT) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    QUALIFY rn <= 3
+    """,
+    oracle_in_bench=False,
+)
 def i_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbors per vector — broadcast + block
     matmul + block-local top-k + global merge (no N^2 row blowup)."""
@@ -317,7 +336,40 @@ def i_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("i_multimodal_features", oracle=None)  # rows-only: stubbed decode kernel
+@register(
+    "i_multimodal_features",
+    # The decode stub is a DETERMINISTIC byte view of the payload
+    # (UTF-8 of ASCII-only text), so its features are exactly statable
+    # in SQL: byte_mean is an exact integer-sum mean, entropy the
+    # standard plug-in estimator over the byte histogram. This checks
+    # the whole mapInPandas plumbing end-to-end, not just row counts.
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id),
+    agg AS (
+        SELECT f.doc_id,
+               max(t.n) AS n,
+               sum(ascii(f.ch) * f.c) / max(t.n) AS mean_b,
+               -sum((f.c / t.n) * log2(f.c / t.n)) AS ent
+        FROM freq f JOIN tot t USING (doc_id)
+        GROUP BY f.doc_id
+    )
+    SELECT a.doc_id,
+           CASE WHEN a.doc_id % 3 = 0 THEN 'image/png'
+                WHEN a.doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(a.n AS BIGINT) AS n_bytes,
+           round(a.mean_b, 4) AS byte_mean,
+           round(a.ent, 4) AS byte_entropy
+    FROM agg a
+    """,
+)
 def i_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: opaque payload + typed
     metadata -> Arrow-batched mapInPandas feature extraction (decode
@@ -402,7 +454,47 @@ def i_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.rolling_hash("text").alias("rhash"))
 
 
-@register("i_multimodal_frames", oracle=None)  # rows-only: stubbed decode kernel
+@register(
+    "i_multimodal_frames",
+    # Deterministic frame segmentation (byte range [f*n//4, (f+1)*n//4)
+    # per frame f) restated positionally in SQL; per-frame mean/std
+    # (population) rounded at 4 BEFORE the rollup, matching the kernel.
+    oracle="""
+    WITH pos0 AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(range(length(text))) AS i
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+               ascii(substr(text, CAST(i + 1 AS INT), 1)) AS b
+        FROM pos0
+    ),
+    tagged AS (
+        SELECT doc_id, b,
+               CASE WHEN i < n // 4 THEN 0
+                    WHEN i < (2 * n) // 4 THEN 1
+                    WHEN i < (3 * n) // 4 THEN 2
+                    ELSE 3 END AS frame_idx
+        FROM pos
+    ),
+    per_frame AS (
+        SELECT doc_id, frame_idx,
+               round(avg(b), 4) AS frame_mean,
+               round(coalesce(stddev_pop(b), 0), 4) AS frame_std
+        FROM tagged GROUP BY doc_id, frame_idx
+    )
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(frame_idx AS INT) AS frame_idx,
+           count(*) AS n,
+           round(avg(frame_mean), 4) AS avg_frame_mean,
+           round(avg(frame_std), 4) AS avg_frame_std
+    FROM per_frame
+    GROUP BY media_type, frame_idx
+    """,
+)
 def i_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-many multimodal kernel: payload -> 4 sampled frames via
     mapInPandas (video keyframe shape; decode stubbed, plumbing real).

@@ -29,18 +29,36 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB, or None => rows-only check
     doc: str = ""
+    # False => the oracle is still used for CORRECTNESS (driver runs it
+    # at sf0.01) but excluded from bench.py's DuckDB BASELINE timing —
+    # for oracles whose only SQL formulation has a different asymptotic
+    # cost than the engine's operator (e.g. the N^2 pairwise join
+    # behind cosine top-k), where timing it at sf0.1 would inflate the
+    # baseline rather than measure a comparable plan.
+    oracle_in_bench: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    oracle_in_bench: bool = True,
+):
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            oracle_in_bench=oracle_in_bench,
+        )
         return fn
 
     return wrap

@@ -44,6 +44,12 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-serialize row-at-a-time Python UDFs/UDTFs too: batches
+        # cross the JVM<->Python boundary columnar instead of pickled
+        # row-by-row (pure transport change — per-row call semantics,
+        # and therefore results, are unchanged)
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
