@@ -52,6 +52,14 @@ def main() -> None:
     for name in sorted(specs):
         timings[name] = run_spark(name)
 
+    # Fixed per-query floor of local-mode Spark (scheduler + one empty
+    # job), reported so total wall-clock decomposes into engine work vs
+    # harness floor: ~68 queries x floor is unavoidable at any data
+    # size and amortizes away on long-running cluster queries.
+    t0 = time.perf_counter()
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    floor = round(time.perf_counter() - t0, 4)
+
     duck: dict[str, float] = {}
     try:
         from sparkclif.oracle import run_oracle
@@ -80,6 +88,7 @@ def main() -> None:
                 "cpus": cpus,
                 "mode": "warm (one untimed warm pass per engine, then timed)",
                 "cold_total": round(sum(cold.values()), 4),
+                "per_query_floor": floor,
             }
         )
     )
