@@ -1,0 +1,48 @@
+"""The bucketed-table lifecycle (c_join_bucketed): write once per scale
+factor, re-register from existing files via CLUSTERED BY DDL when the
+in-memory catalog has lost the table — a fresh session must never
+rewrite the data, and the re-registered table must still join
+exchange-free."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from sparkclif.queries.group_c import _ensure_bucketed
+
+
+def _loc(spark, tbl: str) -> str:
+    return (
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:") + "/" + tbl
+    )
+
+
+def test_ddl_reregister_reuses_files(spark, sf_dir):
+    tbl = _ensure_bucketed(spark, sf_dir, "b_orders")
+    loc = _loc(spark, tbl)
+    assert os.path.exists(f"{loc}/_SUCCESS")
+
+    # Simulate a fresh session's empty catalog WITHOUT losing the data:
+    # stash the files, drop the (managed) table, restore the files.
+    stash = loc + ".stash"
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {tbl}")
+    assert not spark.catalog.tableExists(tbl)
+    shutil.move(stash, loc)
+
+    before = {f: os.path.getmtime(f"{loc}/{f}") for f in os.listdir(loc)}
+    tbl2 = _ensure_bucketed(spark, sf_dir, "b_orders")
+    assert tbl2 == tbl and spark.catalog.tableExists(tbl)
+    after = {f: os.path.getmtime(f"{loc}/{f}") for f in os.listdir(loc)}
+    assert before == after, "re-register must not rewrite any data file"
+
+    # the re-registered table keeps its bucket metadata: joining two
+    # bucketed sides stays SortMergeJoin with zero Exchange
+    from sparkclif.registry import all_queries
+
+    df = all_queries()["c_join_bucketed"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan and "Exchange" not in plan
