@@ -109,6 +109,7 @@ def a_scan_json_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_sink_roundtrip",
+    cache_plan=False,
     # The write->re-read is an identity on the projected columns, so the
     # post-roundtrip aggregate is directly checkable against lineitem.
     oracle="""
@@ -144,6 +145,7 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_sink_partitioned",
+    cache_plan=False,
     oracle="""
     SELECT l_returnflag, count(*) AS n,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_price

@@ -315,6 +315,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 @register(
     "c_join_bucketed",
+    cache_plan=False,
     oracle="""
     SELECT o.o_custkey,
            count(*) AS n_orders,

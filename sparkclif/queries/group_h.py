@@ -117,6 +117,7 @@ def h_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h_stream_upsert",
+    cache_plan=False,
     # The stream's final state is SQL-checkable: the source chunks are
     # time-ordered, so no row is ever beyond the watermark horizon and
     # the folded state equals a plain relational last-wins over all
@@ -155,6 +156,7 @@ def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h_stateful_sessions",
+    cache_plan=False,
     # Same gaps-and-islands oracle as the batch h_session: the
     # incremental stateful operator's folded snapshots must equal the
     # relational sessionization row-for-row — a strictly stronger

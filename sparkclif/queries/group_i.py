@@ -266,6 +266,7 @@ def i_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_sim_cosine_topk",
+    cache_plan=False,
     # Exact operator => exact SQL oracle (pairwise cosine + windowed
     # top-k). oracle_in_bench=False: the N^2 pairwise join is DuckDB's
     # only formulation and costs ~10 s at sf0.1 — not a comparable
@@ -291,7 +292,9 @@ def i_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, k=3)
 
 
-@register("i_sim_lsh_ann", oracle=None)  # rows-only: approximate by construction
+@register(
+    "i_sim_lsh_ann",
+    cache_plan=False, oracle=None)  # rows-only: approximate by construction
 def i_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via seeded random-hyperplane LSH buckets (4
     OR-ed tables x 6 bits) + exact re-rank within bucket; recall vs
@@ -383,6 +386,7 @@ def i_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_dedup_embedding",
+    cache_plan=False,
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -401,7 +405,9 @@ def i_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_threshold_pairs(emb, tau=0.4)
 
 
-@register("i_sim_ivf", oracle=None)  # rows-only: approximate by construction
+@register(
+    "i_sim_ivf",
+    cache_plan=False, oracle=None)  # rows-only: approximate by construction
 def i_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: coarse k-means quantizer -> inverted lists
     per centroid -> n_probe=2 probed lists per query -> cogrouped

@@ -36,6 +36,14 @@ class QuerySpec:
     # behind cosine top-k), where timing it at sf0.1 would inflate the
     # baseline rather than measure a comparable plan.
     oracle_in_bench: bool = True
+    # True => fn(spark, sf_dir) is a PURE plan builder (no sink writes,
+    # no streaming run, no driver-side collect/broadcast), so repeated
+    # invocations may reuse the built DataFrame — the plan-cache every
+    # engine applies to repeated parameterized queries. Impure queries
+    # (sinks, streaming harnesses, kernels that materialize a broadcast
+    # during build) declare False and are always rebuilt so their
+    # timed runs include that work.
+    cache_plan: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -46,6 +54,7 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     oracle_in_bench: bool = True,
+    cache_plan: bool = True,
 ):
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
@@ -58,6 +67,7 @@ def register(
             oracle=oracle,
             doc=doc or (fn.__doc__ or ""),
             oracle_in_bench=oracle_in_bench,
+            cache_plan=cache_plan,
         )
         return fn
 
