@@ -272,43 +272,24 @@ def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT interpolated percentiles via window rank + conditional
-    aggregation. The built-in percentile() aggregate buffers EVERY
-    group value into one merge buffer (measured ~2s here, and a
-    straight OOM at 100 TB); ranking with a window instead sorts
-    distributively and the final aggregate only touches the 2 boundary
-    rows per (group, quantile). Interpolation replicates Spark's
-    Percentile formula lower*(hi-pos) + upper*(pos-lo), which DuckDB's
-    quantile_cont agrees with on this grid."""
-    from pyspark.sql import Window
+    """EXACT interpolated percentiles via the distributed two-phase
+    rank operator (operators/rank.py): range-partition each group's
+    values into ordered segments, stitch global ranks from segment
+    counts, and aggregate only the interpolation boundary rows. The
+    built-in percentile() aggregate buffers every group value in one
+    merge buffer (OOM at 100 TB group sizes) and a plain window rank
+    runs one task per group; this stays P×G-parallel."""
+    from sparkclif.operators.rank import exact_percentiles
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_discount"
     )
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wd = Window.partitionBy("l_returnflag").orderBy("l_discount")
-    wn = Window.partitionBy("l_returnflag")
-    df = (
-        li.withColumn("rnp", F.row_number().over(wp) - 1)
-        .withColumn("rnd", F.row_number().over(wd) - 1)
-        .withColumn("n", F.count("*").over(wn))
-    )
-
-    def interp(q: float, rn: str, v: str):
-        pos = F.lit(q) * (F.col("n") - 1).cast("double")
-        lo, hi = F.floor(pos), F.ceil(pos)
-        lov = F.max(F.when(F.col(rn) == lo, F.col(v)))
-        hiv = F.max(F.when(F.col(rn) == hi, F.col(v)))
-        posv, lov_, hiv_ = F.max(pos), F.max(lo.cast("double")), F.max(hi.cast("double"))
-        return F.round(
-            F.when(lov_ == hiv_, lov).otherwise(
-                lov * (hiv_ - posv) + hiv * (posv - lov_)
-            ),
-            4,
-        )
-
-    return df.groupBy("l_returnflag").agg(
-        interp(0.5, "rnp", "l_extendedprice").alias("p50_price"),
-        interp(0.95, "rnp", "l_extendedprice").alias("p95_price"),
-        interp(0.5, "rnd", "l_discount").alias("med_discount"),
+    return exact_percentiles(
+        li,
+        "l_returnflag",
+        [
+            ("l_extendedprice", 0.5, "p50_price"),
+            ("l_extendedprice", 0.95, "p95_price"),
+            ("l_discount", 0.5, "med_discount"),
+        ],
     )

@@ -1,0 +1,50 @@
+"""exact_percentiles: the window and distributed formulations must
+agree exactly (the dispatch threshold must never change results), and
+both must match DuckDB quantile_cont."""
+
+from __future__ import annotations
+
+import duckdb
+
+from sparkclif.io import table
+from sparkclif.operators.rank import exact_percentiles
+
+SPECS = [
+    ("l_extendedprice", 0.5, "p50_price"),
+    ("l_extendedprice", 0.95, "p95_price"),
+    ("l_discount", 0.5, "med_discount"),
+]
+
+
+def test_window_and_distributed_paths_agree(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    a = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="window").collect()))
+    b = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="distributed").collect()))
+    assert a == b
+
+
+def test_distributed_path_matches_duckdb(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    got = sorted(
+        map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="distributed").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+                SELECT l_returnflag,
+                       round(quantile_cont(l_extendedprice, 0.5), 4),
+                       round(quantile_cont(l_extendedprice, 0.95), 4),
+                       round(median(l_discount), 4)
+                FROM '{sf_dir}/lineitem.parquet'
+                GROUP BY l_returnflag
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want
