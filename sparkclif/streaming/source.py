@@ -21,10 +21,12 @@ from pyspark.sql import DataFrame
 # Streaming state-store parallelism. Stateful operators create one state
 # store per shuffle partition per micro-batch; that count should track
 # key throughput, not the batch engine's shuffle width. At local bench
-# scale (1e5 events/batch) 8 stores halve wall-clock vs 32; on a real
-# cluster this is sized to executors × cores before the first batch
-# (it is fixed at the first checkpoint).
-STREAM_SHUFFLE_PARTITIONS = 8
+# scale (1e5 events/batch) the per-store commit overhead dominates:
+# measured 32 -> 8 -> 4 stores = ~6s -> ~3s -> ~2.5s per harness run
+# (2 is inside noise of 4 and loses headroom). On a real cluster this
+# is sized to executors × cores before the first batch (it is fixed at
+# the first checkpoint).
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 @contextlib.contextmanager

@@ -51,7 +51,6 @@ def stream_upsert_events(
     explicitly at the MERGE: rows older than (max event time of PRIOR
     batches - watermark) are dropped, matching Spark's one-batch-lag
     watermark semantics exactly (tests/test_streaming.py)."""
-    state: dict[tuple, tuple] = {}
     amount, unit = watermark.split()
     delta_us = int(amount) * {
         "second": 1,
@@ -62,27 +61,33 @@ def stream_upsert_events(
         "hours": 3600,
     }[unit] * 1_000_000
     horizon: dict[str, int | None] = {"max_us": None}
+    state_box: dict[str, pd.DataFrame | None] = {"df": None}
 
     def batch_merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # batch-local last-wins BEFORE leaving Spark bounds the sink
+        # transfer to one row per touched key (at scale this whole sink
+        # is a MERGE INTO and nothing reaches the driver); the transfer
+        # itself is one Arrow batch, not row-by-row pickling.
         deduped = last_wins(batch_df, ["user_id", "event_type"], ["ts", "event_id"])
-        rows = deduped.collect()
-        us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+        pdf = deduped.toPandas()
+        if len(pdf) == 0:
+            return
+        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
         cutoff = None if horizon["max_us"] is None else horizon["max_us"] - delta_us
-        batch_max = max((us(r.ts) for r in rows), default=None)
-        if batch_max is not None:
-            horizon["max_us"] = (
-                batch_max
-                if horizon["max_us"] is None
-                else max(horizon["max_us"], batch_max)
-            )
-        for r in rows:
-            if cutoff is not None and us(r.ts) < cutoff:
-                continue  # beyond the watermark horizon: dropped
-            key = (r.user_id, r.event_type)
-            prev = state.get(key)
-            cand = (r.ts, r.event_id, r.value)
-            if prev is None or cand[:2] > prev[:2]:
-                state[key] = cand
+        batch_max = int(pdf["ts_us"].max())
+        horizon["max_us"] = (
+            batch_max if horizon["max_us"] is None else max(horizon["max_us"], batch_max)
+        )
+        if cutoff is not None:
+            pdf = pdf[pdf["ts_us"] >= cutoff]  # beyond the horizon: dropped
+        merged = pdf if state_box["df"] is None else pd.concat(
+            [state_box["df"], pdf], ignore_index=True
+        )
+        # vectorized last-wins on (ts, event_id)
+        merged = merged.sort_values(["ts_us", "event_id"], kind="stable")
+        state_box["df"] = merged.groupby(
+            ["user_id", "event_type"], as_index=False
+        ).last()
 
     stream = (
         spark.readStream.schema(schema)
@@ -102,8 +107,13 @@ def stream_upsert_events(
         q.processAllAvailable()
         q.stop()
 
-    rows = [
-        {"user_id": k[0], "event_type": k[1], "ts": v[0], "event_id": v[1], "value": v[2]}
-        for k, v in sorted(state.items())
-    ]
-    return pd.DataFrame(rows)
+    final = state_box["df"]
+    if final is None:
+        return pd.DataFrame(
+            columns=["user_id", "event_type", "ts", "event_id", "value"]
+        )
+    return (
+        final.sort_values(["user_id", "event_type"])
+        .loc[:, ["user_id", "event_type", "ts", "event_id", "value"]]
+        .reset_index(drop=True)
+    )
