@@ -1,0 +1,125 @@
+"""Scale-stress probes — the empirical half of SCALE.md.
+
+Replicates the testbed N-fold (tmpfs scratch) and re-times the
+operators whose scaling behavior is design-load-bearing, so "would
+this survive a scale-up" is answered by measurement, not assertion:
+
+- flagship hash agg: must stay ~flat (scan-bound, partial+final agg)
+- minhash dedup: worst-case bucket density (every doc cloned) must
+  stay sub-quadratic thanks to the max_bucket skew cap
+- simhash: shuffle-free scan kernel, must scale ~linearly
+- LSH ANN: n_planes grows with log2(N) to hold bucket size constant —
+  wall must stay ~linear in N, not quadratic
+- IVF ANN: cluster count scales with N, per-cluster work constant
+- distributed percentiles: the two-phase rank path at N-fold input
+
+Usage: python probes/scale_stress.py [replication_factor]
+Writes one JSON line per probe; ~2-4 min total at the default 8x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from sparkclif.io import table
+    from sparkclif.session import get_spark, tmp_dir
+
+    spark = get_spark("scale-probes")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = tmp_dir() + "/probes"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    def replicate(name: str, id_col: str, n: int) -> str:
+        """n-fold replication with shifted ids (clones share content —
+        worst-case density for dedup)."""
+        out = f"{scratch}/{name}_x{n}.parquet"
+        src = table(spark, sf_dir, name)
+        copies = src.withColumn("__copy", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        shifted = copies.withColumn(
+            id_col, F.col(id_col) + F.col("__copy") * F.lit(10_000_000)
+        ).drop("__copy")
+        shifted.write.mode("overwrite").parquet(out)
+        return out
+
+    def timed(label: str, fn) -> None:
+        t0 = time.perf_counter()
+        n_rows = fn()
+        print(
+            json.dumps(
+                {
+                    "probe": label,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "rows_out": n_rows,
+                    "replication": k,
+                }
+            ),
+            flush=True,
+        )
+
+    # --- flagship agg at 1x and kx -------------------------------------
+    li = table(spark, sf_dir, "lineitem")
+    li_k = li.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).drop("__c")
+
+    def q1(df):
+        return (
+            df.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            .count()
+        )
+
+    q1(li)  # warm: JIT/codegen so 1x vs kx compares work, not compile
+    timed("flagship_agg_1x", lambda: q1(li))
+    timed(f"flagship_agg_{k}x", lambda: q1(li_k))
+
+    # --- dedup family at kx (cloned docs = max bucket density) ---------
+    docs_k = spark.read.parquet(replicate("documents", "doc_id", k))
+    from sparkclif.operators import dedup as D
+
+    timed(
+        f"minhash_{k}x_cloned",
+        lambda: D.minhash_candidate_pairs(
+            D.minhash_signatures(docs_k, num_hashes=32, shingle_n=3), num_bands=8
+        ).count(),
+    )
+    timed(f"simhash_{k}x", lambda: D.simhash64(docs_k).count())
+
+    # --- similarity at kx ----------------------------------------------
+    emb_k = spark.read.parquet(replicate("embeddings", "vec_id", k))
+    from sparkclif.operators import similarity as S
+
+    timed(f"lsh_ann_{k}x", lambda: S.lsh_ann(emb_k, k=3).count())
+    timed(f"ivf_{k}x", lambda: S.ivf_ann(emb_k, k=3).count())
+
+    # --- distributed percentile path at kx -----------------------------
+    from sparkclif.operators.rank import exact_percentiles
+
+    timed(
+        f"percentile_distributed_{k}x",
+        lambda: exact_percentiles(
+            li_k.select("l_returnflag", "l_extendedprice"),
+            "l_returnflag",
+            [("l_extendedprice", 0.5, "p50"), ("l_extendedprice", 0.95, "p95")],
+            force="distributed",
+        ).count(),
+    )
+
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
