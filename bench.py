@@ -58,6 +58,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
+    # Soft wall-clock budget: degrade gracefully (drop the second timed
+    # pass, then the cold pass's role as warm-up is already paid) rather
+    # than risk a harness timeout producing no JSON line at all.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_t0 = time.perf_counter()
+
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in sorted(specs):
@@ -65,7 +71,11 @@ def main() -> None:
     # best-of-2 timed passes: per-query noise on this shared VM is
     # ±2-5x on Python-worker-heavy kernels (worker pool churn, GC);
     # min-of-2 measures the engine, not the weather
+    n_passes = 0
     for _pass in range(2):
+        if _pass > 0 and time.perf_counter() - bench_t0 > budget * 0.6:
+            break
+        n_passes += 1
         for name in sorted(specs):
             t = run_spark(name)
             if name not in timings or t < timings[name]:
@@ -84,6 +94,11 @@ def main() -> None:
         from sparkclif.oracle import run_oracle
 
         for _pass in ("warm", "timed1", "timed2"):
+            if (
+                _pass == "timed2"
+                and time.perf_counter() - bench_t0 > budget * 0.9
+            ):
+                break
             for name in sorted(specs):
                 if specs[name].oracle is None or not specs[name].oracle_in_bench:
                     continue
