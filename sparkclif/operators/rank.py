@@ -32,11 +32,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# Below this input size the two-phase plan's extra stages cost more
-# than the parallelism they buy; a single window rank per group is
-# faster and memory-safe. Catalyst's optimized-plan size estimate is
-# free (no job) — the same signal AQE uses for join selection.
-SMALL_INPUT_BYTES = 256 * 1024 * 1024
+# Path thresholds on Catalyst's optimized-plan size estimate (free —
+# no job; the same signal AQE uses for join selection).
+# - below SMALL: per-group O(n) quickselect kernel (one shuffle, one
+#   Arrow batch per group, numpy introselect — no full sort).
+# - SMALL..LARGE: sample-bracket selection (2 light scans, no sort of
+#   the full data, no per-group task; see _bracket_percentiles).
+# - above LARGE: fully distributed two-phase rank (no driver-side
+#   values at any point).
+SMALL_INPUT_BYTES = 8 * 1024 * 1024
+LARGE_INPUT_BYTES = 8 * 1024 * 1024 * 1024
 
 
 def exact_percentiles(
@@ -53,14 +58,66 @@ def exact_percentiles(
 
     Cost-based dispatch: inputs under SMALL_INPUT_BYTES take the
     single-window formulation (one task per group — fine when groups
-    fit a task); larger inputs take the two-phase distributed rank.
-    ``force`` ("window" | "distributed") pins a path for tests."""
+    fit a task); mid-size inputs take sample-bracket selection (two
+    light scans, no full sort); the largest take the two-phase
+    distributed rank. ``force`` ("kernel" | "window" | "bracket" |
+    "distributed") pins a path for tests."""
     if force is None:
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
+        if size <= SMALL_INPUT_BYTES:
+            force = "kernel"
+        elif size <= LARGE_INPUT_BYTES:
+            force = "bracket"
+        else:
+            force = "distributed"
+    if force == "kernel":
+        return _kernel_percentiles(df, group_col, specs, round_to)
     if force == "window":
         return _window_percentiles(df, group_col, specs, round_to)
+    if force == "bracket":
+        return _bracket_percentiles(df, group_col, specs, round_to)
     return _distributed_percentiles(df, group_col, specs, round_to)
+
+
+def _kernel_percentiles(
+    df: DataFrame,
+    group_col: str,
+    specs: list[tuple[str, float, str]],
+    round_to: int,
+) -> DataFrame:
+    """Per-group O(n) selection: one hash shuffle on the group key,
+    then each group arrives as Arrow batches to a numpy kernel that
+    quickselects (``np.quantile`` = introselect + the same linear
+    interpolation as quantile_cont). Beats the sort-based window
+    formulation (O(n log n) and two sorts for two value columns) while
+    keeping exactly one exchange. One task per group — the same
+    small-input regime as the window path, dispatched only below
+    SMALL_INPUT_BYTES."""
+    import numpy as np
+    import pandas as pd
+
+    value_cols = sorted({v for v, _, _ in specs})
+    names = [name for _, _, name in specs]
+    proj = df.select(
+        F.col(group_col), *[F.col(v).cast("double").alias(v) for v in value_cols]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {group_col: [pdf[group_col].iloc[0]]}
+        arrs = {v: pdf[v].dropna().to_numpy() for v in value_cols}
+        for v, q, name in specs:
+            a = arrs[v]
+            out[name] = [float(np.quantile(a, q)) if len(a) else None]
+        return pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"`{group_col}` {dict(df.dtypes)[group_col]}"]
+        + [f"`{n}` double" for n in names]
+    )
+    res = proj.groupBy(group_col).applyInPandas(kernel, schema)
+    return res.select(
+        group_col, *[F.round(F.col(n), round_to).alias(n) for n in names]
+    )
 
 
 def _window_percentiles(
@@ -98,6 +155,114 @@ def _window_percentiles(
     return out.groupBy(group_col).agg(
         *[interp(q, v).alias(name) for v, q, name in specs]
     ).select(group_col, *[name for _, _, name in specs])
+
+
+def _bracket_percentiles(
+    df: DataFrame,
+    group_col: str,
+    specs: list[tuple[str, float, str]],
+    round_to: int,
+    fraction: float = 0.02,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact percentiles by sample-guided selection — the distributed
+    selection algorithm (the same idea Spark's own range partitioner
+    uses for split points, applied to order statistics):
+
+    1. Sample pass: a ~2% sample per group gives, via the DKW
+       inequality, a value bracket [lo, hi] per (group, quantile) that
+       contains the true boundary ranks with probability 1-1e-9.
+    2. Count pass: ONE partial-aggregated scan computes per group the
+       exact count below each bracket plus the (small) sorted list of
+       in-bracket values. Exact global ranks of the bracket contents
+       follow; the interpolation boundary values are read off directly.
+    3. Any bracket miss (probability ~1e-9, or a degenerate sample)
+       falls back to the single-window exact path.
+
+    Both passes are map-side-combined aggregations — no full-data
+    sort, no per-group single-task stage; wall-clock is two scans.
+    Bracket width is O(n/sqrt(m)) rows, so the driver-held remainder
+    stays small while group counts dwarf the sample. Past
+    LARGE_INPUT_BYTES the dispatcher switches to the all-distributed
+    rank instead (no driver-side values at any scale)."""
+    import math
+
+    spark = df.sparkSession
+    value_cols = sorted({v for v, _, _ in specs})
+    proj = df.select(
+        F.col(group_col), *[F.col(v).cast("double").alias(v) for v in value_cols]
+    )
+
+    samp = proj.sample(fraction=fraction, seed=seed).toPandas()
+    if len(samp) == 0:
+        return _window_percentiles(df, group_col, specs, round_to)
+
+    # per-group brackets; z = sqrt(ln(2/delta)/2), delta = 1e-9
+    z = math.sqrt(math.log(2 / 1e-9) / 2.0)
+    bracket_rows = []
+    for g, gpdf in samp.groupby(group_col, sort=False):
+        m = len(gpdf)
+        row = {group_col: g}
+        eps = z / math.sqrt(m) if m > 0 else 1.0
+        for k, (v, q, _name) in enumerate(specs):
+            vals = gpdf[v].dropna()
+            if m < 1000 or len(vals) == 0:
+                row[f"__lo{k}"], row[f"__hi{k}"] = float("-inf"), float("inf")
+            else:
+                row[f"__lo{k}"] = float(vals.quantile(max(0.0, q - eps), interpolation="lower"))
+                row[f"__hi{k}"] = float(vals.quantile(min(1.0, q + eps), interpolation="higher"))
+        bracket_rows.append(row)
+    import pandas as pd
+
+    bdf = spark.createDataFrame(pd.DataFrame(bracket_rows))
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for k, (v, _q, _name) in enumerate(specs):
+        lo, hi = F.col(f"__lo{k}"), F.col(f"__hi{k}")
+        aggs.append(
+            F.sum((F.col(v) < lo).cast("long")).alias(f"__lt{k}")
+        )
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(F.col(v).between(lo, hi), F.col(v)))
+            ).alias(f"__in{k}")
+        )
+    # toPandas, not collect(): the in-bracket arrays come back as one
+    # Arrow batch (numpy) instead of row-pickled Python lists
+    stats = (
+        proj.join(F.broadcast(bdf), group_col)
+        .groupBy(group_col)
+        .agg(*aggs)
+        .toPandas()
+    )
+
+    out_rows = []
+    for _, r in stats.iterrows():
+        n = int(r["__n"])
+        out = {group_col: r[group_col]}
+        for k, (_v, q, name) in enumerate(specs):
+            pos = q * (n - 1)
+            lo_rank, hi_rank = math.floor(pos), math.ceil(pos)
+            lt, vals = int(r[f"__lt{k}"]), r[f"__in{k}"]
+            if not (lt <= lo_rank and lt + len(vals) - 1 >= hi_rank):
+                return _window_percentiles(df, group_col, specs, round_to)
+            v_lo = vals[lo_rank - lt]
+            v_hi = vals[hi_rank - lt]
+            out[name] = (
+                v_lo
+                if lo_rank == hi_rank
+                else v_lo * (hi_rank - pos) + v_hi * (pos - lo_rank)
+            )
+        out_rows.append(out)
+
+    names = [name for _, _, name in specs]
+    result = spark.createDataFrame(
+        pd.DataFrame(out_rows, columns=[group_col] + names)
+    )
+    # round JVM-side so rounding semantics match every other query
+    return result.select(
+        group_col, *[F.round(F.col(c), round_to).alias(c) for c in names]
+    )
 
 
 def _distributed_percentiles(

@@ -262,6 +262,9 @@ def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_agg_percentile",
+    # the bracket path samples + counts eagerly at plan-build time, so
+    # the built plan must not be reused by the bench plan cache
+    cache_plan=False,
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
@@ -272,13 +275,13 @@ def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT interpolated percentiles via the distributed two-phase
-    rank operator (operators/rank.py): range-partition each group's
-    values into ordered segments, stitch global ranks from segment
-    counts, and aggregate only the interpolation boundary rows. The
+    """EXACT interpolated percentiles via the cost-dispatched operator
+    (operators/rank.py): O(n) per-group quickselect kernel at small
+    inputs, sample-bracket selection (two light scans, no full sort)
+    at mid size, fully distributed two-phase rank at the largest. The
     built-in percentile() aggregate buffers every group value in one
     merge buffer (OOM at 100 TB group sizes) and a plain window rank
-    runs one task per group; this stays P×G-parallel."""
+    runs one task per group; the big-input paths stay P×G-parallel."""
     from sparkclif.operators.rank import exact_percentiles
 
     li = table(spark, sf_dir, "lineitem").select(

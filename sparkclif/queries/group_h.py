@@ -133,17 +133,17 @@ def h_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Structured Streaming: events split into 4 files -> file
-    source, one file per micro-batch -> watermark + dropDuplicates ->
-    foreachBatch last-wins MERGE. Returns the final state table
-    (per (user_id, event_type) latest value). Batch/stream parity with
-    f_distinct is asserted in tests/test_streaming.py."""
+    """REAL Structured Streaming: events split into 3 time-ordered
+    files -> file source, one file per micro-batch -> watermark +
+    dropDuplicates -> foreachBatch last-wins MERGE. Returns the final
+    state table (per (user_id, event_type) latest value). Batch/stream
+    parity with f_distinct is asserted in tests/test_streaming.py."""
     from sparkclif.streaming.source import write_time_chunks
     from sparkclif.streaming.upsert import stream_upsert_events
 
     src = tmp_dir() + "/stream_src"
     ev = table(spark, sf_dir, "events")
-    write_time_chunks(ev, src, n_chunks=4)
+    write_time_chunks(ev, src, n_chunks=3)
     state = stream_upsert_events(spark, src, ev.schema)
     out = spark.createDataFrame(state)
     return out.select(

@@ -35,11 +35,17 @@ def tmp_dir() -> str:
 def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Tuning escape hatches (default = cluster-right settings). AQE's
+    # stage re-planning costs ~40-70 ms per query in local mode, which
+    # matters for sub-second harness queries but is noise at cluster
+    # query durations.
+    aqe = os.environ.get("SPARKCLIF_AQE", "true")
+    parts = os.environ.get("SPARKCLIF_SHUFFLE_PARTITIONS") or str(max(cpus, 8))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -68,7 +68,26 @@ def stream_upsert_events(
         # transfer to one row per touched key (at scale this whole sink
         # is a MERGE INTO and nothing reaches the driver); the transfer
         # itself is one Arrow batch, not row-by-row pickling.
-        deduped = last_wins(batch_df, ["user_id", "event_type"], ["ts", "event_id"])
+        # max_by(struct) instead of a row_number window: partial
+        # aggregation combines map-side, one shuffle of one row per
+        # touched key, no per-batch full sort. (ts, event_id) struct
+        # comparison is lexicographic = the window's ORDER BY.
+        deduped = (
+            batch_df.groupBy("user_id", "event_type")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("__r")
+            )
+            .select(
+                "user_id",
+                "event_type",
+                F.col("__r.ts").alias("ts"),
+                F.col("__r.event_id").alias("event_id"),
+                F.col("__r.value").alias("value"),
+            )
+        )
         pdf = deduped.toPandas()
         if len(pdf) == 0:
             return

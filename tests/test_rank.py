@@ -1,6 +1,6 @@
-"""exact_percentiles: the window and distributed formulations must
-agree exactly (the dispatch threshold must never change results), and
-both must match DuckDB quantile_cont."""
+"""exact_percentiles: the window, bracket, and distributed
+formulations must agree exactly (the dispatch threshold must never
+change results), and all must match DuckDB quantile_cont."""
 
 from __future__ import annotations
 
@@ -22,7 +22,31 @@ def test_window_and_distributed_paths_agree(spark, sf_dir):
     )
     a = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="window").collect()))
     b = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="distributed").collect()))
+    c = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="bracket").collect()))
+    d = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="kernel").collect()))
     assert a == b
+    assert a == c
+    assert a == d
+
+
+def test_bracket_path_tiny_sample_falls_back(spark, sf_dir):
+    """Groups whose sample is below the minimum get a full-range
+    bracket (still exact); a degenerate overall sample falls back to
+    the window path. Exercised by sampling at a fraction that leaves
+    every group under the 1000-row minimum."""
+    from sparkclif.operators.rank import _bracket_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    a = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="window").collect()))
+    c = sorted(
+        map(
+            tuple,
+            _bracket_percentiles(li, "l_returnflag", SPECS, 4, fraction=0.001).collect(),
+        )
+    )
+    assert a == c
 
 
 def test_distributed_path_matches_duckdb(spark, sf_dir):
