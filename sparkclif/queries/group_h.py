@@ -195,7 +195,6 @@ def h_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tmp_dir() + "/stateful_src"
     ev = table(spark, sf_dir, "events")
     write_time_chunks(ev, src, n_chunks=3)
-    sessions = stream_sessionize(spark, src, ev.schema)
-    return spark.createDataFrame(sessions).select(
+    return stream_sessionize(spark, src, ev.schema).select(
         "user_id", "session_start_us", "n_events", "first_event", "last_event"
     )

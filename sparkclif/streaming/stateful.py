@@ -42,61 +42,137 @@ STATE_SCHEMA = (
 
 
 def session_update(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """Per-bucket incremental sessionizer. Emits one final row per
-    session CLOSED this batch plus one snapshot row per session still
-    open among this batch's touched users; an open session's later
-    snapshots supersede earlier ones (fold last-wins on
+    """Per-bucket incremental sessionizer, fully vectorized: each open
+    session carried in state becomes one synthetic weighted row
+    (weight = accumulated n_events, ts = the session's LAST event time
+    so the gap test against the first new event is exact), then the
+    batch is standard gaps-and-islands in pandas — no per-row Python
+    loop. Emits one final row per session CLOSED this batch plus one
+    snapshot row per session still open among this batch's touched
+    users; later snapshots supersede earlier ones (fold last-wins on
     (user_id, start))."""
-    open_sessions: dict[int, list[int]] = {}
+    import numpy as np
+
+    ev = pd.concat(list(pdfs))
+    batch = pd.DataFrame(
+        {
+            "user_id": ev["user_id"].astype("int64"),
+            "ts": ev["ts_us"].astype("int64"),
+            "start": ev["ts_us"].astype("int64"),
+            "n": np.ones(len(ev), dtype="int64"),
+            "fe": ev["event_id"].astype("int64"),
+            "le": ev["event_id"].astype("int64"),
+        }
+    )
+    frames = [batch]
     if state.exists:
         uids, starts, lasts, ns, fes, les = state.get
-        for i, u in enumerate(uids):
-            open_sessions[u] = [starts[i], lasts[i], ns[i], fes[i], les[i]]
-    ev = pd.concat(list(pdfs)).sort_values(["user_id", "ts_us", "event_id"])
-    out = []
-    touched = set()
-    for u, ts, eid in zip(ev["user_id"], ev["ts_us"], ev["event_id"]):
-        u, ts, eid = int(u), int(ts), int(eid)
-        touched.add(u)
-        s = open_sessions.get(u)
-        if s is None:
-            open_sessions[u] = [ts, ts, 1, eid, eid]
-        elif ts - s[1] >= SESSION_GAP_US:
-            out.append((u, s[0], s[2], s[3], s[4]))  # closed — final row
-            open_sessions[u] = [ts, ts, 1, eid, eid]
-        else:
-            s[1] = ts
-            s[2] += 1
-            s[3] = min(s[3], eid)
-            s[4] = max(s[4], eid)
-    for u in sorted(touched):  # open-session snapshots
-        s = open_sessions[u]
-        out.append((u, s[0], s[2], s[3], s[4]))
+        carried = pd.DataFrame(
+            {
+                "user_id": pd.Series(uids, dtype="int64"),
+                "ts": pd.Series(lasts, dtype="int64"),
+                "start": pd.Series(starts, dtype="int64"),
+                "n": pd.Series(ns, dtype="int64"),
+                "fe": pd.Series(fes, dtype="int64"),
+                "le": pd.Series(les, dtype="int64"),
+            }
+        )
+        # untouched users must keep their state verbatim; only carry
+        # rows for users present in this batch, merge the rest back in
+        touched_mask = carried["user_id"].isin(batch["user_id"].unique())
+        untouched = carried[~touched_mask]
+        frames.insert(0, carried[touched_mask])
+    else:
+        untouched = pd.DataFrame(columns=batch.columns)
+
+    rows = pd.concat(frames, ignore_index=True)
+    if len(rows) == 0:
+        yield pd.DataFrame(
+            columns=["user_id", "session_start_us", "n_events", "first_event", "last_event"]
+        )
+        return
+    # carried rows sort before same-timestamp batch rows via stable
+    # mergesort on (user, ts): a carried row's ts is its last event
+    # time, and the file source guarantees batch events are >= it
+    rows = rows.sort_values(["user_id", "ts"], kind="stable", ignore_index=True)
+    uid = rows["user_id"].to_numpy()
+    ts = rows["ts"].to_numpy()
+    new_user = np.empty(len(rows), dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    gap = np.empty(len(rows), dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts[1:] - ts[:-1]) >= SESSION_GAP_US
+    # a carried (stateful) row never starts a new session itself
+    sess_id = np.cumsum(new_user | gap)
+    g = rows.groupby(sess_id, sort=True)
+    agg = pd.DataFrame(
+        {
+            "user_id": g["user_id"].first(),
+            "session_start_us": g["start"].min(),
+            "n_events": g["n"].sum(),
+            "first_event": g["fe"].min(),
+            "last_event": g["le"].max(),
+            "last_ts": g["ts"].max(),
+        }
+    )
+    # the LAST session of each user stays open; everything before it
+    # in this bucket's sorted order is closed (emit final rows)
+    is_open = ~agg["user_id"].duplicated(keep="last")
+    out = agg[["user_id", "session_start_us", "n_events", "first_event", "last_event"]]
+
+    still_open = pd.concat(
+        [
+            untouched.rename(
+                columns={
+                    "start": "session_start_us",
+                    "n": "n_events",
+                    "fe": "first_event",
+                    "le": "last_event",
+                    "ts": "last_ts",
+                }
+            )[
+                [
+                    "user_id",
+                    "session_start_us",
+                    "n_events",
+                    "first_event",
+                    "last_event",
+                    "last_ts",
+                ]
+            ],
+            agg[is_open],
+        ],
+        ignore_index=True,
+    )
     state.update(
-        tuple(
-            [list(open_sessions)]
-            + [[s[i] for s in open_sessions.values()] for i in range(5)]
+        (
+            still_open["user_id"].tolist(),
+            still_open["session_start_us"].tolist(),
+            still_open["last_ts"].tolist(),
+            still_open["n_events"].tolist(),
+            still_open["first_event"].tolist(),
+            still_open["last_event"].tolist(),
         )
     )
-    yield pd.DataFrame(
-        out,
-        columns=["user_id", "session_start_us", "n_events", "first_event", "last_event"],
-    )
+    yield out.reset_index(drop=True)
 
 
-def stream_sessionize(spark, source_dir: str, schema) -> pd.DataFrame:
+def stream_sessionize(spark, source_dir: str, schema):
     """Run the stateful sessionizer as a REAL streaming query over a
     file source (one file per micro-batch) and fold the emitted
-    snapshots into the final session table."""
+    snapshots into the final session table. Returns a DataFrame.
+
+    Snapshot fold: within one session, n_events only grows,
+    first_event only shrinks, last_event only grows across snapshots,
+    so last-wins == (max n, min fe, max le) per (user, start) — no
+    epoch bookkeeping. (A memory-sink variant was measured slower
+    than the foreachBatch+Arrow sink here: the memory sink collects
+    InternalRows row-at-a-time; Arrow batches win.)"""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from sparkclif.streaming.source import stream_shuffle
-
-    snapshots: list[pd.DataFrame] = []
-
-    def sink(batch_df, epoch_id: int) -> None:
-        snapshots.append(batch_df.toPandas().assign(__epoch=epoch_id))
 
     stream = (
         spark.readStream.schema(schema)
@@ -117,17 +193,25 @@ def stream_sessionize(spark, source_dir: str, schema) -> pd.DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+    snapshots: list[pd.DataFrame] = []
+
+    def sink(batch_df, epoch_id: int) -> None:
+        snapshots.append(batch_df.toPandas())
+
     with stream_shuffle(spark):
         q = stream.writeStream.foreachBatch(sink).outputMode("update").start()
         q.processAllAvailable()
         q.stop()
 
     all_rows = pd.concat(snapshots, ignore_index=True)
-    # last-wins per (user, session start): snapshots only ever grow
-    folded = (
-        all_rows.sort_values(["__epoch", "n_events"])
-        .groupby(["user_id", "session_start_us"], as_index=False)
-        .last()
-        .drop(columns="__epoch")
+    folded = all_rows.groupby(
+        ["user_id", "session_start_us"], as_index=False, sort=False
+    ).agg(
+        n_events=("n_events", "max"),
+        first_event=("first_event", "min"),
+        last_event=("last_event", "max"),
     )
-    return folded.sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    return spark.createDataFrame(
+        folded, "user_id long, session_start_us long, n_events long, "
+        "first_event long, last_event long"
+    )
