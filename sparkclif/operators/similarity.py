@@ -155,27 +155,38 @@ def lsh_ann(
     )
 
     def bucket_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # oversized bucket: the hash carries no signal there — drop it
-        # (skew/memory guard for the 100 TB regime)
-        if len(pdf) < 2 or len(pdf) > max_bucket:
-            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine"])
-        m_ids = pdf["vec_id"].to_numpy()
-        m = np.vstack(pdf["nv"].to_numpy())
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
+        # the group key is a COARSENED bucket-hash (grouped-map UDFs
+        # pay a fixed cost per invocation; thousands of ~8-row buckets
+        # would drown in it) — iterate the real buckets in here
         rows = []
-        take = min(k, len(m_ids) - 1)
-        for i, qid in enumerate(m_ids):
-            row = sims[i]
-            top = np.argpartition(-row, take - 1)[:take]
-            top = top[np.lexsort((m_ids[top], -row[top]))]
-            for j in top:
-                rows.append((qid, m_ids[j], float(row[j])))
+        for (_t, _b), grp in pdf.groupby(["table_id", "bucket"], sort=False):
+            # oversized bucket: the hash carries no signal there —
+            # drop it (skew/memory guard for the 100 TB regime)
+            if len(grp) < 2 or len(grp) > max_bucket:
+                continue
+            m_ids = grp["vec_id"].to_numpy()
+            m = np.vstack(grp["nv"].to_numpy())
+            sims = m @ m.T
+            np.fill_diagonal(sims, -np.inf)
+            take = min(k, len(m_ids) - 1)
+            for i, qid in enumerate(m_ids):
+                row = sims[i]
+                top = np.argpartition(-row, take - 1)[:take]
+                top = top[np.lexsort((m_ids[top], -row[top]))]
+                for j in top:
+                    rows.append((qid, m_ids[j], float(row[j])))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine"])
 
     # bucket-LOCAL re-rank: one groupBy shuffle; pairs leave the bucket
-    # as (id, id, cosine) — never two dim-length vectors
-    local = tagged.groupBy("table_id", "bucket").applyInPandas(bucket_topk, TOPK_SCHEMA)
+    # as (id, id, cosine) — never two dim-length vectors. Coarse key
+    # keeps all rows of a (table, bucket) together while bounding the
+    # number of kernel invocations.
+    coarse = F.pmod(F.xxhash64("table_id", "bucket"), F.lit(64)).alias("__coarse")
+    local = (
+        tagged.withColumn("__coarse", coarse)
+        .groupBy("__coarse")
+        .applyInPandas(bucket_topk, TOPK_SCHEMA)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.dropDuplicates(["vec_id", "neighbor_id"])

@@ -26,6 +26,7 @@ def test_ddl_reregister_reuses_files(spark, sf_dir):
     # Simulate a fresh session's empty catalog WITHOUT losing the data:
     # stash the files, drop the (managed) table, restore the files.
     stash = loc + ".stash"
+    shutil.rmtree(stash, ignore_errors=True)  # leftover from a killed run
     shutil.copytree(loc, stash)
     spark.sql(f"DROP TABLE {tbl}")
     assert not spark.catalog.tableExists(tbl)
