@@ -117,6 +117,15 @@ def main() -> None:
             force="distributed",
         ).count(),
     )
+    timed(
+        f"percentile_bracket_{k}x",
+        lambda: exact_percentiles(
+            li_k.select("l_returnflag", "l_extendedprice"),
+            "l_returnflag",
+            [("l_extendedprice", 0.5, "p50"), ("l_extendedprice", 0.95, "p95")],
+            force="bracket",
+        ).count(),
+    )
 
     shutil.rmtree(scratch, ignore_errors=True)
 

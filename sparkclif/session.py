@@ -57,6 +57,11 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # v2 commits task output by direct rename into the destination
+        # (v1 double-renames via the job attempt dir) — the standard
+        # HDFS-era perf setting; on S3A-style object stores use the
+        # cloud-native committers instead
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testbed events.ts is parquet TIMESTAMP(NANOS); Spark has no
