@@ -41,14 +41,17 @@ def stream_shuffle(spark, n: int = STREAM_SHUFFLE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def write_time_chunks(df: DataFrame, src: str, n_chunks: int = 4) -> None:
+def write_time_chunks(
+    df: DataFrame, src: str, n_chunks: int = 4, key: str | None = None
+) -> None:
     """Write ``df`` (must have ts + event_id columns) as ``n_chunks``
     time-ordered parquet files with increasing mtimes. Idempotent: if
-    the same (row-count, n_chunks) split already exists at ``src`` it is
-    reused (the split is a deterministic function of the input)."""
+    the same (key, n_chunks) split already exists at ``src`` it is
+    reused (the split is a deterministic function of the input).
+    ``key`` identifies the input content (callers pass the source
+    path); without it a count() job establishes identity."""
     manifest = os.path.join(src, "_manifest.json")
-    n_rows = df.count()
-    want = {"n_rows": n_rows, "n_chunks": n_chunks}
+    want = {"key": key or f"n_rows={df.count()}", "n_chunks": n_chunks}
     if os.path.exists(manifest):
         try:
             with open(manifest) as fh:
