@@ -216,9 +216,15 @@ def _bracket_percentiles(
 
     bdf = spark.createDataFrame(pd.DataFrame(bracket_rows))
 
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = []
     for k, (v, _q, _name) in enumerate(specs):
-        lo, hi = F.col(f"__lo{k}"), F.col(f"__hi{k}")
+        # a group the sample missed has NULL brackets after the left
+        # join: coalesce to full range (such a group is tiny with
+        # overwhelming probability, so collecting all of it is bounded
+        # — the same rule as the under-sampled-group fallback above)
+        lo = F.coalesce(F.col(f"__lo{k}"), F.lit(float("-inf")))
+        hi = F.coalesce(F.col(f"__hi{k}"), F.lit(float("inf")))
+        aggs.append(F.count(F.col(v)).alias(f"__n{k}"))
         aggs.append(
             F.sum((F.col(v) < lo).cast("long")).alias(f"__lt{k}")
         )
@@ -230,7 +236,7 @@ def _bracket_percentiles(
     # toPandas, not collect(): the in-bracket arrays come back as one
     # Arrow batch (numpy) instead of row-pickled Python lists
     stats = (
-        proj.join(F.broadcast(bdf), group_col)
+        proj.join(F.broadcast(bdf), group_col, "left")
         .groupBy(group_col)
         .agg(*aggs)
         .toPandas()
@@ -238,9 +244,9 @@ def _bracket_percentiles(
 
     out_rows = []
     for _, r in stats.iterrows():
-        n = int(r["__n"])
         out = {group_col: r[group_col]}
         for k, (_v, q, name) in enumerate(specs):
+            n = int(r[f"__n{k}"])
             pos = q * (n - 1)
             lo_rank, hi_rank = math.floor(pos), math.ceil(pos)
             lt, vals = int(r[f"__lt{k}"]), r[f"__in{k}"]

@@ -49,6 +49,45 @@ def test_bracket_path_tiny_sample_falls_back(spark, sf_dir):
     assert a == c
 
 
+def test_all_paths_agree_on_pathological_shapes(spark):
+    """Selection algorithms break on ties, constant columns, and
+    tiny/singleton groups — pin every path to DuckDB quantile_cont on
+    exactly those shapes."""
+    import duckdb
+
+    rows = (
+        # g0: constant column (every quantile = the constant)
+        [("g0", 7.0)] * 50
+        # g1: singleton group (pos interpolation degenerate)
+        + [("g1", 3.5)]
+        # g2: two rows (every quantile interpolates the same pair)
+        + [("g2", 1.0), ("g2", 2.0)]
+        # g3: heavy ties around the median
+        + [("g3", float(v)) for v in ([1] * 40 + [2] * 40 + [3] * 20)]
+        # g4: huge dynamic range
+        + [("g4", float(10**i)) for i in range(-3, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    specs = [("v", 0.5, "p50"), ("v", 0.95, "p95"), ("v", 0.01, "p01")]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["g", "v"]))
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                "SELECT g, round(quantile_cont(v, 0.5), 4), "
+                "round(quantile_cont(v, 0.95), 4), "
+                "round(quantile_cont(v, 0.01), 4) FROM t GROUP BY g"
+            ).fetchall(),
+        )
+    )
+    for force in ("kernel", "window", "bracket", "distributed"):
+        got = sorted(
+            map(tuple, exact_percentiles(df, "g", specs, force=force).collect())
+        )
+        assert got == want, f"path {force} diverged"
+
+
 def test_distributed_path_matches_duckdb(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_discount"
