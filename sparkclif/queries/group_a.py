@@ -98,12 +98,18 @@ def a_scan_json_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string extraction (reference R3/R14: yaml/json parse into
     fixed schema, metadata.py:38-41)."""
     ev = table(spark, sf_dir, "events")
+    # project the parse FIRST so the JSON is parsed once per row; as
+    # three agg-child expressions it would be parsed three times
     k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 
