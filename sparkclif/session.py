@@ -50,6 +50,11 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the per-batch JVM<->Python
+        # framing for mapInPandas/applyInPandas kernels (measured -13%
+        # on a 600k-row passthrough vs the 10k default); memory per
+        # batch stays modest at testbed/cluster row widths
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Arrow-serialize row-at-a-time Python UDFs/UDTFs too: batches
         # cross the JVM<->Python boundary columnar instead of pickled
         # row-by-row (pure transport change — per-row call semantics,

@@ -24,13 +24,19 @@ def test_ddl_reregister_reuses_files(spark, sf_dir):
     assert os.path.exists(f"{loc}/_SUCCESS")
 
     # Simulate a fresh session's empty catalog WITHOUT losing the data:
-    # stash the files, drop the (managed) table, restore the files.
+    # stash the files, drop the table, restore the files. The first
+    # CTAS registration is a managed table (DROP purges the dir); a
+    # re-registered one is EXTERNAL (DROP leaves the dir) — handle both
+    # or the move nests the stash inside the surviving dir.
     stash = loc + ".stash"
     shutil.rmtree(stash, ignore_errors=True)  # leftover from a killed run
     shutil.copytree(loc, stash)
     spark.sql(f"DROP TABLE {tbl}")
     assert not spark.catalog.tableExists(tbl)
-    shutil.move(stash, loc)
+    if os.path.exists(loc):
+        shutil.rmtree(stash)  # external drop left the files in place
+    else:
+        shutil.move(stash, loc)  # managed drop purged them: restore
 
     before = {f: os.path.getmtime(f"{loc}/{f}") for f in os.listdir(loc)}
     tbl2 = _ensure_bucketed(spark, sf_dir, "b_orders")
