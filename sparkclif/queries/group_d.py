@@ -252,11 +252,23 @@ def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact distinct /
     percentile: HLL++ approx_count_distinct and GK percentile_approx."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.round(F.percentile_approx("l_extendedprice", 0.5), 4).alias("p50_price"),
-        F.round(F.percentile_approx("l_extendedprice", 0.95), 4).alias("p95_price"),
+    # one GK sketch serves both quantiles (array form) — two separate
+    # percentile_approx calls would build and merge two sketches
+    pcts = F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            pcts.alias("__p"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            "approx_orders",
+            F.round(F.element_at("__p", 1), 4).alias("p50_price"),
+            F.round(F.element_at("__p", 2), 4).alias("p95_price"),
+        )
     )
 
 
