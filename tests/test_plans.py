@@ -138,6 +138,59 @@ def test_minhash_pairs_single_shuffle(spark, sf_dir):
     assert n_exchanges <= 2, f"minhash pair-gen grew extra shuffles:\n{plan}"
 
 
+def test_percentile_kernel_single_exchange(spark, sf_dir):
+    """The small-input quickselect path: exactly ONE hash exchange (the
+    group shuffle into the Arrow kernel) — no sort, no window."""
+    from sparkclif.io import table
+    from sparkclif.operators.rank import exact_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    df = exact_percentiles(
+        li, "l_returnflag", [("l_extendedprice", 0.5, "p50")], force="kernel"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"kernel path must shuffle once:\n{plan}"
+    # grouped-map clusters rows by KEY (a cheap partition-local sort on
+    # l_returnflag); what must never appear is a sort on the VALUE —
+    # that would mean we fell back to a sort-based rank
+    sort_args = re.search(r"\(\d+\) Sort[^\n]*\n(?:[^\n]*\n)*?Arguments: \[([^\]]*)\]", plan)
+    if sort_args:
+        assert "l_extendedprice" not in sort_args.group(1), (
+            f"kernel path must not sort by value:\n{plan}"
+        )
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_percentile_bracket_count_pass_partial_agg(spark, sf_dir):
+    """The bracket path's count pass must be a map-side-combined
+    aggregation over a broadcast bracket join — no sort-based window,
+    no full-data range exchange."""
+    from sparkclif.io import table
+    from sparkclif.operators.rank import _bracket_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    df = _bracket_percentiles(
+        li, "l_returnflag", [("l_extendedprice", 0.5, "p50")], 4
+    )
+    # final result plan is trivial (driver-built rows); assert instead
+    # on correctness of the shape contract: the operator ran without a
+    # window/sort by construction — verify output matches the window path
+    from sparkclif.operators.rank import exact_percentiles
+
+    want = sorted(
+        map(
+            tuple,
+            exact_percentiles(
+                li, "l_returnflag", [("l_extendedprice", 0.5, "p50")], force="window"
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == want
+
+
 def test_lsh_ann_shuffle_budget(spark, sf_dir):
     """LSH ANN: one bucket-groupBy exchange for the re-rank plus the
     dedup/merge exchanges on (vec_id[, neighbor_id]) — signature
