@@ -95,6 +95,7 @@ def lsh_ann(
     max_bucket: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate NN: bucket by random-hyperplane signatures, exact
     cosine re-rank within buckets (equi-join shuffle only).
@@ -120,7 +121,9 @@ def lsh_ann(
     spark = embeddings.sparkSession
     rng = np.random.RandomState(seed)
     if n_planes is None:
-        n = embeddings.count()
+        # n_rows lets callers supply a metadata-cheap count (counting
+        # THIS df would run its whole lineage, e.g. a spread() shuffle)
+        n = n_rows if n_rows is not None else embeddings.count()
         n_planes = max(4, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
         n_planes = min(n_planes, 62)
     # same rng stream as drawing each table's (n_planes, dim) in turn

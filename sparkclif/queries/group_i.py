@@ -299,8 +299,10 @@ def i_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via seeded random-hyperplane LSH buckets (4
     OR-ed tables x 6 bits) + exact re-rank within bucket; recall vs
     exact measured in tests."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    return S.lsh_ann(emb, k=3)
+    raw = table(spark, sf_dir, "embeddings")
+    # metadata-cheap count on the raw scan for auto plane sizing —
+    # counting the spread() df would shuffle every vector first
+    return S.lsh_ann(spread(raw), k=3, n_rows=raw.count())
 
 
 @register(
