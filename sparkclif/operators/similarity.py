@@ -96,6 +96,7 @@ def lsh_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Approximate NN: bucket by random-hyperplane signatures, exact
     cosine re-rank within buckets (equi-join shuffle only).
@@ -117,19 +118,36 @@ def lsh_ann(
     re-ranks with one members x members matmul emitting only its local
     top-k — the same block-local-then-merge shape as cosine_topk.
     (The earlier per-pair zip_with/aggregate expression formulation
-    interpreted ~dim lambda evals per pair and was 4-5x slower.)"""
+    interpreted ~dim lambda evals per pair and was 4-5x slower.)
+
+    ``broadcast_vectors`` (auto below ~32 MB of vectors): ship only
+    (table_id, bucket, id) through the bucket shuffle and let the
+    re-rank kernel read members' vectors from a broadcast matrix —
+    otherwise every vector crosses the wire n_tables times. Past the
+    broadcast bound the carry-vectors plan is the scale path (vectors
+    co-shuffle with their bucket; nothing is ever driver-sized)."""
     spark = embeddings.sparkSession
     rng = np.random.RandomState(seed)
+    n = n_rows
     if n_planes is None:
         # n_rows lets callers supply a metadata-cheap count (counting
         # THIS df would run its whole lineage, e.g. a spread() shuffle)
         n = n_rows if n_rows is not None else embeddings.count()
         n_planes = max(4, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
         n_planes = min(n_planes, 62)
+    if broadcast_vectors is None:
+        broadcast_vectors = n is not None and n * dim <= 4_000_000
     # same rng stream as drawing each table's (n_planes, dim) in turn
     planes = rng.normal(size=(n_tables, n_planes, dim))
     powers = (1 << np.arange(n_planes)).astype(np.int64)
     bc = spark.sparkContext.broadcast((planes.reshape(n_tables * n_planes, dim), powers))
+
+    bc_vecs = None
+    if broadcast_vectors:
+        vpdf = embeddings.select(id_col, vec_col).toPandas()
+        v_ids = vpdf[id_col].to_numpy()
+        v_mat = _normalize(np.vstack(vpdf[vec_col].to_numpy()).astype(np.float64))
+        bc_vecs = spark.sparkContext.broadcast((v_ids, v_mat))
 
     def signature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         flat_planes, pw = bc.value
@@ -141,26 +159,30 @@ def lsh_ann(
             sigs = bits.reshape(len(b_ids), n_tables, n_planes) @ pw  # (|batch|, tables)
             frames = []
             for t in range(n_tables):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "table_id": np.full(len(b_ids), t, dtype=np.int64),
-                            "bucket": sigs[:, t],
-                            "vec_id": b_ids,
-                            "nv": list(q),
-                        }
-                    )
-                )
+                cols = {
+                    "table_id": np.full(len(b_ids), t, dtype=np.int64),
+                    "bucket": sigs[:, t],
+                    "vec_id": b_ids,
+                }
+                if not broadcast_vectors:
+                    cols["nv"] = list(q)
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
+    tag_schema = "table_id long, bucket long, vec_id long" + (
+        "" if broadcast_vectors else ", nv array<double>"
+    )
     tagged = embeddings.select(id_col, vec_col).mapInPandas(
-        signature_kernel, "table_id long, bucket long, vec_id long, nv array<double>"
+        signature_kernel, tag_schema
     )
 
     def bucket_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # the group key is a COARSENED bucket-hash (grouped-map UDFs
         # pay a fixed cost per invocation; thousands of ~8-row buckets
         # would drown in it) — iterate the real buckets in here
+        if bc_vecs is not None:
+            all_ids, all_mat = bc_vecs.value
+            lookup = pd.Index(all_ids)
         rows = []
         for (_t, _b), grp in pdf.groupby(["table_id", "bucket"], sort=False):
             # oversized bucket: the hash carries no signal there —
@@ -168,7 +190,10 @@ def lsh_ann(
             if len(grp) < 2 or len(grp) > max_bucket:
                 continue
             m_ids = grp["vec_id"].to_numpy()
-            m = np.vstack(grp["nv"].to_numpy())
+            if bc_vecs is not None:
+                m = all_mat[lookup.get_indexer(m_ids)]
+            else:
+                m = np.vstack(grp["nv"].to_numpy())
             sims = m @ m.T
             np.fill_diagonal(sims, -np.inf)
             take = min(k, len(m_ids) - 1)
