@@ -83,6 +83,20 @@ def test_minhash_est_close_to_exact(spark, sf_dir):
         )
 
 
+def test_lsh_ann_broadcast_and_carry_paths_agree(spark, sf_dir):
+    """The broadcast-vector re-rank (small-corpus default) and the
+    carry-vectors shuffle (the beyond-broadcast scale path) must
+    produce identical results row-for-row."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = sorted(
+        map(tuple, S.lsh_ann(emb, k=3, broadcast_vectors=True).collect())
+    )
+    b = sorted(
+        map(tuple, S.lsh_ann(emb, k=3, broadcast_vectors=False).collect())
+    )
+    assert a == b
+
+
 def test_lsh_ann_recall(spark, sf_dir, emb_np):
     """LSH top-3 should recall a reasonable fraction of exact top-3
     (8 planes, single table — recall won't be high; bound it loosely
