@@ -68,15 +68,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(specs):
         cold[name] = run_spark(name)
-    # best-of-3 timed passes: per-query noise on this shared VM is
-    # ±2-5x on Python-worker-heavy kernels (worker pool churn, GC);
-    # min-of-N measures the engine, not the weather. The DuckDB
-    # baseline below gets the same protocol.
+    # best-of-4 timed passes: per-query noise on this shared VM is
+    # ±2-5x on Python-worker-heavy kernels (worker pool churn, GC) and
+    # the VM itself has multi-minute slow phases; min-of-N measures
+    # the engine, not the weather. Budget gates trim passes when the
+    # weather is bad. The DuckDB baseline below gets the same protocol.
     n_passes = 0
-    for _pass in range(3):
-        if _pass > 0 and time.perf_counter() - bench_t0 > budget * (
-            0.45 if _pass == 1 else 0.6
-        ):
+    _gates = {1: 0.4, 2: 0.55, 3: 0.7}
+    for _pass in range(4):
+        if _pass > 0 and time.perf_counter() - bench_t0 > budget * _gates[_pass]:
             break
         n_passes += 1
         for name in sorted(specs):
