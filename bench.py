@@ -115,6 +115,10 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 4)
+    # self-report the BASELINE.md bench gate (spark <= 2x duckdb per
+    # query) over the queries that have a comparable-plan baseline
+    gate_checked = [k for k in timings if k in duck]
+    gate_over = sorted(k for k in gate_checked if timings[k] > 2 * duck[k])
     print(
         json.dumps(
             {
@@ -124,6 +128,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "gate_2x_checked": len(gate_checked),
+                "gate_2x_over": gate_over,
                 "duckdb_baseline": duck,
                 "cpus": cpus,
                 "mode": f"warm, best-of-{n_passes} (one untimed warm pass "
