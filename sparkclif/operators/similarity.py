@@ -391,10 +391,20 @@ def ivf_ann(
         .cogroup(postings.groupBy("cluster"))
         .applyInPandas(search_kernel, TOPK_SCHEMA)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        local.dropDuplicates(["vec_id", "neighbor_id"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rn")
+    # single-shuffle global merge (same shape as lsh_ann): per-query
+    # dedup + order + top-k inside array expressions over the tiny
+    # (<= k * n_probe) candidate list
+    cand = F.struct((-F.col("cosine")).alias("negc"), F.col("neighbor_id").alias("nid"))
+    merged = local.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list(cand))), 1, k
+        ).alias("__top")
+    )
+    return merged.select(
+        "vec_id", F.posexplode("__top").alias("__pos", "__s")
+    ).select(
+        "vec_id",
+        F.col("__s.nid").alias("neighbor_id"),
+        F.round(-F.col("__s.negc"), 4).alias("cosine"),
+        (F.col("__pos") + 1).cast("int").alias("rn"),
     )
