@@ -65,10 +65,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
+        # NTZ→TIMESTAMP cast below and window()/unix_* arithmetic are
+        # only DuckDB-equivalent under a UTC session.
+        tz_key = "spark.sql.session.timeZone"
+        if spark.conf.get(tz_key, "") != "UTC":
+            spark.conf.set(tz_key, "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: ts exceeds 2^53, float division rounds off
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos file + nanosAsLong: integer division — ts exceeds
+            # 2^53, float division rounds off.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs parquet timestamps (isAdjustedToUTC=false) infer as
+            # TIMESTAMP_NTZ in Spark 4. Session tz is UTC, so casting
+            # to TIMESTAMP is value-preserving and keeps the whole
+            # query layer (window(), unix_micros, ...) on one type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[(sf_dir, name)] = df
     return df
 

@@ -49,8 +49,12 @@ def _norm_cell(v: Any) -> Any:
         # final guard: parity rounding already happened query-side
         return ("f", round(float(v), 4))
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        # Keep tzinfo: the driver's hash stringifies cells, so a
+        # tz-aware DuckDB TIMESTAMPTZ ('... +00:00') differs from a
+        # naive Spark timestamp even when the instant is identical
+        # (this caught h_sliding in round 2).
         ts = v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
-        return ("t", str(ts.replace(tzinfo=None)))
+        return ("t", str(ts))
     if isinstance(v, _dt.date):
         return ("d", str(v))
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -69,6 +73,22 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _dtype_class(dtype) -> str:
+    """Broad dtype class for the schema check. Distinguishes tz-aware
+    from naive datetimes — the driver's schema compare does."""
+    if isinstance(dtype, pd.DatetimeTZDtype):
+        return "datetime-tz"
+    kind = getattr(dtype, "kind", "O")
+    return {
+        "b": "bool",
+        "i": "int",
+        "u": "int",
+        "f": "float",
+        "M": "datetime",
+        "m": "timedelta",
+    }.get(kind, "object")
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
@@ -78,6 +98,12 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
             f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
         )
         return problems
+    for c in sorted(spark_pdf.columns):
+        sc, oc = _dtype_class(spark_pdf[c].dtype), _dtype_class(oracle_pdf[c].dtype)
+        # object covers strings/arrays/decimals where pandas loses the
+        # real type; the value compare still catches class drift there.
+        if sc != oc and "object" not in (sc, oc):
+            problems.append(f"dtype class differs on {c!r}: spark={sc} oracle={oc}")
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     a, b = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)

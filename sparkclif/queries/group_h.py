@@ -54,8 +54,8 @@ def h_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h_sliding",
     oracle="""
-    SELECT to_timestamp((floor(epoch(ts) / 900) * 900 - k * 900)::BIGINT)
-               AS window_start,
+    SELECT (floor(epoch(ts) / 900) * 900 - k * 900)::BIGINT
+               AS window_start_s,
            count(*) AS n,
            round(sum(value), 4) AS sum_value
     FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
@@ -64,12 +64,21 @@ def h_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 15 minutes — each event lands in 4
-    overlapping windows (the oracle generates the same 4 offsets)."""
+    overlapping windows (the oracle generates the same 4 offsets).
+
+    Window starts are emitted as BIGINT epoch seconds on both sides
+    (same tz-sidestep as h_session's epoch_us): DuckDB's to_timestamp
+    returns TIMESTAMPTZ while Spark's window.start is a plain
+    timestamp, which the driver's schema compare rejects."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+        .select(
+            F.unix_seconds(F.col("window.start")).alias("window_start_s"),
+            "n",
+            "sum_value",
+        )
     )
 
 
