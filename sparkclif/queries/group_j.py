@@ -98,8 +98,13 @@ def j_pandas_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: one doc row -> N token rows (the reference's README
-    line-splitter R5 as a table function)."""
+    line-splitter R5 as a table function). Input is spread() first: a
+    single-file scan is one partition, which would serialize the
+    Python workers onto one core (halves the wall-clock at sf0.1;
+    no-op at cluster scale)."""
     from pyspark.sql.functions import udtf
+
+    from sparkclif.io import spread
 
     @udtf(returnType="doc_id bigint, tok string")
     class SplitWords:
@@ -109,7 +114,9 @@ def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield doc_id, tok
 
     spark.udtf.register("split_words", SplitWords)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_udtf")
+    spread(table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "__docs_for_udtf"
+    )
     return spark.sql(
         "SELECT s.doc_id, s.tok FROM __docs_for_udtf d, "
         "LATERAL split_words(d.doc_id, d.text) s"
