@@ -195,28 +195,46 @@ def ngram_jaccard(
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """SimHash fingerprint per doc: xxhash64 each distinct token (JVM
+    """SimHash fingerprint per doc: hash each distinct token (JVM
     scan-side), then per-bit majority vote + sign-bit packing in a
     vectorized numpy kernel (mapInPandas). ZERO shuffles: token hashes
     never leave their scan partition (the earlier explode + 64
     aggregate-expression formulation shuffled (id, token_hash) rows and
     interpreted 64 conditionals per token). Docs with no tokens emit no
-    row (matching the explode formulation's semantics)."""
-    tok_hashes = df.select(
-        F.col(id_col),
-        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
-            "__h"
-        ),
+    row (matching the explode formulation's semantics).
+
+    The token hash is the lower 64 bits of md5 — an ENGINE-PORTABLE
+    basis (DuckDB: ('0x' || substr(md5(tok),17,16))::UBIGINT gives the
+    identical integer), so the whole fingerprint is exact-SQL-checkable
+    rather than rows-only. JVM-side it's parsed as two 32-bit halves
+    (conv of 8 hex chars each — 16 at once would overflow signed
+    BIGINT) and recombined in the kernel."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    # materialize md5 once, then parse both halves from the stored
+    # array (inlining the lambda twice would md5 every token twice)
+    hexed = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.md5(t)).alias("__m")
+    )
+    tok_hashes = hexed.select(
+        id_col,
+        F.transform(
+            "__m", lambda m: F.conv(F.substring(m, 17, 8), 16, 10).cast("long")
+        ).alias("__hi"),
+        F.transform(
+            "__m", lambda m: F.conv(F.substring(m, 25, 8), 16, 10).cast("long")
+        ).alias("__lo"),
     )
     shifts = np.arange(bits, dtype=np.uint64)
 
     def vote_pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, fps = [], []
-            for did, h in zip(batch[id_col], batch["__h"]):
-                if h is None or len(h) == 0:
+            for did, hi, lo in zip(batch[id_col], batch["__hi"], batch["__lo"]):
+                if hi is None or len(hi) == 0:
                     continue
-                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                x = (
+                    np.asarray(hi, dtype=np.int64).view(np.uint64) << np.uint64(32)
+                ) | np.asarray(lo, dtype=np.int64).view(np.uint64)
                 ones = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
                 majority = (2 * ones > len(x)).astype(np.uint64)  # vote > 0
                 fp = (majority << shifts).sum(dtype=np.uint64)

@@ -254,10 +254,49 @@ def i_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidate_pairs(sigs, num_bands=8)
 
 
-@register("i_dedup_simhash", oracle=None)  # rows-only: hash-based fingerprint
+@register(
+    "i_dedup_simhash",
+    # Exact SQL oracle (upgraded from rows-only in round 3): the token
+    # hash is the lower 64 bits of md5, which DuckDB reproduces
+    # bit-for-bit, so the per-bit majority vote + two's-complement
+    # packing is restated relationally. Bit 63 contributes -2^63 (the
+    # sign bit); the hugeint sum is always within int64 afterwards.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN 2 * count(*) FILTER (WHERE ((h >> b.bit) & 1) = 1)
+                         > count(*)
+                    THEN 1 ELSE 0 END AS maj
+        FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN bit = 63
+                             THEN -maj * 9223372036854775808
+                             ELSE maj * (1::BIGINT << bit) END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id, simhash,
+           CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
+    FROM fps
+    """,
+)
 def i_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints + bucket sizes (same-fingerprint
-    docs are near-dup candidates)."""
+    docs are near-dup candidates). Portable md5-based token hash makes
+    the fingerprints exact-SQL-checkable (see operators/dedup.py)."""
     docs = spread(table(spark, sf_dir, "documents"))
     fps = D.simhash64(docs)
     w = Window.partitionBy("simhash")
