@@ -116,3 +116,28 @@ def rolling_hash(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
     )
+
+
+# PII patterns — deliberately simple, engine-portable (identical
+# semantics under Java regex and RE2): emails, NNN-NNN-NNNN phones,
+# dotted-quad IPs. Scrubbing applies them IN ORDER (emails first, so a
+# phone/IP never matches inside an already-redacted address).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    """Occurrences of one PII pattern (whole-match group)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact every PII pattern, in declaration order. Pure JVM
+    regexp_replace chain — no Python in the scrub path."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

@@ -557,3 +557,155 @@ def i_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("frame_std"), 4).alias("avg_frame_std"),
         )
     )
+
+
+@register(
+    "i_text_pii_scrub",
+    # The corpus is synthetic word-salad with no real PII, so the query
+    # deterministically INJECTS a contact sentence per doc (printf of
+    # doc_id on both engines) and then scrubs it — exercising the
+    # count + ordered-redaction + verification mechanics end-to-end.
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or ' || printf('%03d', doc_id % 1000)
+                    || '-555-' || printf('%04d', doc_id % 10000)
+                    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.1' AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                   AS clean
+        FROM enriched
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(clean, '<IP>')) AS BIGINT) AS n_ips,
+           md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM scrubbed
+    """,
+)
+def i_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phones, IPs) with per-doc counts and an
+    md5 of the redacted text — the standard pre-training privacy
+    filter, as a pure JVM regexp_replace chain (operators/text.py
+    PII_PATTERNS; no Python in the scrub path)."""
+    docs = table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            F.format_string("%03d", F.col("doc_id") % 1000),
+            F.lit("-555-"),
+            F.format_string("%04d", F.col("doc_id") % 10000),
+            F.lit(" host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    counted = enriched.select(
+        "doc_id",
+        T.pii_count("text", T.PII_PATTERNS[0][1]).cast("long").alias("n_emails"),
+        T.pii_count("text", T.PII_PATTERNS[1][1]).cast("long").alias("n_phones"),
+        T.pii_scrub("text").alias("clean"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.size(F.regexp_extract_all("clean", F.lit("<IP>"), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("long").alias("clean_len"),
+    )
+
+
+@register(
+    "i_sample_stratified",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))
+                              ::UBIGINT % 100 < 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))
+                               ::UBIGINT % 100 < 10
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS sample_rate
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def i_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample per language via the
+    engine-portable md5 hash bucket (operators/sampling.py): the same
+    rows are selected on any engine, any cluster size, any rerun — no
+    RNG seed coordination. The sample decision is a scan-side
+    expression (pushes down; map-side-combined agg)."""
+    from sparkclif.operators.sampling import stratified_sample_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample_stats(docs, "lang", "doc_id", rate_pct=10)
+
+
+@register(
+    "i_pack_sequences",
+    # mapInPandas prefix-sum kernel materializes per-partition totals
+    # at plan-build time -> must rebuild per run
+    cache_plan=False,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tok AS tokens_before
+        FROM t
+    )
+    SELECT CAST(floor(tokens_before / 2048) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+    """,
+)
+def i_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (contiguous packing into ~2048-
+    token training shards) via the DISTRIBUTED prefix sum in
+    operators/sampling.py — range partition + per-partition totals +
+    broadcast offsets; no global single-task window at any scale. The
+    oracle states the same assignment as a plain running-sum window."""
+    from sparkclif.operators.sampling import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
