@@ -92,3 +92,35 @@ def test_pii_scrub_semantics(spark):
     assert rows[4]["clean"] == "overlap <PHONE> vs <IP> and <EMAIL>"
     assert rows[5]["clean"] == rows[5]["clean"] == "clean text with no identifiers at all"
     assert rows[1]["n_email"] == 1 and rows[2]["n_phone"] == 2
+
+
+def test_simhash_matches_pure_python(spark):
+    """Pin simhash64 to a hashlib reimplementation: guards the
+    md5-basis (which the DuckDB oracle also reproduces) against
+    conv/substring/cast drift."""
+    from sparkclif.operators.dedup import simhash64
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+
+    import re
+
+    for doc_id, text in texts:
+        toks = []
+        for t in re.split(r"\s+", text):
+            if t and t not in toks:
+                toks.append(t)
+        hashes = [int(hashlib.md5(t.encode()).hexdigest()[16:32], 16) for t in toks]
+        fp = 0
+        for bit in range(64):
+            ones = sum((h >> bit) & 1 for h in hashes)
+            if 2 * ones > len(hashes):
+                fp |= 1 << bit
+        if fp >= 1 << 63:  # two's complement int64
+            fp -= 1 << 64
+        assert got[doc_id] == fp, f"doc {doc_id}"
