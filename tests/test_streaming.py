@@ -88,3 +88,56 @@ def test_watermark_drops_late_events(spark, tmp_path):
     kept_types = set(state["event_type"])
     assert "late" not in kept_types, "event beyond watermark horizon must be dropped"
     assert {"click", "ok"} <= kept_types
+
+
+def test_tumbling_window_batch_stream_parity(spark, sf_dir):
+    """h_tumbling's claim is that its window() aggregation is the SAME
+    expression under readStream — prove it: run the aggregation as a
+    genuine multi-micro-batch streaming query (complete output mode
+    into a memory sink) and compare to the batch result row-for-row."""
+    from pyspark.sql import functions as F
+
+    from sparkclif.io import table
+    from sparkclif.registry import all_queries
+    from sparkclif.session import tmp_dir
+    from sparkclif.streaming.source import stream_shuffle, write_time_chunks
+
+    ev = table(spark, sf_dir, "events")
+    src = tmp_dir() + "/tumbling_parity_src"
+    write_time_chunks(ev, src, n_chunks=3, key=f"{sf_dir}/events:tumbling")
+
+    with stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tumbling_parity")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    stream_rows = sorted(
+        tuple(r) for r in spark.table("tumbling_parity").collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in all_queries()["h_tumbling"].fn(spark, sf_dir).collect()
+    )
+    assert stream_rows == batch_rows
