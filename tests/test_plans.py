@@ -204,3 +204,24 @@ def test_lsh_ann_shuffle_budget(spark, sf_dir):
     )
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 3, f"LSH ANN grew extra shuffles:\n{plan}"
+
+
+def test_pack_sequences_two_exchanges_no_global_sort(spark, sf_dir):
+    """The distributed prefix sum: exactly the range exchange + the
+    pid-hash exchange for the within-partition window — and no
+    single-partition Exchange (the global-window anti-pattern)."""
+    import re
+
+    from sparkclif.io import table as load_table
+    from sparkclif.operators.sampling import pack_sequences
+    from sparkclif.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    plan = pack_sequences(docs, "doc_id", "n_tok", budget=2048)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan)) or plan.count("Exchange")
+    assert n_exchanges <= 2, f"pack_sequences grew extra shuffles:\n{plan}"
+    assert "SinglePartition" not in plan, (
+        "pack_sequences must never collapse to one partition:\n" + plan
+    )
