@@ -66,9 +66,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
         # NTZ→TIMESTAMP cast below and window()/unix_* arithmetic are
-        # only DuckDB-equivalent under a UTC session.
+        # only DuckDB-equivalent under a UTC session. NOTE: conf.get
+        # VALIDATES defaults for this key (an empty-string fallback
+        # throws INVALID_CONF_VALUE on a vanilla session), so resolve
+        # without one.
         tz_key = "spark.sql.session.timeZone"
-        if spark.conf.get(tz_key, "") != "UTC":
+        try:
+            cur_tz = spark.conf.get(tz_key)
+        except Exception:
+            cur_tz = None
+        if cur_tz != "UTC":
             spark.conf.set(tz_key, "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
