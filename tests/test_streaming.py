@@ -90,7 +90,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert {"click", "ok"} <= kept_types
 
 
-def test_tumbling_window_batch_stream_parity(spark, sf_dir):
+def test_tumbling_window_batch_stream_parity(spark, sf_dir, tmp_path):
     """h_tumbling's claim is that its window() aggregation is the SAME
     expression under readStream — prove it: run the aggregation as a
     genuine multi-micro-batch streaming query (complete output mode
@@ -127,6 +127,10 @@ def test_tumbling_window_batch_stream_parity(spark, sf_dir):
             stream.writeStream.format("memory")
             .queryName("tumbling_parity")
             .outputMode("complete")
+            # the session pins a PERSISTENT checkpoint root (tmpfs);
+            # a named query would resume its old offsets on re-run,
+            # see zero new files, and emit nothing — checkpoint per run
+            .option("checkpointLocation", str(tmp_path / "tumbling_ckpt"))
             .start()
         )
         try:
@@ -134,10 +138,19 @@ def test_tumbling_window_batch_stream_parity(spark, sf_dir):
         finally:
             q.stop()
 
-    stream_rows = sorted(
-        tuple(r) for r in spark.table("tumbling_parity").collect()
-    )
-    batch_rows = sorted(
-        tuple(r) for r in all_queries()["h_tumbling"].fn(spark, sf_dir).collect()
-    )
-    assert stream_rows == batch_rows
+    stream_rows = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("tumbling_parity").collect()
+    }
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in all_queries()["h_tumbling"].fn(spark, sf_dir).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    for key, (n_s, sum_s) in stream_rows.items():
+        n_b, sum_b = batch_rows[key]
+        assert n_s == n_b, key
+        # float sums accumulate in different orders under streaming
+        # state merge vs batch partial agg; round(4) can flip on the
+        # boundary, so counts are exact and sums are tolerance-checked
+        assert abs(sum_s - sum_b) < 5e-4, (key, sum_s, sum_b)
