@@ -1,0 +1,97 @@
+"""Graph operators for dedup pipelines — connected components over a
+candidate-pair edge list (SURVEY.md §2.2 group I; north-star).
+
+After candidate generation (MinHash bands, exact-hash groups, embedding
+pairs), production dedup keeps ONE doc per connected component of the
+near-duplicate graph. That closure is iterative — out of scope for a
+single SQL statement in general — so the engine implements min-label
+propagation with POINTER JUMPING:
+
+    l(v) <- min(l(v), min over neighbors u of l(u))   (edge relax)
+    l(v) <- l(l(v))                                   (pointer jump)
+
+Edge relaxation alone needs O(diameter) rounds (a 1M-doc chain would
+take 1M rounds); the jump step halves label-tree depth every round, so
+convergence is O(log diameter) — the same doubling trick as
+large-star/small-star CC (public literature). Each round is two
+equi-join shuffles + an agg; lineage is truncated per round with an
+eager localCheckpoint so the plan does not grow with the iteration
+count (on a cluster, point checkpoints at reliable storage instead).
+State per round is one (vertex, label) table — never driver-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (id, component) with component = MIN vertex id reachable.
+
+    ``edges`` is undirected (each pair listed once, either direction).
+    ``vertices`` optionally adds isolated vertices (one ``id_col``
+    column); every edge endpoint is a vertex automatically.
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+
+    verts = both.select(F.col("a").alias(id_col)).distinct()
+    if vertices is not None:
+        verts = verts.unionByName(
+            vertices.select(F.col(vertices.columns[0]).alias(id_col))
+        ).distinct()
+
+    labels = verts.select(id_col, F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    both = both.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # edge relax: min neighbor label per vertex
+        nbr = (
+            both.join(labels.withColumnRenamed(id_col, "b2"), F.col("b") == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        relaxed = (
+            labels.join(nbr, labels[id_col] == nbr["a"], "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jump: follow the label one hop (component of component)
+        jump_tbl = relaxed.select(
+            F.col(id_col).alias("j_id"), F.col("component").alias("j_comp")
+        )
+        jumped = (
+            relaxed.join(jump_tbl, relaxed["component"] == jump_tbl["j_id"], "left")
+            .select(
+                id_col,
+                F.coalesce("j_comp", "component").alias("component"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        # convergence probe: any changed row at all? limit(1) lets the
+        # scan early-stop instead of counting every row
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -709,3 +709,63 @@ def i_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "i_dedup_cluster",
+    # iterative operator: eager per-round checkpoints at build time
+    cache_plan=False,
+    # The oracle is exact for THIS edge set (consecutive-doc chains ->
+    # gaps-and-islands), but it is not a comparable plan shape for the
+    # general iterative operator, so it stays out of baseline timing —
+    # same precedent as i_sim_cosine_topk's N^2 oracle.
+    oracle_in_bench=False,
+    # Edges are injected deterministically from the portable md5 bucket
+    # (the corpus has no real near-duplicates — max consecutive-pair
+    # jaccard measured 0.035): edge (d, d+1) exists iff
+    # bucket('edge' || d) < 40. Both engines derive the identical graph.
+    oracle="""
+    WITH flagged AS (
+        SELECT doc_id,
+               CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+                         AND ('0x' || substr(md5('edge' || CAST(doc_id - 1 AS VARCHAR)), 25, 8))
+                             ::UBIGINT % 100 < 40
+                    THEN 0 ELSE 1 END AS brk
+        FROM documents
+    ),
+    isl AS (
+        SELECT doc_id,
+               sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    )
+    SELECT min(doc_id) AS component,
+           count(*) AS n_docs,
+           max(doc_id) AS last_doc
+    FROM isl
+    GROUP BY g
+    """,
+)
+def i_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the
+    candidate-pair graph via pointer-jumping min-label propagation
+    (operators/graph.py — O(log diameter) rounds, per-round lineage
+    truncation; the closure step that follows candidate generation in
+    every production dedup pipeline). Components roll up to
+    (component, n_docs, last_doc)."""
+    from sparkclif.operators.graph import connected_components
+    from sparkclif.operators.sampling import portable_bucket
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    has_edge = (
+        portable_bucket(F.concat(F.lit("edge"), F.col("doc_id").cast("string"))) < 40
+    )
+    edges = (
+        docs.filter(has_edge)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst")  # dst must exist
+    )
+    labels = connected_components(edges, vertices=docs, id_col="doc_id")
+    return labels.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.max("doc_id").alias("last_doc"),
+    )
