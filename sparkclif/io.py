@@ -56,27 +56,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
+    # UTC session pin — UNCONDITIONAL, not just for events: every
+    # timestamp column's physical type has drifted across driver
+    # rounds (FIXTURES.md), and date/window arithmetic on orders/
+    # lineitem is only DuckDB-equivalent under UTC too. The driver
+    # passes a vanilla session, so this is the one place that
+    # guarantees it regardless of which table loads first. NOTE:
+    # conf.get VALIDATES defaults for this key (an empty-string
+    # fallback throws INVALID_CONF_VALUE), so resolve without one;
+    # only set when wrong — a redundant set invalidates plan state.
+    tz_key = "spark.sql.session.timeZone"
+    try:
+        cur_tz = spark.conf.get(tz_key)
+    except Exception:
+        cur_tz = None
+    if cur_tz != "UTC":
+        spark.conf.set(tz_key, "UTC")
     if name == "events":
-        # Runtime-settable; don't depend on who built the SparkSession
-        # (the driver passes a vanilla one to entry()/queries()).
-        # Only touch the conf when it is actually wrong: a redundant
-        # set still invalidates session plan state and costs ~100ms
-        # on the next events query.
+        # Runtime-settable; don't depend on who built the SparkSession.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
-        # NTZ→TIMESTAMP cast below and window()/unix_* arithmetic are
-        # only DuckDB-equivalent under a UTC session. NOTE: conf.get
-        # VALIDATES defaults for this key (an empty-string fallback
-        # throws INVALID_CONF_VALUE on a vanilla session), so resolve
-        # without one.
-        tz_key = "spark.sql.session.timeZone"
-        try:
-            cur_tz = spark.conf.get(tz_key)
-        except Exception:
-            cur_tz = None
-        if cur_tz != "UTC":
-            spark.conf.set(tz_key, "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

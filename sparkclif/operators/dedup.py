@@ -209,9 +209,13 @@ def simhash64(
     rather than rows-only. JVM-side it's parsed as two 32-bit halves
     (conv of 8 hex chars each — 16 at once would overflow signed
     BIGINT) and recombined in the kernel."""
+    from sparkclif.operators.hashing import md5_bits
+
     toks = F.array_distinct(tokens(F.col(text_col)))
     # materialize md5 once, then parse both halves from the stored
-    # array (inlining the lambda twice would md5 every token twice)
+    # array (inlining the lambda twice would md5 every token twice);
+    # md5_bits re-hashes, so parse the stored hex directly with the
+    # same (start, len) contract documented in operators/hashing.py
     hexed = df.select(
         F.col(id_col), F.transform(toks, lambda t: F.md5(t)).alias("__m")
     )

@@ -22,14 +22,12 @@ from pyspark.sql import functions as F
 
 def portable_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): lower 32 bits of
-    md5(string(key)). DuckDB reproduces it bit-for-bit:
-    ('0x' || substr(md5(key::VARCHAR), 25, 8))::UBIGINT % buckets.
-    (32 hex chars; chars 25-32 are the low 4 bytes. 8 hex chars fit a
-    signed BIGINT, so no unsigned-overflow gymnastics JVM-side.)"""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 25, 8), 16, 10).cast("long")
-        % buckets
-    )
+    md5(string(key)) — the shared engine-portable basis
+    (operators/hashing.py; DuckDB restates it as
+    ('0x' || substr(md5(key::VARCHAR), 25, 8))::UBIGINT % buckets)."""
+    from sparkclif.operators.hashing import md5_bits
+
+    return md5_bits(key.cast("string"), 25, 8) % buckets
 
 
 def stratified_sample_stats(
@@ -87,6 +85,14 @@ def pack_sequences(
     part = df.select(order_col, count_col).repartitionByRange(
         n_part, F.col(order_col)
     ).withColumn("__pid", F.spark_partition_id())
+    # PIN the physical partitioning: the totals job below and the
+    # caller's eventual action are separate jobs, and RangePartitioner
+    # re-SAMPLES boundaries per job (seed involves rdd.id) — once an
+    # input partition exceeds the sample size (~10k rows) the two jobs
+    # could disagree on boundaries and the offsets would describe the
+    # wrong partitioning. An eager localCheckpoint materializes one
+    # layout both jobs share (reliable checkpoint dir on a cluster).
+    part = part.localCheckpoint(eager=True)
 
     pid_totals = {
         r["__pid"]: r["__t"]
@@ -107,8 +113,10 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     before = F.sum(count_col).over(w) - F.col(count_col) + mapping[F.col("__pid")]
-    return part.select(
+    # integer `div`, not floor(a/b): double division rounds once the
+    # cumulative count passes 2^53 (same hazard io.py avoids for nanos)
+    return part.withColumn("__before", before).selectExpr(
         order_col,
         count_col,
-        F.floor(before / budget).cast("long").alias("shard_id"),
+        f"__before div {int(budget)} AS shard_id",
     )

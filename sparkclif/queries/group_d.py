@@ -157,34 +157,6 @@ def d_agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d_agg_grouping_sets",
-    oracle="""
-    SELECT r_name, n_name,
-           count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_acctbal
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    """,
-)
-def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over region -> nation -> grand total."""
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            fixed_sum("c_acctbal").alias("sum_acctbal"),
-        )
-    )
-
-
-@register(
     "d_agg_pivot",
     oracle="""
     SELECT user_id,
@@ -211,6 +183,34 @@ def d_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=EVENT_TYPES)
     )
     return out
+
+
+@register(
+    "d_agg_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region -> nation -> grand total."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            fixed_sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
 
 
 @register(

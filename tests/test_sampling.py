@@ -90,7 +90,7 @@ def test_pii_scrub_semantics(spark):
     assert rows[2]["clean"] == "call <PHONE> twice <PHONE>"
     assert rows[3]["clean"] == "from <IP> to <IP>"
     assert rows[4]["clean"] == "overlap <PHONE> vs <IP> and <EMAIL>"
-    assert rows[5]["clean"] == rows[5]["clean"] == "clean text with no identifiers at all"
+    assert rows[5]["clean"] == "clean text with no identifiers at all"
     assert rows[1]["n_email"] == 1 and rows[2]["n_phone"] == 2
 
 
