@@ -47,7 +47,10 @@ def asof_join(
     left_time, inclusive) per key; NULL when no prior right row exists.
     """
     lcols = left.columns
-    tagged_r = right.select(
+    # A NULL right_time can never satisfy right_time <= left_time, but
+    # asc ordering puts NULLs FIRST, where the carry window would hand
+    # the row to every left as a bogus "earliest" match — exclude it.
+    tagged_r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(right_key).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -67,10 +70,13 @@ def asof_join(
     )
     # Rights sort before the left row at equal time (__is_left 0 < 1)
     # => inclusive <=; among equal-time rights the max tiebreak sorts
-    # last => carried value is the max-tiebreak row.
+    # last => carried value is the max-tiebreak row. NULL tiebreaks
+    # sort FIRST (nulls_first) so they LOSE to any non-null — max()
+    # semantics; nulls_last would invert that and let a NULL-tiebreak
+    # row beat the real maximum.
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tb").asc_nulls_last())
+        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = tagged_r.unionByName(tagged_l).withColumn(

@@ -104,6 +104,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 8,
     max_bucket: int = 256,
+    num_hashes: int | None = 32,
 ) -> DataFrame:
     """LSH banding: split signatures into bands, then bucket-LOCAL pair
     generation — groupBy (band_idx, band_hash), collect members, emit
@@ -117,6 +118,19 @@ def minhash_candidate_pairs(
     carries no signal there, and the cap bounds per-bucket memory and
     pair blowup under skew (the 100 TB guard)."""
     # docs too short to shingle have all-null signatures — they carry
+    # guard the banding arithmetic: a non-dividing band count silently
+    # ignores trailing lanes (lower recall than configured), and
+    # num_bands > num_hashes makes every band slice empty — every doc
+    # hashes to xxhash64('') and the whole corpus lands in one dropped
+    # bucket, returning zero candidates with no error. Checked
+    # statically via num_hashes (an action on the signature lineage
+    # here would run the whole hashing pipeline twice).
+    if num_hashes is not None and num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must divide num_hashes={num_hashes}: "
+            "a remainder silently drops trailing minhash lanes from "
+            "every band"
+        )
     # no similarity signal and would all collide in one bucket
     sigs = sigs.filter(F.col("signature")[0].isNotNull())
     n_hashes_col = F.size("signature")

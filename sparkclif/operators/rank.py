@@ -130,15 +130,23 @@ def _window_percentiles(
     Right below SMALL_INPUT_BYTES; a straggler/OOM past it."""
     value_cols = sorted({v for v, _, _ in specs})
     out = df.select(group_col, *value_cols)
-    rank_col = {}
+    wp = Window.partitionBy(group_col)
+    rank_col, n_col = {}, {}
     for i, v in enumerate(value_cols):
-        w = Window.partitionBy(group_col).orderBy(v)
+        w = Window.partitionBy(group_col).orderBy(F.col(v).asc_nulls_first())
         rank_col[v] = f"__rn{i}"
-        out = out.withColumn(rank_col[v], F.row_number().over(w) - 1)
-    out = out.withColumn("__n", F.count("*").over(Window.partitionBy(group_col)))
+        n_col[v] = f"__n{i}"
+        # NULLs sort first; subtracting the per-group null count gives
+        # non-null rows ranks 0..n-1 and null rows NEGATIVE ranks (so
+        # the lo/hi probes below can never select them) — matching
+        # quantile_cont / the kernel path's dropna semantics.
+        nullcnt = F.count(F.when(F.col(v).isNull(), F.lit(1))).over(wp)
+        out = out.withColumn(
+            rank_col[v], F.row_number().over(w) - 1 - nullcnt
+        ).withColumn(n_col[v], F.count(F.col(v)).over(wp))
 
     def interp(q: float, v: str):
-        pos = F.lit(q) * (F.col("__n") - 1).cast("double")
+        pos = F.lit(q) * (F.col(n_col[v]) - 1).cast("double")
         lo, hi = F.floor(pos), F.ceil(pos)
         rn = F.col(rank_col[v])
         lov = F.max(F.when(rn == lo, F.col(v)))
@@ -284,9 +292,23 @@ def _distributed_percentiles(
     results = []
     for value_col in value_cols:
         sub = [(q, name) for v, q, name in specs if v == value_col]
-        vals = df.select(group_col, value_col)
+        # drop NULL values up front: quantile_cont ignores them, and
+        # leaving them in would shift counts and boundary ranks (the
+        # kernel/bracket paths dropna too — dispatch must not change
+        # the answer)
+        vals = df.select(group_col, value_col).filter(
+            F.col(value_col).isNotNull()
+        )
         ranged = vals.repartitionByRange(p, F.col(group_col), F.col(value_col))
         seg = ranged.withColumn("__seg", F.spark_partition_id())
+        # PIN the physical partitioning: the counts/offsets subtree and
+        # the ranked subtree both hang off this exchange, and exchange
+        # reuse is an optimization, not a guarantee — RangePartitioner
+        # re-samples boundaries per materialization (rdd.id-seeded), so
+        # two independent executions could disagree on __seg and the
+        # offsets would describe the wrong layout (same hazard pinned
+        # in sampling.pack_sequences).
+        seg = seg.localCheckpoint(eager=True)
 
         counts = seg.groupBy("__seg", group_col).agg(F.count("*").alias("__c"))
         w_off = (

@@ -35,6 +35,23 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _topk_det(row: np.ndarray, cand: np.ndarray, ids: np.ndarray, take: int) -> np.ndarray:
+    """Deterministic top-``take`` of ``cand`` (indices into row/ids) by
+    (value desc, id asc) INCLUDING the k-boundary: bare argpartition
+    keeps an arbitrary subset of candidates tied at the kth value (by
+    matrix position), so duplicate embeddings could return a different
+    neighbor SET than the oracle's ORDER BY cosine DESC, id ASC.
+    Strictly-above-threshold candidates are all kept; ties at the
+    threshold are filled in id order."""
+    part = cand[np.argpartition(-row[cand], take - 1)[:take]]
+    kth = row[part].min()
+    above = cand[row[cand] > kth]
+    tied = cand[row[cand] == kth]
+    tied = tied[np.argsort(ids[tied], kind="stable")][: take - len(above)]
+    part = np.concatenate([above, tied])
+    return part[np.lexsort((ids[part], -row[part]))]
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -66,9 +83,7 @@ def cosine_topk(
                 if len(cand_idx) == 0:
                     continue
                 take = min(k, len(cand_idx))
-                part = cand_idx[np.argpartition(-row[cand_idx], take - 1)[:take]]
-                # deterministic order: cosine desc, neighbor id asc
-                part = part[np.lexsort((all_ids[part], -row[part]))]
+                part = _topk_det(row, cand_idx, all_ids, take)
                 for j in part:
                     out_rows.append((qid, all_ids[j], float(row[j])))
             yield pd.DataFrame(out_rows, columns=["vec_id", "neighbor_id", "cosine"])
@@ -199,8 +214,7 @@ def lsh_ann(
             take = min(k, len(m_ids) - 1)
             for i, qid in enumerate(m_ids):
                 row = sims[i]
-                top = np.argpartition(-row, take - 1)[:take]
-                top = top[np.lexsort((m_ids[top], -row[top]))]
+                top = _topk_det(row, np.arange(len(row)), m_ids, take)
                 for j in top:
                     rows.append((qid, m_ids[j], float(row[j])))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine"])
@@ -380,8 +394,7 @@ def ivf_ann(
             if len(cand) == 0:
                 continue
             take = min(k, len(cand))
-            top = cand[np.argpartition(-row[cand], take - 1)[:take]]
-            top = top[np.lexsort((p_ids[top], -row[top]))]
+            top = _topk_det(row, cand, p_ids, take)
             for j in top:
                 rows.append((qid, p_ids[j], float(row[j])))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine"])

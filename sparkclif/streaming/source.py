@@ -55,7 +55,13 @@ def write_time_chunks(
     if os.path.exists(manifest):
         try:
             with open(manifest) as fh:
-                if json.load(fh) == want:
+                if json.load(fh) == want and all(
+                    os.path.exists(f"{src}/chunk-{i:04d}.parquet")
+                    for i in range(n_chunks)
+                ):
+                    # NOTE: ``key`` must identify input CONTENT (callers
+                    # pass the immutable testdata path); a caller whose
+                    # data changes under the same key reuses stale chunks
                     return
         except (OSError, ValueError):
             pass

@@ -203,6 +203,12 @@ def stream_sessionize(spark, source_dir: str, schema):
         q.processAllAvailable()
         q.stop()
 
+    if not snapshots:
+        # zero micro-batches (empty/invisible source): empty session
+        # table, not a pd.concat([]) ValueError
+        return spark.createDataFrame(
+            [], OUTPUT_SCHEMA
+        )
     all_rows = pd.concat(snapshots, ignore_index=True)
     folded = all_rows.groupby(
         ["user_id", "session_start_us"], as_index=False, sort=False

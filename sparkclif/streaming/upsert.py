@@ -102,11 +102,14 @@ def stream_upsert_events(
         merged = pdf if state_box["df"] is None else pd.concat(
             [state_box["df"], pdf], ignore_index=True
         )
-        # vectorized last-wins on (ts, event_id)
+        # vectorized last-wins on (ts, event_id). drop_duplicates keeps
+        # the whole newest ROW; groupby(...).last() would take the last
+        # non-NaN PER COLUMN, stitching fields of different events into
+        # a chimera when the newest row has a null field.
         merged = merged.sort_values(["ts_us", "event_id"], kind="stable")
-        state_box["df"] = merged.groupby(
-            ["user_id", "event_type"], as_index=False
-        ).last()
+        state_box["df"] = merged.drop_duplicates(
+            subset=["user_id", "event_type"], keep="last"
+        ).reset_index(drop=True)
 
     stream = (
         spark.readStream.schema(schema)

@@ -1,0 +1,116 @@
+"""Null / tie semantics regressions (round-3 review findings): every
+percentile path must agree with quantile_cont's null-dropping, the
+as-of join must never match NULL right times, last-wins upserts must
+keep whole rows (no per-column NaN stitching), and similarity top-k
+must break k-boundary ties by neighbor id."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_percentile_paths_drop_nulls_consistently(spark):
+    from sparkclif.operators.rank import exact_percentiles
+
+    rows = [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", None), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    specs = [("v", 0.5, "p50")]
+    want = {"a": 2.0, "b": 10.0}  # quantile_cont ignores NULLs
+    for path in ("kernel", "window", "bracket", "distributed"):
+        got = {
+            r["g"]: r["p50"]
+            for r in exact_percentiles(df, "g", specs, force=path).collect()
+        }
+        assert got == want, f"path={path}: {got}"
+
+
+def test_asof_ignores_null_right_time_and_null_tiebreak_loses(spark):
+    from sparkclif.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k long, t long")
+    right = spark.createDataFrame(
+        [
+            (1, None, 9, "null-time"),   # must never match
+            (1, 150, 1, "early"),
+            (1, 150, None, "null-tb"),   # ties at t=150: loses to tb=1
+        ],
+        "k long, t long, tb long, tag string",
+    )
+    out = {
+        r["t"]: r["asof_tag"]
+        for r in asof_join(
+            left, right, left_key="k", right_key="k",
+            left_time="t", right_time="t", payload=["tag"], tiebreak="tb",
+        ).collect()
+    }
+    assert out[100] is None, "left row before any real right must get NULL"
+    assert out[200] == "early", "max non-null tiebreak must beat NULL tiebreak"
+
+
+def test_cosine_topk_tie_boundary_prefers_low_ids(spark):
+    from sparkclif.operators.similarity import cosine_topk
+
+    base = [1.0] + [0.0] * 7
+    # ids 2..5 are identical vectors (cosine 1.0 with each other);
+    # id 1 is orthogonal. For any query among 2..5, the 3 neighbors
+    # tied at 1.0 are 3 of the other dups — the set must be the
+    # LOWEST ids, not whatever argpartition kept.
+    rows = [(1, [0.0] * 7 + [1.0])] + [(i, base) for i in range(2, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        q: sorted(r for (qq, r) in pairs)
+        for q, pairs in __group(
+            (r["vec_id"], r["neighbor_id"])
+            for r in cosine_topk(df, k=3).collect()
+        ).items()
+    }
+    assert got[5] == [2, 3, 4]
+    assert got[2] == [3, 4, 5]
+
+
+def __group(pairs):
+    out = {}
+    for q, n in pairs:
+        out.setdefault(q, []).append((q, n))
+    return out
+
+
+def test_stream_upsert_keeps_whole_rows(spark, tmp_path):
+    """Newest event with a NULL value must yield (new ts, NULL value),
+    not a chimera of the new ts and the OLD value."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.streaming.upsert import stream_upsert_events
+
+    src = str(tmp_path / "chimera_src")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000
+    chunks = [
+        [(1, base, 7, "click", 5.0)],
+        [(2, base + 1_000_000, 7, "click", None)],  # newer, NULL value
+    ]
+    for i, rows in enumerate(chunks):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        path = f"{src}/chunk-{i:04d}.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    state = stream_upsert_events(spark, src, schema, watermark="1 hour")
+    row = state[(state["user_id"] == 7)].iloc[0]
+    assert int(row["event_id"]) == 2
+    assert np.isnan(row["value"]) or row["value"] is None
