@@ -47,8 +47,14 @@ def releases(log: DataFrame) -> DataFrame:
         F.col("user_id").alias("released_by"),
     )
     w = Window.partitionBy("repo_url").orderBy(F.desc("ts"), F.desc("event_id"))
+    # first_released_at: the reference dict keeps a re-released project
+    # at its ORIGINAL insertion position, so dashboard column order
+    # follows the FIRST release even though metadata follows the last
     return (
-        rel.withColumn("__rn", F.row_number().over(w))
+        rel.withColumn(
+            "first_released_at", F.min("ts").over(Window.partitionBy("repo_url"))
+        )
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumnRenamed("ts", "released_at")
@@ -101,17 +107,28 @@ def apply_command_log(
         right_time="assigned_at",
         payload=["site_name"],
         tiebreak="event_id",
+        # log-order refinement: a set_poc sharing the update's ts but
+        # LATER in the log must not influence it (sequential replay)
+        left_seq="event_id",
+        right_seq="event_id",
     )
     # guards: unregistered user (app.py:627-630) or unknown repo
     # (the reference would KeyError, app.py:632 -> crash; we route to
     # an error channel — the one deliberate divergence, SURVEY.md §0.1)
     known = with_site.join(
-        projects.select("repo_url", "released_at"), "repo_url", "left"
+        projects.select("repo_url", "released_at", "first_released_at"),
+        "repo_url",
+        "left",
     )
+    # error rows: unregistered user, never-released repo, or an update
+    # BEFORE the repo first existed (the reference would KeyError).
+    # Updates between the first release and a later re-release are NOT
+    # errors — the reference accepted them and the re-init wiped them —
+    # so they are dropped from the final matrix silently.
     errors = known.filter(
         F.col("asof_site_name").isNull()
         | F.col("released_at").isNull()
-        | (F.col("ts") < F.col("released_at"))
+        | (F.col("ts") < F.col("first_released_at"))
     ).select(
         "event_id",
         "ts",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkclif.clif.fixtures import SITES, STATUS_DEFAULT
+from sparkclif.clif.fixtures import STATUS_DEFAULT
 from sparkclif.clif.status_store import current_site_status
 
 MAX_NAME = 25
@@ -38,10 +38,18 @@ def status_pivot(
 
     Missing cells default to '❓' (state.py:175). Pivot values are the
     explicit project list -> no distinct-scan job, bounded columns."""
+    # column order follows the FIRST release when the projects table
+    # tracks it (commands.releases does): the reference dict keeps a
+    # re-released project at its original insertion position
+    order_col = (
+        "first_released_at"
+        if "first_released_at" in projects.columns
+        else "released_at"
+    )
     ordered = [
         r.repo_url
-        for r in projects.select("repo_url", "released_at")
-        .orderBy("released_at", "repo_url")
+        for r in projects.select("repo_url", F.col(order_col).alias("__o"))
+        .orderBy("__o", "repo_url")
         .collect()
     ]
     # pivot on sanitized keys (p0, p1, ...) — raw repo URLs contain
@@ -83,7 +91,12 @@ def render_status_table(
     rows = pivoted.collect()
 
     display_names = [truncate_name(name_by_repo[u]) for u in ordered]
-    site_width = max(len("Site"), max(len(s) for s in SITES))
+    # size and iterate from the PIVOTED rows (already in sort_key
+    # order), not the module SITES constant — a caller-supplied sites
+    # dimension that diverges from the hardcoded list must render its
+    # own rows, not KeyError / silently drop
+    site_names = [r.site_name for r in rows]
+    site_width = max(len("Site"), max(len(s) for s in site_names))
     col_widths = [site_width] + [max(MIN_COL, len(n)) for n in display_names]
 
     header_parts = ["Site".ljust(site_width)] + [
@@ -91,9 +104,8 @@ def render_status_table(
     ]
     lines = [" | ".join(header_parts)]
     lines.append("-" * (sum(col_widths) + 3 * (len(col_widths) - 1)))
-    by_site = {r.site_name: r for r in rows}
-    for site in SITES:
-        r = by_site[site]
+    for r in rows:
+        site = r.site_name
         row_parts = [site.ljust(site_width)] + [
             (r[f"p{i}"] if r[f"p{i}"] is not None else STATUS_DEFAULT).center(
                 col_widths[i + 1]

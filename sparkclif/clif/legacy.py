@@ -110,6 +110,23 @@ def export_document(
     (reverse of import; reference save_data state.py:70-90). Maps are
     built with map_from_entries over sorted collect_lists so the
     output is deterministic; key order is not semantic in JSON."""
+    from sparkclif.clif.status_store import current_pocs, current_site_status
+
+    # resolve last-wins views FIRST: the store's tables are append-only
+    # (a re-set cell or reassigned user has multiple rows), and
+    # map_from_entries raises DUPLICATE_MAP_KEY on the duplicates.
+    # Legacy-imported tables carry no timestamps (the reference's JSON
+    # document has none) and are already one-row-per-key — dedup by
+    # key there instead of the timestamped last-wins view.
+    if "updated_at" in site_status.columns:
+        site_status = current_site_status(site_status)
+    else:
+        site_status = site_status.dropDuplicates(["repo_url", "site_name"])
+    if "assigned_at" in pocs.columns:
+        pocs = current_pocs(pocs)
+    else:
+        pocs = pocs.dropDuplicates(["user_id"])
+    poc_assignments = poc_assignments.dropDuplicates(["site_name", "user_id"])
     per_project = (
         site_status.groupBy("repo_url")
         .agg(

@@ -104,7 +104,15 @@ def append_value(
     trailing newline — byte-compatible with the reference's PUT body).
 
     The duplicate check is a semi-join count (set membership); at scale
-    it is a broadcast anti-join, never a collect of the value set."""
+    it is a broadcast anti-join, never a collect of the value set.
+
+    ``new_value`` is trimmed before the check and the append (catalog
+    values are trimmed at read, so a raw ' sodium' would slip past the
+    equality check and re-ingest as a real duplicate); blank values are
+    rejected outright — a blank line is invisible to read_catalog."""
+    new_value = new_value.strip()
+    if not new_value:
+        raise ValueError("blank value")
     exists = (
         catalog.filter(
             (F.col("table_name") == table)
@@ -116,9 +124,19 @@ def append_value(
     if exists:
         raise DuplicateValueError("Value already exists")
     current = list_values(catalog, table, variable)
+    # next line_no from MAX, not len(current)+1: read_catalog numbers
+    # lines before dropping blanks, so line_nos can have gaps and a
+    # length-based number could collide with an existing line
+    max_no = (
+        catalog.filter(
+            (F.col("table_name") == table) & (F.col("variable") == variable)
+        )
+        .agg(F.coalesce(F.max("line_no"), F.lit(0)))
+        .first()[0]
+    )
     spark = catalog.sparkSession
     new_row = spark.createDataFrame(
-        [(table, variable, new_value, len(current) + 1)],
+        [(table, variable, new_value, int(max_no) + 1)],
         "table_name string, variable string, value string, line_no int",
     )
     updated_catalog = catalog.unionByName(new_row)

@@ -166,17 +166,30 @@ def extract_metadata(repos: DataFrame, docs: DataFrame) -> DataFrame:
     best = parsed.groupBy("repo_url").agg(
         F.min_by("m", "src_rank").alias("m"), F.min("src_rank").alias("src_rank")
     )
-    out = repos.join(best, "repo_url", "left")
+    # an all-blank README yields NO parsed row at all, but the
+    # reference's URL fallback runs inside the successful-fetch branch
+    # — track README existence separately from parse success
+    has_readme = (
+        docs.filter(F.col("path") == "README.md")
+        .select("repo_url")
+        .distinct()
+        .withColumn("__has_readme", F.lit(True))
+    )
+    out = repos.join(best, "repo_url", "left").join(has_readme, "repo_url", "left")
     url_fallback = F.element_at(F.split(F.rtrim(F.col("repo_url")), "/"), -1)
     # structured sources: name coalesce ladder + '' defaults
     # (metadata.py:42-45); README: empty title falls back to URL
-    # (metadata.py:67-68) — but ONLY when a README row exists (the
-    # reference's URL fallback runs inside the 200-response branch, so
-    # a repo with no sources at all yields project_name='').
+    # (metadata.py:67-68) — applies when a README row EXISTS, even one
+    # whose lines are all blank (no parsed row, src_rank NULL); a repo
+    # with no sources at all yields project_name=''.
     project_name = F.coalesce(
         F.nullif(F.col("m.project_name"), F.lit("")),
         F.nullif(F.col("m.name"), F.lit("")),
-        F.when(F.col("src_rank") == 2, url_fallback),
+        F.when(
+            (F.col("src_rank") == 2)
+            | (F.col("src_rank").isNull() & F.col("__has_readme")),
+            url_fallback,
+        ),
         F.lit(""),
     )
     return out.select(

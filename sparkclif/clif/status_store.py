@@ -38,10 +38,19 @@ def init_site_status(new_projects: DataFrame, sites: DataFrame) -> DataFrame:
 
 def current_site_status(site_status: DataFrame) -> DataFrame:
     """Last-wins view of the append-only status log (R21 upsert read
-    side): one row per (repo_url, site_name), newest updated_at wins,
-    ties broken by status string (deterministic)."""
+    side): one row per (repo_url, site_name), newest updated_at wins.
+    At equal timestamps the '❓' init row LOSES to any real update —
+    otherwise a same-second release+update would be decided by emoji
+    codepoint order ('❓' U+2753 sorts above '✅'/'❌', silently hiding
+    the write). Remaining ties (two real statuses at the identical
+    instant through this row-append API, which carries no sequence)
+    fall back to desc(status) — deterministic, causality unknowable
+    here; the event-log replay path (clif/commands.py) resolves those
+    by event_id instead."""
     w = Window.partitionBy("repo_url", "site_name").orderBy(
-        F.desc("updated_at"), F.desc("status")
+        F.desc("updated_at"),
+        F.when(F.col("status") == STATUS_DEFAULT, 1).otherwise(0).asc(),
+        F.desc("status"),
     )
     return (
         site_status.withColumn("__rn", F.row_number().over(w))

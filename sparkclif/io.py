@@ -34,12 +34,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # Per-session {(sf_dir, table) -> DataFrame}. A DataFrame is an
 # immutable logical plan, so handing the same one to every query is
 # safe, and it skips the per-call file listing + parquet footer read
-# (~50 ms) that a metastore-backed catalog would also amortize. Weakly
-# keyed on the session so entries die with it — a fresh session can
-# never see a stale plan.
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+# (~50 ms) that a metastore-backed catalog would also amortize. The
+# cache lives ON the session object (an attribute), so it dies exactly
+# when the session does — a module-level WeakKeyDictionary would never
+# collect: its DataFrame values strongly reference their session (the
+# key), pinning every stopped session plus all its plans forever.
+_CACHE_ATTR = "_sparkclif_table_cache"
+
+
+def _session_cache(spark: SparkSession) -> "dict[tuple[str, str], DataFrame]":
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,7 +60,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = _session_cache(spark)
     cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached

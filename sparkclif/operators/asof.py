@@ -39,20 +39,33 @@ def asof_join(
     payload: list[str],
     tiebreak: str,
     prefix: str = "asof_",
+    left_seq: str | None = None,
+    right_seq: str | None = None,
 ) -> DataFrame:
     """Backward as-of join, union-sort implementation (single shuffle).
 
     Returns ``left`` with ``prefix + p`` columns for each ``p`` in
     ``payload``, taken from the latest right row (right_time <=
     left_time, inclusive) per key; NULL when no prior right row exists.
+
+    ``left_seq``/``right_seq`` (both or neither): a LOG-ORDER sequence
+    (e.g. event_id) that refines time ties — a right row at the same
+    time as the left applies only if its sequence is SMALLER, matching
+    sequential replay of an event log. Without them, all equal-time
+    rights apply (plain inclusive <=).
     """
+    if (left_seq is None) != (right_seq is None):
+        raise ValueError("left_seq and right_seq must be given together")
     lcols = left.columns
     # A NULL right_time can never satisfy right_time <= left_time, but
     # asc ordering puts NULLs FIRST, where the carry window would hand
     # the row to every left as a bogus "earliest" match — exclude it.
+    r_seq = F.col(right_seq) if right_seq else F.lit(0)
+    l_seq = F.col(left_seq) if left_seq else F.lit(1)
     tagged_r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(right_key).alias("__key"),
         F.col(right_time).alias("__t"),
+        r_seq.cast("long").alias("__seq"),
         F.lit(0).alias("__is_left"),
         F.col(tiebreak).alias("__tb"),
         F.struct(*[F.col(p) for p in payload]).alias("__payload"),
@@ -61,6 +74,7 @@ def asof_join(
     tagged_l = left.select(
         F.col(left_key).alias("__key"),
         F.col(left_time).alias("__t"),
+        l_seq.cast("long").alias("__seq"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
         F.lit(None)
@@ -74,9 +88,17 @@ def asof_join(
     # sort FIRST (nulls_first) so they LOSE to any non-null — max()
     # semantics; nulls_last would invert that and let a NULL-tiebreak
     # row beat the real maximum.
+    # __seq defaults to 0 for rights / 1 for lefts, reproducing the
+    # plain inclusive-<= ordering; with real sequences, a right at the
+    # same time applies only when its sequence precedes the left's.
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tb").asc_nulls_first())
+        .orderBy(
+            F.col("__t"),
+            F.col("__seq"),
+            F.col("__is_left"),
+            F.col("__tb").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = tagged_r.unionByName(tagged_l).withColumn(
