@@ -71,7 +71,8 @@ def extract_features(media: DataFrame, feat_dim: int = 4) -> DataFrame:
                 arr = _decode_stub(payload, mtype)
                 n = len(arr)
                 if n == 0:
-                    rows.append((doc_id, mtype, 0, 0.0, 0.0, [0.0] * feat_dim))
+                    # no bytes -> no features row (undecodable/empty
+                    # media is filtered, not zero-filled)
                     continue
                 hist = np.bincount(arr.astype(np.int64) % 256, minlength=256) / n
                 nz = hist[hist > 0]
@@ -121,14 +122,19 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 n = len(arr)
                 for f in range(n_frames):
                     seg = arr[f * n // n_frames : (f + 1) * n // n_frames]
+                    if len(seg) == 0:
+                        # a payload shorter than n_frames bytes yields
+                        # fewer frames, not zero-filled phantom rows
+                        # (matches the oracle's positional segmentation)
+                        continue
                     rows.append(
                         (
                             doc_id,
                             mtype,
                             f,
                             len(seg),
-                            _r4(float(seg.mean())) if len(seg) else 0.0,
-                            _r4(float(seg.std())) if len(seg) else 0.0,
+                            _r4(float(seg.mean())),
+                            _r4(float(seg.std())),
                         )
                     )
             yield pd.DataFrame(

@@ -13,9 +13,6 @@ columnar and re-reads with column pruning.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,8 +74,10 @@ def a_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.element_at(toks, 1).alias("first_token"),
-        F.element_at(toks, -1).alias("last_token"),
+        # try_element_at: ANSI-mode element_at throws on an empty token
+        # array (all-whitespace doc); the oracle's toks[1] yields NULL
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
+        F.try_element_at(toks, F.lit(-1)).alias("last_token"),
     )
 
 
@@ -134,8 +133,6 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's canonical sink is columnar parquet, partition-parallel,
     instead of the reference's whole-file rewrite per mutation."""
     out = tmp_dir() + "/roundtrip.parquet"
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    shutil.rmtree(out, ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
@@ -170,7 +167,6 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching files opened) — the layout that makes 100 TB fact
     tables scannable. The write itself is the exercised sink."""
     out = tmp_dir() + "/partitioned.parquet"
-    shutil.rmtree(out, ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey"
     )

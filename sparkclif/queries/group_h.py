@@ -23,6 +23,32 @@ from sparkclif.io import table
 from sparkclif.registry import register
 from sparkclif.session import tmp_dir
 
+# ONE definition of the 30-minute gaps-and-islands session oracle —
+# h_session (built-in session_window) and h_stateful_sessions (the
+# custom applyInPandasWithState operator) must verify against
+# IDENTICAL semantics; a one-sided edit would silently fork them.
+SESSION_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM numbered
+    GROUP BY user_id, session_id
+    """
+
 
 @register(
     "h_tumbling",
@@ -84,27 +110,7 @@ def h_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h_session",
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-        SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
-    )
-    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
-           count(*) AS n_events,
-           min(event_id) AS first_event, max(event_id) AS last_event
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
+    oracle=SESSION_ORACLE,
 )
 def h_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows, 30-minute gap, per user — session_window() in
@@ -159,7 +165,12 @@ def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     write_time_chunks(ev, src, n_chunks=3, key=f"{sf_dir}/events")
     state = stream_upsert_events(spark, src, ev.schema)
-    out = spark.createDataFrame(state)
+    # explicit schema: the empty-state fallback is a dtype-less pandas
+    # frame that createDataFrame cannot infer from
+    out = spark.createDataFrame(
+        state,
+        "user_id long, event_type string, ts timestamp, event_id long, value double",
+    )
     return out.select(
         "user_id",
         "event_type",
@@ -179,27 +190,7 @@ def h_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applyInPandasWithState stream; the oracle's one-shot batch
     # windowing is not a comparable plan shape for baseline timing.
     oracle_in_bench=False,
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-        SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
-    )
-    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
-           count(*) AS n_events,
-           min(event_id) AS first_event, max(event_id) AS last_event
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
+    oracle=SESSION_ORACLE,
 )
 def h_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: incremental per-user

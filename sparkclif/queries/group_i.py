@@ -370,12 +370,16 @@ def i_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id")),
         "vec_id",
     )
+    # slice BEFORE exploding: exploding all 64 components and filtering
+    # pos <= 8 would generate 8x the rows only to discard 7/8 of them
     exploded = joined.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "comp")
+        "label",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+        ).alias("pos0", "comp"),
     ).select("label", (F.col("pos0") + 1).alias("pos"), "comp")
     return (
-        exploded.filter(F.col("pos") <= 8)
-        .groupBy("label", "pos")
+        exploded.groupBy("label", "pos")
         .agg(F.round(F.avg("comp"), 4).alias("centroid_comp"), F.count("*").alias("n"))
     )
 
@@ -389,7 +393,11 @@ def i_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole mapInPandas plumbing end-to-end, not just row counts.
     oracle="""
     WITH chars AS (
-        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        -- length guard: string_split('', '') is [''] in DuckDB, which
+        -- would fabricate a 1-byte row for an empty doc; the kernel
+        -- emits no row for empty payloads
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE length(text) > 0
     ),
     freq AS (
         SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c

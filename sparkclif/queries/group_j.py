@@ -75,10 +75,16 @@ def j_pandas_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         g = pdf.groupby("user_id")["value"]
         mean = g.transform("mean")
         std = g.transform("std")  # ddof=1 == stddev_samp
-        z = ((pdf["value"] - mean) / std.where(std != 0)).round(4)
+        raw = (pdf["value"] - mean) / std.where(std != 0)
+        # half AWAY FROM ZERO, the engine-wide rounding convention
+        # (Spark/DuckDB round) — pandas .round(4) is half-to-even and
+        # disagrees on .xxxx5 grid points (see multimodal._r4)
+        z = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
         )
