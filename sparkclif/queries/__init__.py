@@ -28,4 +28,5 @@ from sparkclif.queries import (  # noqa: F401
     group_e,
     group_f,
     group_g,
+    group_i_late,
 )

@@ -1,0 +1,129 @@
+"""Group I (late registrations) — queries that belong thematically to
+the LLM-pipeline group but register AFTER the driver's 50-query
+correctness window (sparkclif/queries/__init__.py): the window is
+reserved for this round's must-verify set (the fixed h_sliding, the
+events-reading d_agg_pivot, the new portable-hash operators). These
+are still locally hash-checked every round by test_oracle_parity and
+timed by bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.operators import text as T
+from sparkclif.registry import register
+
+
+@register(
+    "i_dedup_keep_best",
+    cache_plan=False,  # runs the iterative CC operator at build time
+    oracle_in_bench=False,  # islands oracle != iterative plan shape
+    # Same deterministic chain edge set as i_dedup_cluster; the keep
+    # policy restated relationally: per component, the max quality
+    # score wins, ties to the lowest doc_id. The score is
+    # text.quality_score's composite in INTEGER BASIS POINTS
+    # (8*min(len,500) + 3000*nstop div ntok + 3000*nalpha div nchar) —
+    # pure integer arithmetic lands on identical values in both
+    # engines, where a round(double,4) diverges on shortest-decimal
+    # boundaries (Spark rounds via Java's decimal repr, DuckDB rounds
+    # the binary double; observed live on this corpus at sf0.01).
+    oracle="""
+    WITH flagged AS (
+        SELECT doc_id, text,
+               CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+                         AND ('0x' || substr(md5('edge' || CAST(doc_id - 1 AS VARCHAR)), 25, 8))
+                             ::UBIGINT % 100 < 40
+                    THEN 0 ELSE 1 END AS brk
+        FROM documents
+    ),
+    isl AS (
+        SELECT doc_id, text,
+               sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    scored AS (
+        SELECT doc_id, g,
+               8 * least(length(text), 500)
+               + (3000 * len(list_filter(toks, x -> lower(x) IN
+                     ('the','a','of','to','and','in','is','it')))
+                  // greatest(len(toks), 1))
+               + (3000 * length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                  // greatest(length(text), 1)) AS q_bp
+        FROM (
+            SELECT doc_id, text, g,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM isl
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, g, q_bp,
+               row_number() OVER (PARTITION BY g ORDER BY q_bp DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY g) AS n_docs,
+               min(doc_id) OVER (PARTITION BY g) AS component
+        FROM scored
+    )
+    SELECT component, doc_id AS kept_doc, CAST(q_bp AS BIGINT) AS kept_quality_bp,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def i_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step — the KEEP POLICY: after
+    candidate generation (minhash/exact), verification (jaccard) and
+    clustering (connected components), keep ONE doc per near-dup
+    component, chosen by the quality score in integer basis points
+    (cross-engine exact — see the oracle comment), ties to the lowest
+    doc_id. Completes the candidates -> verify -> cluster -> keep-one
+    chain every production dedup pipeline runs."""
+    from sparkclif.operators.graph import connected_components
+    from sparkclif.operators.sampling import portable_bucket
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    has_edge = (
+        portable_bucket(F.concat(F.lit("edge"), F.col("doc_id").cast("string"))) < 40
+    )
+    edges = (
+        docs.filter(has_edge)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    )
+    labels = connected_components(
+        edges, vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    toks = T.tokens(F.col("text"))
+    nstop = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*T.STOPWORDS))
+    ).cast("long")
+    ntok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    nalpha = F.length(F.regexp_replace("text", r"[^a-zA-Z ]", "")).cast("long")
+    nchar = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    q_bp = (
+        8 * F.least(F.length("text"), F.lit(500)).cast("long")
+        + F.expr("3000 * __nstop div __ntok")
+        + F.expr("3000 * __nalpha div __nchar")
+    )
+    scored = (
+        docs.join(labels, "doc_id")
+        .withColumn("__nstop", nstop)
+        .withColumn("__ntok", ntok)
+        .withColumn("__nalpha", nalpha)
+        .withColumn("__nchar", nchar)
+        .select("doc_id", "component", q_bp.alias("q_bp"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q_bp"), F.asc("doc_id"))
+    wp = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("q_bp").alias("kept_quality_bp"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
