@@ -60,8 +60,17 @@ def asof_join(
     # A NULL right_time can never satisfy right_time <= left_time, but
     # asc ordering puts NULLs FIRST, where the carry window would hand
     # the row to every left as a bogus "earliest" match — exclude it.
-    r_seq = F.col(right_seq) if right_seq else F.lit(0)
-    l_seq = F.col(left_seq) if left_seq else F.lit(1)
+    # Strictness encoding: the documented contract is that an
+    # equal-time right applies only if its sequence is strictly
+    # SMALLER than the left's. Bare (__seq, __is_left) ordering would
+    # also apply a right whose sequence EQUALS the left's (rights sort
+    # first at equal keys), so sequences are doubled with rights
+    # offset +1: right sorts before left iff 2r+1 < 2l iff r < l.
+    # Without seqs the defaults (r=0 -> 1, l=1 -> 2) keep every right
+    # before every equal-time left — the plain inclusive <=. (Doubling
+    # assumes |seq| < 2^62 — true for any real event id.)
+    r_seq = (2 * F.col(right_seq).cast("long") + 1) if right_seq else F.lit(1)
+    l_seq = (2 * F.col(left_seq).cast("long")) if left_seq else F.lit(2)
     tagged_r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(right_key).alias("__key"),
         F.col(right_time).alias("__t"),

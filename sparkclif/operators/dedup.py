@@ -135,6 +135,20 @@ def minhash_candidate_pairs(
     sigs = sigs.filter(F.col("signature")[0].isNotNull())
     n_hashes_col = F.size("signature")
     rows_per_band = (n_hashes_col / num_bands).cast("int")
+    # runtime guard on the ACTUAL signature length (the static check
+    # above only sees the caller-declared num_hashes): a non-dividing
+    # array would silently drop trailing lanes from every band. The
+    # branch is per row but trivially cheap; raise_error's NullType
+    # coerces to the hash's long.
+    divides = F.pmod(n_hashes_col, F.lit(num_bands)) == 0
+    guarded_hash = lambda c: F.when(divides, F.xxhash64(c)).otherwise(  # noqa: E731
+        F.raise_error(
+            F.concat(
+                F.lit(f"num_bands={num_bands} must divide signature length "),
+                n_hashes_col.cast("string"),
+            )
+        ).cast("long")
+    )
     banded = (
         sigs.select(
             id_col,
@@ -142,7 +156,7 @@ def minhash_candidate_pairs(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                    lambda b: F.xxhash64(
+                    lambda b: guarded_hash(
                         F.array_join(
                             F.transform(
                                 F.slice(

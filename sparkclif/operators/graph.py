@@ -54,6 +54,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     both = both.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # edge relax: min neighbor label per vertex
         nbr = (
@@ -93,5 +94,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # pointer jumping converges in O(log diameter) rounds, so
+        # exhausting max_iter (default 50 => diameter ~2^50) always
+        # means a bug or pathological input — returning the unconverged
+        # labels would silently over-split components downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels

@@ -373,7 +373,12 @@ def _distributed_percentiles(
         )
         results.append(pivoted)
 
-    final = results[0]
-    for r in results[1:]:
-        final = final.join(r, group_col)
+    # left-join every per-value result onto the full group-key set: a
+    # group whose values are ALL NULL for some value column vanished at
+    # that column's isNotNull filter, while the kernel/window paths
+    # keep such groups with NULL percentiles — dispatch must never
+    # change the row set (tiny G-row joins, broadcast-sized)
+    final = df.select(group_col).distinct()
+    for r in results:
+        final = final.join(r, group_col, "left")
     return final.select(group_col, *[name for _, _, name in specs])

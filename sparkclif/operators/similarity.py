@@ -312,15 +312,21 @@ def ivf_ann(
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_train: int = 65_536,
 ) -> DataFrame:
     """IVF-style approximate nearest neighbors: a coarse k-means
     quantizer buckets vectors into inverted lists; each query probes
     its ``n_probe`` nearest centroids and searches only those lists.
 
     Layout (the 100 TB shape):
-    - TRAIN: centroids fitted on a driver-side sample (here: the whole
-      table — it is tiny locally; at scale you'd sample ~1M vectors),
-      deterministic seed = the lowest ``n_clusters`` ids.
+    - TRAIN: centroids fitted on a BOUNDED deterministic sample — the
+      ``n_train`` vectors with the smallest portable md5 of their id
+      (orderBy + limit = TakeOrdered: per-partition top-n then a
+      driver merge of n_train rows; the full table never reaches the
+      driver). The hash order makes the sample independent of
+      partitioning/layout, so training is reproducible run-to-run at
+      any scale. Seed centroids = the lowest ``n_clusters`` ids of the
+      sample.
     - ASSIGN: one scan; mapInPandas argmax against broadcast centroids
       emits (cluster, id, normalized vec) postings, plus n_probe probe
       rows per query. Both sides partition by cluster.
@@ -329,8 +335,17 @@ def ivf_ann(
       is bounded per cluster; only k rows per (query, cluster) shuffle.
     - MERGE: global window top-k over the probed clusters' candidates.
     """
+    from sparkclif.operators.hashing import md5_bits
+
     spark = embeddings.sparkSession
-    pdf = embeddings.select(id_col, vec_col).toPandas().sort_values(id_col)
+    train = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            md5_bits(F.col(id_col).cast("string"), 17, 15), F.col(id_col)
+        )
+        .limit(n_train)
+    )
+    pdf = train.toPandas().sort_values(id_col)
     ids = pdf[id_col].to_numpy()
     mat = _normalize(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
     # deterministic Lloyd iterations (cosine/IP metric on unit vectors)

@@ -60,3 +60,15 @@ def test_isolated_vertices_are_singletons(spark):
 def test_duplicate_and_reversed_edges(spark):
     edges = [(1, 2), (2, 1), (1, 2), (3, 2)]
     _check(spark, 5, edges)
+
+
+def test_unconverged_exit_raises(spark):
+    """Round-4 fix (ADVICE r3): exhausting max_iter without the
+    changed==0 break must raise, not silently return over-split
+    labels (a 16-chain cannot settle in 1 round)."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(15)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edf, max_iter=1)

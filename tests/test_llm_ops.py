@@ -239,3 +239,20 @@ def test_lsh_ann_block_merge_is_exact_within_buckets(spark):
     for r in got:
         # every returned neighbor's cosine must match the exact value
         assert abs(r.cosine - round(float(sims[r.vec_id, r.neighbor_id]), 4)) < 1e-9
+
+
+def test_minhash_band_guard_checks_actual_signature_length(spark):
+    """Round-4 fix (ADVICE r3): the divides-guard must fire on the
+    ACTUAL signature array length, not just the caller-declared
+    num_hashes — a 6-lane signature with num_bands=4 would silently
+    drop the trailing 2 lanes from every band."""
+    import pytest
+
+    from sparkclif.operators import dedup as D
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6]), (2, [1, 2, 3, 4, 5, 6])],
+        "doc_id long, signature array<long>",
+    )
+    with pytest.raises(Exception, match="must divide signature length"):
+        D.minhash_candidate_pairs(sigs, num_bands=4, num_hashes=None).collect()

@@ -114,3 +114,64 @@ def test_stream_upsert_keeps_whole_rows(spark, tmp_path):
     row = state[(state["user_id"] == 7)].iloc[0]
     assert int(row["event_id"]) == 2
     assert np.isnan(row["value"]) or row["value"] is None
+
+
+def test_distributed_percentiles_keep_all_null_groups(spark):
+    """Round-4 fix (ADVICE r3): a group whose values are ALL NULL must
+    survive every dispatch path with a NULL percentile — the
+    distributed path used to drop it at the isNotNull filter. Also
+    covers the mixed case: all-NULL in ONE value column but not the
+    other must NULL only that column."""
+    from sparkclif.operators.rank import exact_percentiles
+
+    rows = [
+        ("a", 1.0, 10.0),
+        ("a", 3.0, 20.0),
+        ("allnull", None, 30.0),  # v all-NULL, u has values
+        ("allnull", None, 40.0),
+        ("bothnull", None, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, u double")
+    specs = [("v", 0.5, "p50_v"), ("u", 0.5, "p50_u")]
+    want = {
+        "a": (2.0, 15.0),
+        "allnull": (None, 35.0),
+        "bothnull": (None, None),
+    }
+    for path in ("kernel", "window", "bracket", "distributed"):
+        got = {
+            r["g"]: (r["p50_v"], r["p50_u"])
+            for r in exact_percentiles(df, "g", specs, force=path).collect()
+        }
+        assert got == want, f"path={path}: {got}"
+
+
+def test_asof_equal_time_right_applies_only_if_seq_strictly_smaller(spark):
+    """Round-4 fix (ADVICE r3): with log-order sequences, an
+    equal-time right row applies only when its sequence PRECEDES the
+    left's — sequential replay of an event log. A right at the same
+    (time, seq>=left_seq) must not be visible."""
+    from sparkclif.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 5), (1, 100, 2), (1, 200, 9)], "k long, t long, seq long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, 2, "seq2"),  # visible to left seq>2 only
+            (1, 100, 5, "seq5"),  # equal to left seq=5: NOT visible to it
+            (1, 150, 7, "mid"),
+        ],
+        "k long, t long, seq long, tag string",
+    )
+    out = {
+        (r["t"], r["seq"]): r["asof_tag"]
+        for r in asof_join(
+            left, right, left_key="k", right_key="k",
+            left_time="t", right_time="t", payload=["tag"], tiebreak="seq",
+            left_seq="seq", right_seq="seq",
+        ).collect()
+    }
+    assert out[(100, 2)] is None, "right at same (t, seq) must not apply"
+    assert out[(100, 5)] == "seq2", "only the strictly-preceding right applies"
+    assert out[(200, 9)] == "mid"
