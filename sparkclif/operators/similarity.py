@@ -99,6 +99,81 @@ def cosine_topk(
     )
 
 
+def _lsh_tag(
+    embeddings: DataFrame,
+    *,
+    n_planes: int | None,
+    n_tables: int,
+    dim: int,
+    seed: int,
+    target_bucket: int,
+    id_col: str,
+    vec_col: str,
+    n_rows: int | None,
+    broadcast_vectors: bool | None,
+) -> tuple[DataFrame, object, int]:
+    """Shared LSH bucketing front-end (lsh_ann + the at-scale
+    threshold-pairs candidate generator): one scan computes ALL
+    tables' random-hyperplane signature bits in a single BLAS matmul
+    against the broadcast plane matrix and emits (table_id, bucket,
+    id[, normalized vec]) tags. Returns (tagged_df, bc_vecs,
+    n_planes): bc_vecs is the broadcast (ids, matrix) when vectors fit
+    the broadcast bound (then only 3-long tags cross the bucket
+    shuffle), else None and each tag carries its normalized vector."""
+    spark = embeddings.sparkSession
+    rng = np.random.RandomState(seed)
+    n = n_rows
+    if n_planes is None:
+        # n_rows lets callers supply a metadata-cheap count (counting
+        # THIS df would run its whole lineage, e.g. a spread() shuffle)
+        n = n_rows if n_rows is not None else embeddings.count()
+        n_planes = max(4, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
+        n_planes = min(n_planes, 62)
+    if broadcast_vectors is None:
+        broadcast_vectors = n is not None and n * dim <= 4_000_000
+    # same rng stream as drawing each table's (n_planes, dim) in turn
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    bc = spark.sparkContext.broadcast((planes.reshape(n_tables * n_planes, dim), powers))
+
+    bc_vecs = None
+    if broadcast_vectors:
+        vpdf = embeddings.select(id_col, vec_col).toPandas()
+        v_ids = vpdf[id_col].to_numpy()
+        v_mat = _normalize(np.vstack(vpdf[vec_col].to_numpy()).astype(np.float64))
+        bc_vecs = spark.sparkContext.broadcast((v_ids, v_mat))
+
+    resolved_planes = n_planes
+
+    def signature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flat_planes, pw = bc.value
+        for batch in batches:
+            b_ids = batch[id_col].to_numpy()
+            q = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
+            # (|batch|, tables*planes) dots -> sign bits -> packed longs
+            bits = (q @ flat_planes.T) > 0
+            sigs = bits.reshape(len(b_ids), n_tables, resolved_planes) @ pw
+            frames = []
+            for t in range(n_tables):
+                cols = {
+                    "table_id": np.full(len(b_ids), t, dtype=np.int64),
+                    "bucket": sigs[:, t],
+                    "vec_id": b_ids,
+                }
+                if not broadcast_vectors:
+                    cols["nv"] = list(q)
+                frames.append(pd.DataFrame(cols))
+            yield pd.concat(frames, ignore_index=True)
+
+    tag_schema = "table_id long, bucket long, vec_id long" + (
+        "" if broadcast_vectors else ", nv array<double>"
+    )
+    tagged = embeddings.select(id_col, vec_col).mapInPandas(
+        signature_kernel, tag_schema
+    )
+    return tagged, bc_vecs, n_planes
+
+
 def lsh_ann(
     embeddings: DataFrame,
     k: int = 3,
@@ -141,54 +216,17 @@ def lsh_ann(
     otherwise every vector crosses the wire n_tables times. Past the
     broadcast bound the carry-vectors plan is the scale path (vectors
     co-shuffle with their bucket; nothing is ever driver-sized)."""
-    spark = embeddings.sparkSession
-    rng = np.random.RandomState(seed)
-    n = n_rows
-    if n_planes is None:
-        # n_rows lets callers supply a metadata-cheap count (counting
-        # THIS df would run its whole lineage, e.g. a spread() shuffle)
-        n = n_rows if n_rows is not None else embeddings.count()
-        n_planes = max(4, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
-        n_planes = min(n_planes, 62)
-    if broadcast_vectors is None:
-        broadcast_vectors = n is not None and n * dim <= 4_000_000
-    # same rng stream as drawing each table's (n_planes, dim) in turn
-    planes = rng.normal(size=(n_tables, n_planes, dim))
-    powers = (1 << np.arange(n_planes)).astype(np.int64)
-    bc = spark.sparkContext.broadcast((planes.reshape(n_tables * n_planes, dim), powers))
-
-    bc_vecs = None
-    if broadcast_vectors:
-        vpdf = embeddings.select(id_col, vec_col).toPandas()
-        v_ids = vpdf[id_col].to_numpy()
-        v_mat = _normalize(np.vstack(vpdf[vec_col].to_numpy()).astype(np.float64))
-        bc_vecs = spark.sparkContext.broadcast((v_ids, v_mat))
-
-    def signature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        flat_planes, pw = bc.value
-        for batch in batches:
-            b_ids = batch[id_col].to_numpy()
-            q = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
-            # (|batch|, tables*planes) dots -> sign bits -> packed longs
-            bits = (q @ flat_planes.T) > 0
-            sigs = bits.reshape(len(b_ids), n_tables, n_planes) @ pw  # (|batch|, tables)
-            frames = []
-            for t in range(n_tables):
-                cols = {
-                    "table_id": np.full(len(b_ids), t, dtype=np.int64),
-                    "bucket": sigs[:, t],
-                    "vec_id": b_ids,
-                }
-                if not broadcast_vectors:
-                    cols["nv"] = list(q)
-                frames.append(pd.DataFrame(cols))
-            yield pd.concat(frames, ignore_index=True)
-
-    tag_schema = "table_id long, bucket long, vec_id long" + (
-        "" if broadcast_vectors else ", nv array<double>"
-    )
-    tagged = embeddings.select(id_col, vec_col).mapInPandas(
-        signature_kernel, tag_schema
+    tagged, bc_vecs, _ = _lsh_tag(
+        embeddings,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        seed=seed,
+        target_bucket=target_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_rows=n_rows,
+        broadcast_vectors=broadcast_vectors,
     )
 
     def bucket_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -300,6 +338,101 @@ def cosine_threshold_pairs(
 
     blocks = embeddings.select(id_col, vec_col).mapInPandas(block_pairs, PAIRS_SCHEMA)
     return blocks.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).filter(F.col("cosine") >= tau)
+
+
+def cosine_threshold_pairs_lsh(
+    embeddings: DataFrame,
+    tau: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    target_bucket: int = 32,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    broadcast_vectors: bool | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs PAST the broadcast bound: LSH
+    buckets generate candidates, the exact cosine kernel verifies them
+    in-bucket — the scale path ``cosine_threshold_pairs``'s docstring
+    promises once one side no longer fits executor memory.
+
+    Plan shape: one scan tags each vector into ``n_tables`` OR-ed
+    hyperplane buckets (shared ``_lsh_tag`` front-end); one bucket
+    groupBy shuffles tags (id-only when vectors broadcast, else tags
+    carry their vector — nothing is ever driver-sized on that path);
+    per bucket a members x members BLAS matmul emits only (id_a <
+    id_b, cosine >= tau) pairs; one final groupBy dedups pairs that
+    collided in several tables (bit-identical cosines, exact dedup).
+
+    Semantics: a SUBSET of cosine_threshold_pairs with one-sided
+    error — every emitted pair is exact-verified (precision 1.0);
+    recall is the LSH collision probability (1-(1-p^planes)^tables,
+    p = 1-theta/pi), concentrated on high-cosine pairs — the ones
+    dedup keeps or drops. Parity + recall vs the broadcast path are
+    pinned in tests/test_llm_ops.py; SCALE.md documents when each
+    path engages."""
+    tagged, bc_vecs, _ = _lsh_tag(
+        embeddings,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        seed=seed,
+        target_bucket=target_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_rows=n_rows,
+        broadcast_vectors=broadcast_vectors,
+    )
+
+    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if bc_vecs is not None:
+            all_ids, all_mat = bc_vecs.value
+            lookup = pd.Index(all_ids)
+        frames = []
+        for (_t, _b), grp in pdf.groupby(["table_id", "bucket"], sort=False):
+            # oversized bucket: hash carries no signal there — drop
+            # (same skew/memory guard as lsh_ann, wider cap since
+            # threshold output is bounded by qualifying pairs, not k)
+            if len(grp) < 2 or len(grp) > max_bucket:
+                continue
+            m_ids = grp["vec_id"].to_numpy()
+            if bc_vecs is not None:
+                m = all_mat[lookup.get_indexer(m_ids)]
+            else:
+                m = np.vstack(grp["nv"].to_numpy())
+            sims = m @ m.T
+            keep_i, keep_j = np.nonzero(
+                (sims >= tau - 1e-4) & (m_ids[:, None] < m_ids[None, :])
+            )
+            if len(keep_i):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": m_ids[keep_i],
+                            "id_b": m_ids[keep_j],
+                            "cosine": sims[keep_i, keep_j],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        return pd.concat(frames, ignore_index=True)
+
+    coarse = F.pmod(F.xxhash64("table_id", "bucket"), F.lit(64)).alias("__coarse")
+    local = (
+        tagged.withColumn("__coarse", coarse)
+        .groupBy("__coarse")
+        .applyInPandas(bucket_pairs, PAIRS_SCHEMA)
+    )
+    # cross-table dedup: same pair => same vectors => bit-identical
+    # cosine, so max() is an exact dedup; one shuffle of (id, id, cos)
+    deduped = local.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    return deduped.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).filter(F.col("cosine") >= tau)
 

@@ -19,6 +19,7 @@ are oracle-checked locally every round (tests/test_oracle_parity.py).
 
 from sparkclif.queries import (  # noqa: F401
     group_i,
+    group_i_anchors,
     group_j,
     group_h,
     group_a,

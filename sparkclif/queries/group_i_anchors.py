@@ -1,0 +1,279 @@
+"""Group I anchors — exact-SQL-checkable companions for the three
+approximate ANN/dedup queries that are rows-only by construction
+(i_dedup_minhash, i_sim_lsh_ann, i_sim_ivf use seeded xxhash64 /
+numpy RNG planes / k-means, none of which DuckDB can reproduce).
+
+Each anchor swaps ONLY the non-portable ingredient for the
+engine-portable md5 basis (operators/hashing.py) or for integer
+arithmetic, then runs the SAME distributed shape as its approximate
+sibling — so the driver's hash check covers the banding / bucketing /
+assignment machinery end-to-end, the way i_dedup_simhash's exact md5
+oracle covers the simhash kernel:
+
+- i_dedup_minhash_anchor: portable 8-lane min-over-shingle-md5
+  signatures fed through the REAL ``minhash_candidate_pairs``
+  operator (band slicing, bucket groupBy, skew cap, in-bucket pair
+  gen, cross-band dedup). Bucket membership is band-slice equality,
+  so the SQL restatement never needs xxhash64.
+- i_sim_lsh_bucket_stats: random-hyperplane bucketing with
+  Rademacher (+/-1) planes derived from md5 parity and vectors
+  quantized to integer basis points — the sign/pack/bucket/histogram
+  pipeline of lsh_ann with order-independent integer dots (a float
+  dot's sum order is not cross-engine stable; an integer sum is).
+- i_sim_ivf_assign_stats: the IVF ASSIGN phase (broadcast centroids,
+  Arrow-batched argmax kernel) against deterministic centroids (the 8
+  lowest-id vectors) with integer-quantized dot products, ties to the
+  lowest centroid id.
+
+Quantization uses floor(v * 10000): floor of an identical IEEE double
+is identical in both engines, where round() diverges on
+shortest-decimal boundaries (see i_dedup_keep_best's oracle note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkclif.io import spread, table
+from sparkclif.operators import dedup as D
+from sparkclif.operators.hashing import md5_bits
+from sparkclif.operators.text import word_shingles
+from sparkclif.registry import register
+
+N_LANES = 8  # portable minhash lanes (anchor-sized; production uses 32)
+N_PLANES = 8  # Rademacher hyperplanes -> 256 buckets
+N_DIM = 64
+N_CENTROIDS = 8
+QUANT = 10_000.0  # basis points
+
+
+def _rademacher_sign(plane: int, dim: int) -> int:
+    """+1/-1 from the parity of the LAST hex char of
+    md5('plane{b}:{d}') — the same value DuckDB computes as
+    ('0x' || substr(md5(...), 32, 1))::INT % 2. Plain public hashlib;
+    the oracle recomputes it independently, so a driver hash-green IS
+    the cross-engine proof."""
+    h = hashlib.md5(f"plane{plane}:{dim}".encode()).hexdigest()
+    return 1 if int(h[31], 16) % 2 == 0 else -1
+
+
+@register(
+    "i_dedup_minhash_anchor",
+    # Exact restatement: lane l of a doc's signature is
+    # min over shingles of md5_bits('L{l}:' || shingle); a candidate
+    # pair is two docs sharing an identical 4-lane band slice in a
+    # bucket of size [2, 256]; est_jaccard = lane agreement / 8
+    # (k/8 is exactly representable, so round(_, 4) is stable).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingle
+        FROM toks
+    ),
+    mins AS (
+        SELECT doc_id, l.lane,
+               min(('0x' || substr(md5('L' || CAST(l.lane AS VARCHAR) || ':' || shingle),
+                                   17, 15))::BIGINT) AS v
+        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS lane) l
+        GROUP BY doc_id, l.lane
+    ),
+    sigs AS (
+        SELECT doc_id, list(v ORDER BY lane) AS sig FROM mins GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, sig, b.band, sig[b.band * 4 + 1 : b.band * 4 + 4] AS bslice
+        FROM sigs CROSS JOIN (SELECT unnest(range(2)) AS band) b
+    ),
+    bsize AS (
+        SELECT band, bslice, count(*) AS n FROM bands GROUP BY band, bslice
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bslice = b.bslice
+                        AND b.doc_id > a.doc_id
+        JOIN bsize s ON s.band = a.band AND s.bslice = a.bslice
+        WHERE s.n BETWEEN 2 AND 256
+    )
+    SELECT id_a, id_b,
+           round(count(*) FILTER (WHERE sig_a[l.i] = sig_b[l.i]) / 8.0, 4)
+               AS est_jaccard
+    FROM cand CROSS JOIN (SELECT unnest(range(1, 9)) AS i) l
+    GROUP BY id_a, id_b
+    """,
+)
+def i_dedup_minhash_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding with PORTABLE signatures: the real
+    ``minhash_candidate_pairs`` operator (band slice -> bucket groupBy
+    -> skew-capped in-bucket pair gen -> cross-band dedup) fed 8-lane
+    min-over-md5 signatures instead of the seeded-xxhash64 production
+    ones — turning the rows-only i_dedup_minhash machinery into a
+    driver hash-checkable query."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("__sh"))
+
+    def lane_min(lane: int):
+        # closure helper, NOT a default arg on the transform lambda: a
+        # two-parameter lambda would make pyspark pass (element, index)
+        return F.array_min(
+            F.transform(
+                "__sh",
+                lambda s: md5_bits(F.concat(F.lit(f"L{lane}:"), s), 17, 15),
+            )
+        )
+
+    lanes = [lane_min(l) for l in range(N_LANES)]
+    sigs = sh.filter(F.size("__sh") >= 1).select(
+        "doc_id", F.array(*lanes).alias("signature")
+    )
+    return D.minhash_candidate_pairs(
+        sigs, num_bands=2, max_bucket=256, num_hashes=N_LANES
+    )
+
+
+@register(
+    "i_sim_lsh_bucket_stats",
+    # Exact restatement of the bucketing pipeline: per plane b, the
+    # sign bit of sum_d sign(b,d) * floor(v[d] * 10000) (an integer
+    # dot — order-independent, unlike a float sum); bucket = packed
+    # bits; output the per-vector bucket plus the bucket-size
+    # histogram (the quantity lsh_ann's plane-count auto-sizing
+    # controls).
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    signs AS (
+        SELECT p.b, d.d,
+               CASE WHEN ('0x' || substr(md5('plane' || CAST(p.b AS VARCHAR) || ':'
+                                             || CAST(d.d - 1 AS VARCHAR)), 32, 1))
+                         ::INT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range(8)) AS b) p
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+    ),
+    dots AS (
+        SELECT e.vec_id, s.b,
+               sum(s.s * CAST(floor(e.v[s.d] * 10000) AS BIGINT)) AS dot
+        FROM e CROSS JOIN signs s
+        GROUP BY e.vec_id, s.b
+    ),
+    bk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id
+    )
+    SELECT vec_id, bucket,
+           CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+    FROM bk
+    """,
+)
+def i_sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket assignment + bucket-size histogram with md5-derived
+    Rademacher planes and integer-quantized vectors — the exact-SQL
+    anchor for i_sim_lsh_ann's sign/pack/bucket machinery. Pure JVM
+    expressions: one zip_with + aggregate per plane over the embedding
+    array (scan-side; the only shuffle is the bucket-size window)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * QUANT).cast("long"),
+    )
+    tagged = emb.select("vec_id", q.alias("__q"))
+    bits = []
+    for b in range(N_PLANES):
+        signs = F.array(
+            *[F.lit(_rademacher_sign(b, d)) for d in range(N_DIM)]
+        )
+        dot = F.aggregate(
+            F.zip_with("__q", signs, lambda v, s: v * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0)))
+    bucket = sum(bits[1:], bits[0]).alias("bucket")
+    buckets = tagged.select("vec_id", bucket)
+    w = Window.partitionBy("bucket")
+    return buckets.withColumn("bucket_size", F.count("*").over(w).cast("long"))
+
+
+@register(
+    "i_sim_ivf_assign_stats",
+    cache_plan=False,  # builds the centroid broadcast at plan time
+    # Exact restatement of the ASSIGN phase: nearest of 8
+    # deterministic centroids (the lowest-id vectors) by integer-
+    # quantized dot product, ties to the lowest centroid id.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    scores AS (
+        SELECT e.vec_id, c.c_id,
+               CAST(sum(CAST(floor(e.v[d.d] * 10000) AS BIGINT)
+                        * CAST(floor(c.cv[d.d] * 10000) AS BIGINT))
+                    AS BIGINT) AS score
+        FROM e
+        CROSS JOIN cent c
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY e.vec_id, c.c_id
+    )
+    SELECT vec_id, c_id AS cluster, score
+    FROM scores
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, c_id) = 1
+    """,
+)
+def i_sim_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ASSIGN anchor: every vector assigned to its nearest of 8
+    deterministic centroids (lowest vec_ids) under integer-quantized
+    dot products — the broadcast-centroids + Arrow-batched argmax
+    kernel of ivf_ann, made exact-SQL-checkable. int64 matmul is
+    exact; ties break to the lowest centroid id on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent_pdf = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    c_ids = cent_pdf["vec_id"].to_numpy()
+    c_mat = np.floor(
+        np.vstack(cent_pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+    ).astype(np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cmat = bc.value
+        for batch in batches:
+            v_ids = batch["vec_id"].to_numpy()
+            q = np.floor(
+                np.vstack(batch["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            scores = q @ cmat.T  # exact int64
+            # argmax keeps the FIRST max -> lowest centroid id (cmat
+            # rows are id-sorted) — the oracle's (score DESC, c_id) tie
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": v_ids,
+                    "cluster": ids[best],
+                    "score": scores[np.arange(len(v_ids)), best],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster long, score long"
+    )

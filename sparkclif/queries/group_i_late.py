@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkclif.io import table
+from sparkclif.operators import similarity as S
 from sparkclif.operators import text as T
 from sparkclif.registry import register
 
@@ -127,3 +128,26 @@ def i_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "i_dedup_embedding_at_scale",
+    cache_plan=False,  # builds plane/vector broadcasts at plan time
+    # rows-only: the LSH candidate generator is approximate by
+    # construction (recall < 1 on low-cosine pairs). Its one-sided
+    # error (precision 1.0: every emitted pair is exact-verified) and
+    # high-cosine recall >= 0.9 are pinned against the broadcast path
+    # in tests/test_llm_ops.py; the bucketing machinery itself has an
+    # exact-SQL anchor in i_sim_lsh_bucket_stats.
+    oracle=None,
+)
+def i_dedup_embedding_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs PAST the broadcast bound — the scale
+    path i_dedup_embedding's docstring promises: LSH buckets generate
+    candidates (one tag scan + one bucket shuffle), the exact cosine
+    kernel verifies within buckets, cross-table dedup emits each pair
+    once. Same output contract as i_dedup_embedding, one-sided error
+    (subset, exact cosines). See operators/similarity.py
+    cosine_threshold_pairs_lsh and SCALE.md."""
+    raw = table(spark, sf_dir, "embeddings")
+    return S.cosine_threshold_pairs_lsh(raw, tau=0.4, n_rows=raw.count())

@@ -256,3 +256,41 @@ def test_minhash_band_guard_checks_actual_signature_length(spark):
     )
     with pytest.raises(Exception, match="must divide signature length"):
         D.minhash_candidate_pairs(sigs, num_bands=4, num_hashes=None).collect()
+
+
+def test_threshold_pairs_lsh_precision_and_recall(spark, sf_dir, emb_np):
+    """The at-scale embedding-dedup path (LSH candidates + exact
+    in-bucket verify) vs the broadcast exact path: every emitted pair
+    must appear in the exact result WITH THE SAME COSINE (one-sided
+    error: precision 1.0), recall on the high-cosine pairs dedup
+    actually acts on (>= 0.9) must be near-total, and the broadcast /
+    carry-vector variants must agree row-for-row."""
+    ids, mat = emb_np
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_threshold_pairs(emb, tau=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_threshold_pairs_lsh(
+            emb, tau=0.4, n_rows=len(ids), broadcast_vectors=True
+        ).collect()
+    }
+    assert approx, "LSH threshold pairs returned nothing"
+    for pair, cos in approx.items():
+        assert pair in exact, f"false positive pair {pair}"
+        assert cos == exact[pair], f"cosine mismatch on {pair}"
+    high = {p for p, c in exact.items() if c >= 0.9}
+    if high:
+        found_high = sum(1 for p in high if p in approx)
+        assert found_high / len(high) >= 0.9, (
+            f"high-cosine recall {found_high}/{len(high)} below 0.9"
+        )
+    carry = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_threshold_pairs_lsh(
+            emb, tau=0.4, n_rows=len(ids), broadcast_vectors=False
+        ).collect()
+    }
+    assert carry == approx, "broadcast and carry-vector variants diverge"
