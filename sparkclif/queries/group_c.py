@@ -16,7 +16,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -286,21 +288,48 @@ BUCKET_TABLES = {
 }
 
 
+def _src_fingerprint(sf_dir: str, src: str) -> dict:
+    """Cheap source-identity stamp (path + size + mtime): detects a
+    regenerated source parquet without scanning it. A false-stale
+    (touched but identical file) costs one harmless rewrite; serving
+    buckets built from DIFFERENT data would be silently wrong."""
+    p = f"{sf_dir.rstrip('/')}/{src}.parquet"
+    st = os.stat(p)
+    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
 def _ensure_bucketed(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Idempotent per-SF bucketed table. Bucketing is an ETL-TIME layout
     decision — the canonical stored form of a 100 TB fact table — so the
     write happens once per scale factor, not once per query. If the
     files exist but this (fresh in-memory) catalog has lost the table,
     re-register the existing layout with CREATE TABLE ... CLUSTERED BY
-    DDL instead of rewriting the data."""
+    DDL instead of rewriting the data.
+
+    Staleness guard: the write stamps the source's (path, size, mtime)
+    into ``_sparkclif_src.json`` inside the table dir (underscore
+    prefix => invisible to the parquet FileIndex). Any reuse path —
+    catalog hit or DDL re-register — first checks the stamp against
+    the CURRENT source file, so a warehouse surviving a testdata
+    regeneration can never serve buckets of the old data."""
     src, cols, key = BUCKET_TABLES[name]
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
     tbl = f"{name}_{tag}"
-    if spark.catalog.tableExists(tbl):
-        return tbl
+    want = _src_fingerprint(sf_dir, src)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     loc = f"{warehouse}/{tbl}"
-    if os.path.exists(f"{loc}/_SUCCESS"):
+    meta_file = f"{loc}/_sparkclif_src.json"
+    try:
+        with open(meta_file) as fh:
+            fresh = json.load(fh) == want
+    except (OSError, ValueError):
+        fresh = False
+
+    if spark.catalog.tableExists(tbl):
+        if fresh:
+            return tbl
+        spark.sql(f"DROP TABLE {tbl}")  # stale buckets: rebuild below
+    if fresh and os.path.exists(f"{loc}/_SUCCESS"):
         ddl = ", ".join(f"{c} {t}" for c, t in cols)
         spark.sql(
             f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
@@ -308,8 +337,12 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str, name: str) -> str:
             f"LOCATION '{loc}'"
         )
         return tbl
+    # stale or absent: full rewrite (external-table DROP leaves files)
+    shutil.rmtree(loc, ignore_errors=True)
     df = table(spark, sf_dir, src).select(*[c for c, _ in cols])
     df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+    with open(meta_file, "w") as fh:
+        json.dump(want, fh)
     return tbl
 
 

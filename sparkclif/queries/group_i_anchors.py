@@ -50,6 +50,23 @@ N_DIM = 64
 N_CENTROIDS = 8
 QUANT = 10_000.0  # basis points
 
+# Universal-hash lane constants for the portable minhash: lane value =
+# (a_l * h + b_l) mod P over the 32-bit md5 base hash h. Everything
+# stays under 2^63 (a < 2^30, h < 2^32 => a*h + b < 2^62 + 2^61), so
+# BIGINT arithmetic is exact and identical in Spark, numpy, and
+# DuckDB. Constants are md5-derived (public hashlib) and inlined into
+# the oracle SQL below at import; P = 2^61 - 1 (Mersenne prime).
+MINHASH_P = (1 << 61) - 1
+
+
+def _lane_const(tag: str, lane: int, mod: int, min_val: int) -> int:
+    h = hashlib.md5(f"minhash{tag}:{lane}".encode()).hexdigest()
+    return max(int(h[:15], 16) % mod, min_val)
+
+
+MINHASH_A = [_lane_const("A", l, 1 << 30, 1) for l in range(N_LANES)]
+MINHASH_B = [_lane_const("B", l, MINHASH_P, 0) for l in range(N_LANES)]
+
 
 def _rademacher_sign(plane: int, dim: int) -> int:
     """+1/-1 from the parity of the LAST hex char of
@@ -64,11 +81,14 @@ def _rademacher_sign(plane: int, dim: int) -> int:
 @register(
     "i_dedup_minhash_anchor",
     # Exact restatement: lane l of a doc's signature is
-    # min over shingles of md5_bits('L{l}:' || shingle); a candidate
-    # pair is two docs sharing an identical 4-lane band slice in a
-    # bucket of size [2, 256]; est_jaccard = lane agreement / 8
-    # (k/8 is exactly representable, so round(_, 4) is stable).
-    oracle="""
+    # min over shingles of (a_l * h + b_l) mod P, h = the low 32 md5
+    # bits of the shingle (ONE md5 per shingle — the same two-stage
+    # O(shingles), not O(shingles * k), shape as production minhash);
+    # a candidate pair is two docs sharing an identical 4-lane band
+    # slice in a bucket of size [2, 256]; est_jaccard = lane
+    # agreement / 8 (k/8 is exactly representable, so round(_, 4) is
+    # stable).
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
@@ -80,11 +100,18 @@ def _rademacher_sign(plane: int, dim: int) -> int:
                        for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingle
         FROM toks
     ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 25, 8))::BIGINT AS h
+        FROM sh
+    ),
+    lanes AS (
+        SELECT * FROM (VALUES {", ".join(
+            f"({l}, {MINHASH_A[l]}, {MINHASH_B[l]})" for l in range(N_LANES)
+        )}) AS t(lane, a, b)
+    ),
     mins AS (
-        SELECT doc_id, l.lane,
-               min(('0x' || substr(md5('L' || CAST(l.lane AS VARCHAR) || ':' || shingle),
-                                   17, 15))::BIGINT) AS v
-        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS lane) l
+        SELECT doc_id, l.lane, min((l.a * h + l.b) % {MINHASH_P}) AS v
+        FROM hashed CROSS JOIN lanes l
         GROUP BY doc_id, l.lane
     ),
     sigs AS (
@@ -117,26 +144,42 @@ def i_dedup_minhash_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding with PORTABLE signatures: the real
     ``minhash_candidate_pairs`` operator (band slice -> bucket groupBy
     -> skew-capped in-bucket pair gen -> cross-band dedup) fed 8-lane
-    min-over-md5 signatures instead of the seeded-xxhash64 production
-    ones — turning the rows-only i_dedup_minhash machinery into a
-    driver hash-checkable query."""
+    signatures built exactly like production minhash_signatures —
+    base hash once per shingle scan-side (JVM md5, but the PORTABLE
+    low-32-bit basis instead of xxhash64), then all lanes as one
+    vectorized numpy remix ((a*h+b) mod P universal hashing in exact
+    int64) — turning the rows-only i_dedup_minhash machinery into a
+    driver hash-checkable query. An earlier formulation evaluated
+    md5('L{l}:'||shingle) per lane inside array lambdas: higher-order
+    functions are interpreted, not codegen'd, and 8 interpreted md5
+    chains per shingle measured 37 s at sf0.1 vs ~1 s for this shape."""
+    import numpy as np
+    import pandas as pd
+
     docs = spread(table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("__sh"))
-
-    def lane_min(lane: int):
-        # closure helper, NOT a default arg on the transform lambda: a
-        # two-parameter lambda would make pyspark pass (element, index)
-        return F.array_min(
-            F.transform(
-                "__sh",
-                lambda s: md5_bits(F.concat(F.lit(f"L{lane}:"), s), 17, 15),
-            )
-        )
-
-    lanes = [lane_min(l) for l in range(N_LANES)]
-    sigs = sh.filter(F.size("__sh") >= 1).select(
-        "doc_id", F.array(*lanes).alias("signature")
+    based = docs.select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col("text"), 3), lambda s: md5_bits(s, 25, 8)
+        ).alias("__h"),
     )
+    a_vec = np.array(MINHASH_A, dtype=np.int64)
+    b_vec = np.array(MINHASH_B, dtype=np.int64)
+
+    def remix_min(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for did, h in zip(batch["doc_id"], batch["__h"]):
+                if h is None or len(h) == 0:
+                    continue  # too short to shingle: no signature
+                base = np.asarray(h, dtype=np.int64)
+                # a*h + b < 2^62 + 2^61: exact in int64, no wraparound
+                mixed = (base[:, None] * a_vec[None, :] + b_vec[None, :]) % MINHASH_P
+                ids.append(did)
+                sigs.append(mixed.min(axis=0))
+            yield pd.DataFrame({"doc_id": ids, "signature": sigs})
+
+    sigs = based.mapInPandas(remix_min, "doc_id long, signature array<long>")
     return D.minhash_candidate_pairs(
         sigs, num_bands=2, max_bucket=256, num_hashes=N_LANES
     )
@@ -181,28 +224,40 @@ def i_dedup_minhash_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i_sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket assignment + bucket-size histogram with md5-derived
     Rademacher planes and integer-quantized vectors — the exact-SQL
-    anchor for i_sim_lsh_ann's sign/pack/bucket machinery. Pure JVM
-    expressions: one zip_with + aggregate per plane over the embedding
-    array (scan-side; the only shuffle is the bucket-size window)."""
+    anchor for i_sim_lsh_ann's sign/pack/bucket machinery, run as the
+    SAME kernel shape lsh_ann uses: one Arrow-batched matmul against
+    the broadcast (planes, dim) sign matrix (int64: floor-quantized
+    components x +/-1 planes — exact, order-independent, so the SQL
+    restatement is bit-identical). Scan-side; the only shuffle is the
+    bucket-size window. (An expression formulation — one interpreted
+    zip_with+aggregate per plane — measured ~4x slower: higher-order
+    lambdas don't codegen.)"""
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda v: F.floor(v * QUANT).cast("long"),
+    signs = np.array(
+        [[_rademacher_sign(b, d) for d in range(N_DIM)] for b in range(N_PLANES)],
+        dtype=np.int64,
     )
-    tagged = emb.select("vec_id", q.alias("__q"))
-    bits = []
-    for b in range(N_PLANES):
-        signs = F.array(
-            *[F.lit(_rademacher_sign(b, d)) for d in range(N_DIM)]
-        )
-        dot = F.aggregate(
-            F.zip_with("__q", signs, lambda v, s: v * s.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0)))
-    bucket = sum(bits[1:], bits[0]).alias("bucket")
-    buckets = tagged.select("vec_id", bucket)
+    powers = (1 << np.arange(N_PLANES)).astype(np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((signs, powers))
+
+    def bucket_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sg, pw = bc.value
+        for batch in batches:
+            v_ids = batch["vec_id"].to_numpy()
+            q = np.floor(
+                np.vstack(batch["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            bits = (q @ sg.T) >= 0  # integer dots: exact sign
+            yield pd.DataFrame(
+                {"vec_id": v_ids, "bucket": (bits.astype(np.int64) @ pw)}
+            )
+
+    buckets = emb.select("vec_id", "embedding").mapInPandas(
+        bucket_kernel, "vec_id long, bucket long"
+    )
     w = Window.partitionBy("bucket")
     return buckets.withColumn("bucket_size", F.count("*").over(w).cast("long"))
 

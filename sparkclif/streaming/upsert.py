@@ -3,10 +3,14 @@ reference's racy whole-file JSON rewrite per mutation (state.py:70-90,
 SURVEY.md §3.1 step 5).
 
 Pattern: file-source micro-batches -> watermark + dropDuplicates
-(exactly-once-ish event dedup) -> foreachBatch MERGE into the status
-table. Here the MERGE target is an in-memory accumulator (local
-harness); on a cluster it is a Delta/Iceberg MERGE INTO keyed on
-(user_id, event_type) — the interface is the batch_merge callback.
+(exactly-once-ish event dedup) -> foreachBatch MERGE into a
+SPARK-SIDE last-wins parquet state table (versioned directory swap —
+the copy-on-write MERGE INTO pattern of Delta/Iceberg, minus the
+transaction log the container doesn't ship). No event row ever lives
+on the driver: the only driver-held state is the watermark horizon
+(one integer) and the current-version path. On a cluster the
+batch_merge callback body is a real MERGE INTO keyed on
+(user_id, event_type) — the seam is unchanged.
 
 Determinism: last-wins resolved by (ts, event_id) — the same explicit
 tiebreak the batch upsert uses (f_distinct), so batch/stream parity is
@@ -14,6 +18,8 @@ testable row-for-row.
 """
 
 from __future__ import annotations
+
+import shutil
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -36,13 +42,16 @@ def stream_upsert_events(
     source_dir: str,
     schema,
     watermark: str = "1 hour",
+    state_dir: str | None = None,
 ) -> pd.DataFrame:
     """Run a real Structured Streaming query over a file source and
-    fold micro-batches into a last-wins state table.
-
-    Returns the final state as pandas (the local stand-in for the
-    MERGE-target table). One file per trigger => multiple genuine
-    micro-batches, exercising cross-batch upsert semantics.
+    fold micro-batches into a Spark-side last-wins parquet state
+    table (versioned dir per epoch, copy-on-write swap; the previous
+    version is the read side of the merge and is deleted once the new
+    version is fully written). One file per trigger => multiple
+    genuine micro-batches, exercising cross-batch upsert semantics.
+    Returns the FINAL state as pandas (presentation collect only —
+    per-batch state never touches the driver).
 
     Late-data policy: withWatermark + dropDuplicates evicts dedup
     STATE but (verified empirically on Spark 4.x) does not filter
@@ -60,18 +69,17 @@ def stream_upsert_events(
         "hour": 3600,
         "hours": 3600,
     }[unit] * 1_000_000
+    if state_dir is None:
+        state_dir = source_dir.rstrip("/") + "_state"
     horizon: dict[str, int | None] = {"max_us": None}
-    state_box: dict[str, pd.DataFrame | None] = {"df": None}
+    current: dict[str, str | None] = {"path": None}
 
     def batch_merge(batch_df: DataFrame, epoch_id: int) -> None:
-        # batch-local last-wins BEFORE leaving Spark bounds the sink
-        # transfer to one row per touched key (at scale this whole sink
-        # is a MERGE INTO and nothing reaches the driver); the transfer
-        # itself is one Arrow batch, not row-by-row pickling.
-        # max_by(struct) instead of a row_number window: partial
-        # aggregation combines map-side, one shuffle of one row per
-        # touched key, no per-batch full sort. (ts, event_id) struct
-        # comparison is lexicographic = the window's ORDER BY.
+        # batch-local last-wins bounds the merge input to one row per
+        # touched key. max_by(struct) instead of a row_number window:
+        # partial aggregation combines map-side, one shuffle of one row
+        # per touched key, no per-batch full sort. (ts, event_id)
+        # struct comparison is lexicographic = the window's ORDER BY.
         deduped = (
             batch_df.groupBy("user_id", "event_type")
             .agg(
@@ -88,28 +96,32 @@ def stream_upsert_events(
                 F.col("__r.value").alias("value"),
             )
         )
-        pdf = deduped.toPandas()
-        if len(pdf) == 0:
-            return
-        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
+        # the only driver-bound bytes per batch: one max timestamp (the
+        # watermark bookkeeping a cluster keeps anyway). Dedup keeps
+        # each key's max ts, so this equals the raw batch max.
+        batch_max = deduped.agg(
+            F.max(F.unix_micros("ts")).alias("m")
+        ).first()["m"]
+        if batch_max is None:
+            return  # empty batch
         cutoff = None if horizon["max_us"] is None else horizon["max_us"] - delta_us
-        batch_max = int(pdf["ts_us"].max())
         horizon["max_us"] = (
             batch_max if horizon["max_us"] is None else max(horizon["max_us"], batch_max)
         )
+        valid = deduped
         if cutoff is not None:
-            pdf = pdf[pdf["ts_us"] >= cutoff]  # beyond the horizon: dropped
-        merged = pdf if state_box["df"] is None else pd.concat(
-            [state_box["df"], pdf], ignore_index=True
-        )
-        # vectorized last-wins on (ts, event_id). drop_duplicates keeps
-        # the whole newest ROW; groupby(...).last() would take the last
-        # non-NaN PER COLUMN, stitching fields of different events into
-        # a chimera when the newest row has a null field.
-        merged = merged.sort_values(["ts_us", "event_id"], kind="stable")
-        state_box["df"] = merged.drop_duplicates(
-            subset=["user_id", "event_type"], keep="last"
-        ).reset_index(drop=True)
+            # beyond the horizon of PRIOR batches: dropped
+            valid = valid.filter(F.unix_micros("ts") >= cutoff)
+        prev = current["path"]
+        merged = valid
+        if prev is not None:
+            merged = spark.read.parquet(prev).unionByName(valid)
+        new_state = last_wins(merged, ["user_id", "event_type"], ["ts", "event_id"])
+        new_path = f"{state_dir}/v{epoch_id}"
+        new_state.write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -129,13 +141,16 @@ def stream_upsert_events(
         q.processAllAvailable()
         q.stop()
 
-    final = state_box["df"]
-    if final is None:
+    if current["path"] is None:
         return pd.DataFrame(
             columns=["user_id", "event_type", "ts", "event_id", "value"]
         )
+    final = (
+        spark.read.parquet(current["path"])
+        .select("user_id", "event_type", "ts", "event_id", "value")
+        .toPandas()
+    )
     return (
         final.sort_values(["user_id", "event_type"])
-        .loc[:, ["user_id", "event_type", "ts", "event_id", "value"]]
         .reset_index(drop=True)
     )

@@ -53,3 +53,59 @@ def test_ddl_reregister_reuses_files(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "SortMergeJoin" in plan and "Exchange" not in plan
+
+
+def test_stale_source_triggers_rebuild(spark, tmp_path):
+    """Round-4 fix (VERDICT r3): the warehouse can outlive a testdata
+    regeneration (it persists in the repo dir across rounds), so every
+    reuse path must check the source fingerprint stamped at write time
+    — a stale sf directory must trigger a rebuild, never serve buckets
+    of the old data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.io import _session_cache
+
+    sf = str(tmp_path / "sfstale")
+    os.makedirs(sf)
+
+    def write_orders(n: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(n), pa.int64()),
+                    "o_custkey": pa.array([i % 3 for i in range(n)], pa.int64()),
+                    "o_totalprice": pa.array([float(i) for i in range(n)], pa.float64()),
+                }
+            ),
+            f"{sf}/orders.parquet",
+        )
+        # the per-session table cache holds the OLD file's plan; a real
+        # regeneration happens between driver processes where no cache
+        # exists, so drop it rather than model mid-session mutation
+        _session_cache(spark).pop((sf, "orders"), None)
+
+    write_orders(4)
+    tbl = _ensure_bucketed(spark, sf, "b_orders")
+    assert spark.table(tbl).count() == 4
+
+    # same catalog, same session: catalog-hit path must detect staleness
+    write_orders(6)
+    tbl2 = _ensure_bucketed(spark, sf, "b_orders")
+    assert tbl2 == tbl
+    assert spark.table(tbl).count() == 6, "stale buckets served after regen"
+
+    # fresh-catalog (DDL re-register) path must also detect staleness:
+    # drop from the catalog but keep/restore files, then regen source
+    loc = _loc(spark, tbl)
+    stash = loc + ".stash"
+    shutil.rmtree(stash, ignore_errors=True)
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {tbl}")
+    if os.path.exists(loc):
+        shutil.rmtree(stash)
+    else:
+        shutil.move(stash, loc)
+    write_orders(8)
+    tbl3 = _ensure_bucketed(spark, sf, "b_orders")
+    assert spark.table(tbl3).count() == 8, "re-register path served stale buckets"
