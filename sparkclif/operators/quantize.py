@@ -1,0 +1,81 @@
+"""Int8 embedding quantization for training-data pipelines.
+
+Symmetric per-vector int8 quantization — the standard compression step
+before embeddings ship to an ANN index or a feature store:
+``q[i] = trunc(127 * x[i] / scale)`` with ``scale = max|x|``. All math
+runs in the exact integer basis ``floor(v * 10000)`` (the same
+engine-portable quantization the ANN anchors pin down in
+queries/group_i_anchors.py), so every output column is an exact
+integer and bit-identical across engines.
+
+Portability details (each one is load-bearing for the SQL oracle):
+
+- Magnitude and sign are handled separately. Truncating integer
+  division is only engine-portable on non-negatives (Spark ``div``
+  truncates toward zero; DuckDB ``//`` floors — identical on
+  non-negatives, off by one on negatives), so we quantize ``|xi|``.
+- The division itself is stated as ``(127*a - (127*a) % scale) /
+  scale``: the numerator is exactly divisible, so the double division
+  both engines produce is exact — no float-floor edge cases.
+- The reconstruction error is reported as the integer residual energy
+  ``sum(((127*a) % scale)^2)`` — the squared error of ``127 * xi``
+  against ``q * scale`` in the 127× integer basis. Exact BIGINT; the
+  float MSE is this divided by ``(127 * 10000)^2 * dim``.
+
+At 100 TB this is a pure scan kernel: per-row array lambdas inside
+whole-stage codegen, no shuffle, no Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared integer basis with the ANN anchors (group_i_anchors.py).
+QUANT = 10_000
+INT8_MAX = 127
+
+
+def int_basis(vec: Column) -> Column:
+    """``floor(v * 10000)`` per element, BIGINT — the portable basis.
+    The float32 element is widened to DOUBLE before the multiply:
+    DuckDB promotes FLOAT * INTEGER to DOUBLE, while Spark would
+    multiply in FLOAT and floor a value that is one ulp off."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def _lsum(arr: Column) -> Column:
+    """Exact BIGINT sum over an array (0 for empty)."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def int8_quant_stats(vec: Column) -> dict[str, Column]:
+    """Per-vector int8 quantization summary as named columns:
+
+    - ``dim``: vector length
+    - ``scale_int``: max |floor(v*10000)| (>= 1), the per-vector scale
+    - ``sum_q_abs``: sum of quantized magnitudes, each in [0, 127]
+    - ``n_sat``: lanes that hit the int8 max (|q| = 127)
+    - ``n_zero``: lanes that quantize to 0 (underflow — information loss)
+    - ``err_sq``: integer residual energy sum(((127*a) % scale)^2)
+    """
+    xi = int_basis(vec)
+    ax = F.transform(xi, lambda x: F.abs(x))
+    scale = F.greatest(F.coalesce(F.array_max(ax), F.lit(0)), F.lit(1))
+
+    def qmag(a: Column) -> Column:
+        num = a * INT8_MAX
+        return ((num - num % scale) / scale).cast("long")
+
+    qm = F.transform(ax, qmag)
+    res = F.transform(ax, lambda a: (a * INT8_MAX) % scale)
+    return {
+        "dim": F.size(xi).cast("long"),
+        "scale_int": scale,
+        "sum_q_abs": _lsum(qm),
+        "n_sat": F.size(F.filter(qm, lambda q: q == INT8_MAX)).cast("long"),
+        "n_zero": F.size(F.filter(qm, lambda q: q == 0)).cast("long"),
+        "err_sq": _lsum(F.transform(res, lambda r: r * r)),
+    }

@@ -120,3 +120,103 @@ def pack_sequences(
         count_col,
         f"__before div {int(budget)} AS shard_id",
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    rank_name: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based rank under ``order_col`` WITHOUT a per-group
+    single-task sort — the generalization of ``pack_sequences``'s
+    distributed prefix sum to grouped ranking.
+
+    A plain ``row_number() over (partition by g order by o)`` puts an
+    entire group in ONE task; with a handful of large groups (e.g.
+    training shards) that stops being runnable long before 100 TB.
+    Instead: (1) range-partition on (group, order) — one shuffle;
+    each group occupies a contiguous run of partitions and a partition
+    holds at most a few groups' boundary rows; (2) one LIGHT job
+    counts rows per (partition, group) — at most partitions + groups
+    rows to the driver; (3) the exclusive prefix of those counts
+    within each group re-enters the plan as a map literal keyed by
+    (pid, group), and the in-partition rank is a window PARTITIONED BY
+    (pid, group) — parallel across partitions, JVM the whole way.
+    Every task is O(rows / partitions) regardless of group sizes.
+
+    At thousands of partitions × groups swap the map literal for a
+    broadcast join on (pid, group); same shape otherwise.
+
+    ``order_col`` must be unique within a group (ties would make the
+    range-partition boundary split nondeterministic); callers append a
+    unique key to the order expression.
+    """
+    sc = df.sparkSession.sparkContext
+    n_part = num_partitions or sc.defaultParallelism
+    part = df.repartitionByRange(
+        n_part, F.col(group_col), F.col(order_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    # Pin the physical partitioning: RangePartitioner re-samples
+    # boundaries per job (see pack_sequences) — the counts job and the
+    # caller's action must see the SAME layout.
+    part = part.localCheckpoint(eager=True)
+
+    counts = (
+        part.groupBy("__pid", group_col).agg(F.count("*").alias("__c")).collect()
+    )
+    # Exclusive prefix within each group across pids (pid order IS the
+    # group's order because partitioning is by (group, order)).
+    offsets: dict[tuple[int, object], int] = {}
+    acc_by_group: dict[object, int] = {}
+    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["__pid"])):
+        g = r[group_col]
+        offsets[(r["__pid"], g)] = acc_by_group.get(g, 0)
+        acc_by_group[g] = acc_by_group.get(g, 0) + int(r["__c"])
+
+    mapping = F.create_map(
+        *[
+            c
+            for (pid, g), off in sorted(offsets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))
+            for c in (
+                F.concat_ws("|", F.lit(str(pid)), F.lit(str(g))),
+                F.lit(off),
+            )
+        ]
+    )
+    w = Window.partitionBy("__pid", group_col).orderBy(order_col)
+    key = F.concat_ws("|", F.col("__pid").cast("string"), F.col(group_col).cast("string"))
+    return (
+        part.withColumn(rank_name, F.row_number().over(w) + mapping[key])
+        .drop("__pid")
+    )
+
+
+def shard_interleave(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    data: every row gets a shard in [0, n_shards) and a 1-based
+    position within its shard, both pure functions of the key — the
+    write layout a pre-training data loader consumes (shard files,
+    each internally order-randomized, re-runnable bit-for-bit on any
+    engine or cluster size; no RNG seed coordination).
+
+    Two INDEPENDENT portable hashes (domain-separated md5, the
+    operators/hashing.py basis): ``shard|key`` decides the shard,
+    ``pos|key`` decides the within-shard order — using one hash for
+    both would correlate shard membership with position. Positions
+    come from :func:`grouped_rank`, so no per-shard single-task sort.
+    """
+    from sparkclif.operators.hashing import md5_bits
+
+    k = F.col(key_col).cast("string")
+    shard = md5_bits(F.concat(F.lit("shard|"), k), 25, 8) % n_shards
+    ordh = F.md5(F.concat(F.lit("pos|"), k))
+    tagged = df.withColumn("shard", shard).withColumn(
+        "__ord", F.concat_ws("|", ordh, k)
+    )
+    return grouped_rank(tagged, "shard", "__ord", rank_name="pos").drop("__ord")

@@ -97,6 +97,24 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
+def top_token_count(text: Column | str) -> Column:
+    """Count of the single most frequent token (0 for empty docs) —
+    the numerator of the Gopher-style top-token repetition fraction
+    (Rae et al. 2021 §A1.1: docs where one token dominates are
+    boilerplate/spam). Pure array lambdas, O(distinct × tokens) per
+    row, no shuffle, no Python — at 100 TB this is scan-side work."""
+    toks = tokens(text)
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+
+
 ROLLING_MOD = 1_000_000_007
 ROLLING_BASE = 31
 

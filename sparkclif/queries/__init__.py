@@ -18,11 +18,18 @@ c_join_asof, the percentile-path d_agg_percentile), then the
 remaining D/H/A/J + the events-reading c_join_salted (testdata
 timestamp types drift between rounds — keep events readers covered).
 
-Outside the window (27): the group-I text/dedup/similarity queries
-and six C joins, all driver-green in round 3 and untouched since
-(the only edit near them, graph.py's non-convergence raise, cannot
-change a converging run). Every query is still oracle-checked
-locally each round by tests/test_oracle_parity.py.
+The four queries added mid-round-4 (i_text_repetition,
+i_decontaminate, i_shard_interleave, i_embed_quantize) take window
+slots from four round-3-green, untouched queries (c_join_inner,
+d_agg_distinct, d_agg_collect_ordered, d_agg_pivot) — new queries
+must get a first driver CORRECTNESS row (VERDICT r3 finding 1).
+
+Outside the window (31): the group-I text/dedup/similarity queries,
+seven C joins, and three D aggregates — all driver-green in round 3
+and untouched since (the only edit near them, graph.py's
+non-convergence raise, cannot change a converging run). Every query
+is still oracle-checked locally each round by
+tests/test_oracle_parity.py.
 """
 
 from sparkclif.queries import (  # noqa: F401
@@ -38,6 +45,7 @@ from sparkclif.queries import (  # noqa: F401
     group_f,
     group_g,
     group_i_late,
+    group_i_r4,
 )
 from sparkclif.registry import REGISTRY
 
@@ -77,12 +85,14 @@ WINDOW_ORDER = [
     "h_stream_upsert",
     "c_join_bucketed",
     "c_join_asof",
+    # brand-new this session — must get a first driver row
+    "i_text_repetition",
+    "i_decontaminate",
+    "i_shard_interleave",
+    "i_embed_quantize",
     # round-3 green, kept fresh (events readers + flagship)
     "d_agg_global",
     "d_agg_groupby",
-    "d_agg_distinct",
-    "d_agg_collect_ordered",
-    "d_agg_pivot",
     "h_tumbling",
     "h_sliding",
     "h_session",
@@ -96,7 +106,6 @@ WINDOW_ORDER = [
     "j_pandas_udf_agg",
     "j_udtf",
     "c_join_salted",
-    "c_join_inner",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -1,0 +1,243 @@
+"""Group I round-4 additions — the remaining first-class
+training-data-pipeline stages: repetition quality filters,
+benchmark decontamination, deterministic shard/interleave writes,
+int8 embedding quantization.
+
+Implementations live in sparkclif/operators/; these are the
+driver-checked bindings over the testbed ``documents`` and
+``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.io import spread, table
+from sparkclif.operators import quantize as Q
+from sparkclif.operators import text as T
+from sparkclif.operators.sampling import shard_interleave
+from sparkclif.registry import register
+
+
+@register(
+    "i_text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, toks,
+               coalesce(list_max(list_transform(list_distinct(toks),
+                        tk -> len(list_filter(toks, x -> x = tk)))), 0) AS top_cnt,
+               [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(top_cnt AS BIGINT) AS top_tok_cnt,
+           round(top_cnt * 1.0 / greatest(len(toks), 1), 4) AS top_frac,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           round((len(grams) - len(list_distinct(grams))) * 1.0
+                 / greatest(len(grams), 1), 4) AS dup_gram_frac,
+           CAST(CASE WHEN top_cnt * 100 >= len(toks) * 15
+                       OR (len(grams) - len(list_distinct(grams))) * 100
+                          >= len(grams) * 5
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM g
+    """,
+)
+def i_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021
+    §A1.1): top-token fraction and duplicate-3-gram fraction per doc,
+    plus the filter flag. The flag thresholds (15% top-token, 5% dup
+    3-gram) are compared in an exact integer basis (cnt*100 >= n*15)
+    so the cut is engine-portable — no double-epsilon boundary rows.
+
+    100 TB shape: pure scan-side array lambdas (operators/text.py),
+    zero shuffles, whole-stage codegen end to end."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = T.tokens(F.col("text"))
+    grams = T.word_shingles(F.col("text"), 3)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        T.top_token_count(F.col("text")).alias("top_tok_cnt"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_grams"),
+    )
+    dup = F.col("n_grams") - F.col("n_distinct_grams")
+    return base.select(
+        "doc_id",
+        "n_toks",
+        "top_tok_cnt",
+        F.round(F.col("top_tok_cnt") / F.greatest(F.col("n_toks"), F.lit(1)), 4).alias(
+            "top_frac"
+        ),
+        "n_grams",
+        F.round(dup / F.greatest(F.col("n_grams"), F.lit(1)), 4).alias(
+            "dup_gram_frac"
+        ),
+        (
+            (F.col("top_tok_cnt") * 100 >= F.col("n_toks") * 15)
+            | (dup * 100 >= F.col("n_grams") * 5)
+        )
+        .cast("long")
+        .alias("flagged"),
+    )
+
+
+@register(
+    "i_decontaminate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        FROM t
+    ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % 101 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any exact
+    word 3-gram with the held-out eval slice (doc_id % 101 == 0 stands
+    in for the benchmark set), reporting how many distinct eval grams
+    each contaminated doc contains — the standard n-gram-collision
+    decontamination pass every pretraining corpus runs (e.g. GPT-3
+    appendix C; 13-grams there, 3-grams here to fit the testbed's
+    ~50-token docs).
+
+    100 TB shape: the eval-gram set is tiny by construction, so it
+    BROADCASTS; the training side is one scan (Arrow-batched shingle
+    kernel — the nested array-lambda alternative costs ~3 s of codegen
+    per session, see i_dedup_ngram_jaccard) and the only shuffle is
+    the final per-doc count. No train×train pairing anywhere."""
+    import re
+
+    import pandas as pd
+
+    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def gram_kernel(batches):
+        for batch in batches:
+            ids, grams = [], []
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                toks = [t for t in re.split(r"\s+", text) if t]
+                for gm in dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                ):
+                    ids.append(did)
+                    grams.append(gm)
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    grams = docs.mapInPandas(gram_kernel, "doc_id long, gram string")
+    ev = (
+        grams.filter(F.col("doc_id") % 101 == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 101 != 0)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "i_shard_interleave",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) AS BIGINT)
+               AS pos
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 25, 8))::UBIGINT
+                    % 8 AS BIGINT) AS shard,
+               md5('pos|' || CAST(doc_id AS VARCHAR)) || '|'
+                   || CAST(doc_id AS VARCHAR) AS ord
+        FROM documents
+    )
+    """,
+    cache_plan=False,
+)
+def i_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the write layout a
+    pre-training loader consumes: shard and within-shard position are
+    pure functions of the key (two domain-separated portable hashes),
+    re-runnable bit-for-bit on any engine or cluster size.
+
+    100 TB shape: positions come from operators/sampling.grouped_rank
+    (range partition + per-(partition, shard) counts + broadcast
+    offsets), NOT a per-shard window — a `row_number() over (partition
+    by shard)` puts a whole 12 TB shard in one task. The oracle states
+    exactly that window; the engine computes it distributed.
+    cache_plan=False: the build materializes the pinned partitioning
+    and the offsets (impure)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = shard_interleave(docs, "doc_id", n_shards=8)
+    return out.select(
+        "doc_id", F.col("shard").cast("long"), F.col("pos").cast("long")
+    )
+
+
+@register(
+    "i_embed_quantize",
+    oracle="""
+    WITH b AS (
+        -- CAST to DOUBLE before the multiply: DuckDB evaluates
+        -- FLOAT * 10000 in float32 (0.24519999f * 10000 = 2452.0f),
+        -- the portable basis is the IEEE-double product (2451.9999...)
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS xi
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, xi,
+               list_transform(xi, x -> abs(x)) AS ax,
+               greatest(coalesce(list_max(list_transform(xi, x -> abs(x))), 0), 1)
+                   AS scale_int
+        FROM b
+    )
+    SELECT vec_id,
+           CAST(len(xi) AS BIGINT) AS dim,
+           CAST(scale_int AS BIGINT) AS scale_int,
+           CAST(coalesce(list_sum(list_transform(ax,
+                a -> (a * 127 - (a * 127) % scale_int) / scale_int)), 0) AS BIGINT)
+               AS sum_q_abs,
+           CAST(len(list_filter(ax, a -> a = scale_int)) AS BIGINT) AS n_sat,
+           CAST(len(list_filter(ax, a -> a * 127 < scale_int)) AS BIGINT) AS n_zero,
+           CAST(coalesce(list_sum(list_transform(ax,
+                a -> ((a * 127) % scale_int) * ((a * 127) % scale_int))), 0)
+                AS BIGINT) AS err_sq
+    FROM s
+    """,
+)
+def i_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary over the
+    embeddings table — the compression stage before an ANN index or
+    feature store ships vectors. Every output is an exact integer in
+    the shared floor(v*10000) basis (operators/quantize.py documents
+    why sign and magnitude are split and why the division is stated
+    divisible-first), so the SQL oracle is exact, not approximate.
+
+    100 TB shape: pure scan kernel — per-row array lambdas inside
+    whole-stage codegen, zero shuffles, no Python workers."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    stats = Q.int8_quant_stats(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        *[stats[c].alias(c) for c in ("dim", "scale_int", "sum_q_abs", "n_sat", "n_zero", "err_sq")],
+    )

@@ -1,0 +1,143 @@
+"""Semantics tests for the round-4 training-pipeline operators:
+grouped rank / shard interleave, int8 quantization, repetition
+filters, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkclif.operators.quantize import INT8_MAX, QUANT, int8_quant_stats, int_basis
+from sparkclif.operators.sampling import grouped_rank, shard_interleave
+from sparkclif.operators.text import top_token_count
+
+
+def test_grouped_rank_matches_window(spark):
+    # Skewed groups across many partitions: group 0 holds ~80% of rows.
+    df = spark.range(0, 2000, 1, 8).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(F.col("id") % 10).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("o"),
+    )
+    got = {
+        (r["g"], r["o"]): r["pos"]
+        for r in grouped_rank(df, "g", "o").collect()
+    }
+    want = {
+        (r["g"], r["o"]): r["pos"]
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.partitionBy("g").orderBy("o"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_single_partition_groups(spark):
+    # More partitions than rows: every (pid, group) cell is tiny.
+    df = spark.range(0, 7, 1, 1).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("o")
+    )
+    out = grouped_rank(df, "g", "o", num_partitions=16).collect()
+    by_g: dict[int, list[int]] = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["pos"])
+    for g, poss in by_g.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), (g, poss)
+
+
+def test_shard_interleave_contiguous_and_deterministic(spark):
+    df = spark.range(500).select(F.col("id").alias("k"))
+    a = shard_interleave(df, "k", n_shards=8).collect()
+    b = shard_interleave(df, "k", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), s
+    # Rough balance: md5 sharding should not collapse to few shards.
+    assert len(by_shard) == 8
+
+
+def test_int8_quant_reconstruction_bound(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.124999, 0.0]),
+            (2, [0.0, 0.0]),
+            (3, [-1.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    stats = int8_quant_stats(F.col("embedding"))
+    out = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id", *[stats[c].alias(c) for c in stats]
+        ).collect()
+    }
+    # Residual energy bound: each lane's residual < scale, so
+    # err_sq < dim * scale^2.
+    for r in out.values():
+        assert r["err_sq"] < r["dim"] * r["scale_int"] ** 2
+        assert 0 <= r["sum_q_abs"] <= r["dim"] * INT8_MAX
+    # vec 1: xi = [5000, -2500, 1249, 0]; scale 5000.
+    r = out[1]
+    assert r["scale_int"] == 5000
+    assert r["n_sat"] == 1  # only the max lane saturates
+    assert r["n_zero"] == 1  # the exact zero
+    # q magnitudes: [127, 63, 31, 0]
+    assert r["sum_q_abs"] == 127 + (2500 * 127) // 5000 + (1249 * 127) // 5000
+    # all-zero vector: scale clamps to 1, everything zero
+    r = out[2]
+    assert (r["scale_int"], r["sum_q_abs"], r["err_sq"], r["n_zero"]) == (1, 0, 0, 2)
+
+
+def test_int_basis_is_double_floor(spark):
+    # 0.2451999932527542f * 10000 rounds to 2452.0 in float32 but
+    # floors to 2451 in the portable double basis (the vec-42 lane
+    # that caught the oracle's float32 multiply).
+    df = spark.createDataFrame(
+        [(1, [0.2451999932527542])], "id long, v array<float>"
+    )
+    [row] = df.select(int_basis(F.col("v")).alias("xi")).collect()
+    assert row["xi"] == [2451]
+
+
+def test_top_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b c"),
+            (2, "x y z"),
+            (3, "   "),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", top_token_count(F.col("text")).alias("c")).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0}
+
+
+def test_repetition_flags(spark, sf_dir):
+    from sparkclif.registry import all_queries
+
+    out = all_queries()["i_text_repetition"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # The flag is computed in the exact integer basis; the rounded
+        # fractions in the row must agree up to rounding slack.
+        if r["flagged"]:
+            assert r["top_frac"] >= 0.1499 or r["dup_gram_frac"] >= 0.0499, r
+        else:
+            assert r["top_frac"] < 0.1501 and r["dup_gram_frac"] < 0.0501, r
+
+
+def test_decontaminate_no_eval_docs_in_output(spark, sf_dir):
+    from sparkclif.registry import all_queries
+
+    out = all_queries()["i_decontaminate"].fn(spark, sf_dir).collect()
+    assert all(r["doc_id"] % 101 != 0 for r in out)
+    assert all(r["n_shared"] >= 1 for r in out)
