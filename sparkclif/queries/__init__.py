@@ -18,17 +18,19 @@ c_join_asof, the percentile-path d_agg_percentile), then the
 remaining D/H/A/J + the events-reading c_join_salted (testdata
 timestamp types drift between rounds — keep events readers covered).
 
-The four queries added mid-round-4 (i_text_repetition,
-i_decontaminate, i_shard_interleave, i_embed_quantize) take window
-slots from four round-3-green, untouched queries (c_join_inner,
-d_agg_distinct, d_agg_collect_ordered, d_agg_pivot) — new queries
-must get a first driver CORRECTNESS row (VERDICT r3 finding 1).
+The six queries added mid-round-4 (i_text_repetition,
+i_decontaminate, i_shard_interleave, i_embed_quantize, i_corpus_mix,
+i_pipeline_end2end) take window slots from six round-3-green,
+untouched queries (c_join_inner, d_agg_distinct,
+d_agg_collect_ordered, d_agg_pivot, j_udf_scalar, j_pandas_udf_agg)
+— new queries must get a first driver CORRECTNESS row (VERDICT r3
+finding 1).
 
-Outside the window (31): the group-I text/dedup/similarity queries,
-seven C joins, and three D aggregates — all driver-green in round 3
-and untouched since (the only edit near them, graph.py's
-non-convergence raise, cannot change a converging run). Every query
-is still oracle-checked locally each round by
+Outside the window (33): the group-I text/dedup/similarity queries,
+seven C joins, three D aggregates, and two J UDF queries — all
+driver-green in round 3 and untouched since (the only edit near
+them, graph.py's non-convergence raise, cannot change a converging
+run). Every query is still oracle-checked locally each round by
 tests/test_oracle_parity.py.
 """
 
@@ -90,6 +92,8 @@ WINDOW_ORDER = [
     "i_decontaminate",
     "i_shard_interleave",
     "i_embed_quantize",
+    "i_corpus_mix",
+    "i_pipeline_end2end",
     # round-3 green, kept fresh (events readers + flagship)
     "d_agg_global",
     "d_agg_groupby",
@@ -102,8 +106,6 @@ WINDOW_ORDER = [
     "a_scan_json_string",
     "a_sink_roundtrip",
     "a_sink_partitioned",
-    "j_udf_scalar",
-    "j_pandas_udf_agg",
     "j_udtf",
     "c_join_salted",
 ]

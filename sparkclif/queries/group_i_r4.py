@@ -10,7 +10,7 @@ driver-checked bindings over the testbed ``documents`` and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkclif.io import spread, table
@@ -240,4 +240,223 @@ def i_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         *[stats[c].alias(c) for c in ("dim", "scale_int", "sum_q_abs", "n_sat", "n_zero", "err_sq")],
+    )
+
+
+@register(
+    "i_corpus_mix",
+    oracle="""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+        FROM documents
+    ), st AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS tokens_total
+        FROM d GROUP BY source
+    ), ov AS (
+        SELECT CAST(sum(tokens_total) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS ns
+        FROM st
+    ), r AS (
+        SELECT source, n_docs, tokens_total,
+               CAST(least(10000, ((ct * 3 // 10) // ns * 10000) // tokens_total)
+                    AS BIGINT) AS rate_bp
+        FROM st CROSS JOIN ov
+    ), s AS (
+        SELECT d.source,
+               CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 25, 8))::UBIGINT
+                                  % 10000 < r.rate_bp
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 25, 8))::UBIGINT
+                                  % 10000 < r.rate_bp
+                             THEN d.toks ELSE 0 END) AS BIGINT) AS tokens_sampled
+        FROM d JOIN r USING (source) GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.tokens_total, r.rate_bp,
+           s.n_sampled, s.tokens_sampled
+    FROM r JOIN s USING (source)
+    """,
+)
+def i_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: rebalance the per-source token mix
+    toward a UNIFORM target at a 30% total-token budget — the mixture
+    step every pretraining run tunes (upweight rare sources, cap at
+    100%). Per-source sampling rates land in integer BASIS POINTS and
+    membership uses the portable md5 bucket (operators/sampling.py),
+    so the selected doc set is identical on any engine, cluster size,
+    or rerun — no RNG coordination, and the whole query is exact
+    integer arithmetic (no double-epsilon rate boundaries).
+
+    100 TB shape: two scans of documents (one for the per-source
+    stats the pipeline has anyway, one for the sampling pass), both
+    map-side-combined aggs; the rate table is n_sources rows and
+    BROADCASTS; the sample decision is a scan-side expression."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "source", "doc_id", T.token_count(F.col("text")).cast("long").alias("toks")
+    )
+    st = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("tokens_total")
+    )
+    ov = st.agg(
+        F.sum("tokens_total").alias("ct"), F.count("*").alias("ns")
+    )
+    rates = (
+        st.crossJoin(F.broadcast(ov))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "tokens_total",
+            # budget = 30% of corpus tokens; uniform per-source target;
+            # rate = target/source_tokens in basis points, capped at 100%
+            "CAST(least(10000, ((ct * 3 div 10) div ns * 10000) div tokens_total)"
+            " AS BIGINT) AS rate_bp",
+        )
+    )
+    from sparkclif.operators.sampling import portable_bucket
+
+    keep = (portable_bucket(F.col("doc_id"), 10000) < F.col("rate_bp")).cast("long")
+    samp = (
+        docs.join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .select("source", "toks", keep.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.sum("k").alias("n_sampled"),
+            F.sum(F.col("toks") * F.col("k")).alias("tokens_sampled"),
+        )
+    )
+    return rates.join(samp, "source").select(
+        "source", "n_docs", "tokens_total", "rate_bp", "n_sampled", "tokens_sampled"
+    )
+
+
+@register(
+    "i_pipeline_end2end",
+    # The oracle restates the whole pipeline as window SQL (global
+    # running-sum pack); the engine computes every stage distributed.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), g_all AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        FROM t
+    ), ev AS (
+        SELECT DISTINCT gram FROM g_all WHERE doc_id % 101 = 0
+    ), contaminated AS (
+        SELECT DISTINCT g_all.doc_id
+        FROM g_all JOIN ev USING (gram)
+        WHERE g_all.doc_id % 101 <> 0
+    ), q AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               coalesce(list_max(list_transform(list_distinct(toks),
+                        tk -> len(list_filter(toks, x -> x = tk)))), 0) AS top_cnt,
+               [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS grams
+        FROM t
+        WHERE doc_id % 101 <> 0 AND len(toks) >= 20
+    ), qf AS (
+        SELECT doc_id, n_toks, fp FROM q
+        WHERE top_cnt * 100 < n_toks * 15
+          AND (len(grams) - len(list_distinct(grams))) * 100 < len(grams) * 5
+    ), dd AS (
+        SELECT doc_id, n_toks,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM qf
+    ), survivors AS (
+        SELECT doc_id, n_toks FROM dd
+        WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packed AS (
+        SELECT doc_id, n_toks,
+               (sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_toks) // 2048 AS shard_id
+        FROM survivors
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard_id
+    """,
+    cache_plan=False,
+)
+def i_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE query — the integration
+    a reference user actually runs: eval holdout -> length + repetition
+    quality filters -> exact dedup (keep lowest id) -> benchmark
+    decontamination -> token-budget shard packing -> per-shard
+    manifest. Every stage is the already-verified operator; this pins
+    that they COMPOSE (schemas, determinism, and thresholds line up).
+
+    100 TB shape: quality + fingerprint are scan-side; dedup shuffles
+    once on the content hash; the eval-gram set broadcasts; packing is
+    the distributed prefix sum (operators/sampling.pack_sequences) —
+    the oracle's global running-sum window never appears in the plan.
+    cache_plan=False: pack_sequences pins its partitioning (impure)."""
+    import re as _re
+
+    import pandas as pd
+
+    from sparkclif.operators.sampling import pack_sequences
+
+    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    # -- decontamination candidate set (broadcast eval grams) --------
+    def gram_kernel(batches):
+        for batch in batches:
+            ids, grams = [], []
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                toks = [t for t in _re.split(r"\s+", text) if t]
+                for gm in dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                ):
+                    ids.append(did)
+                    grams.append(gm)
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    grams = docs.mapInPandas(gram_kernel, "doc_id long, gram string")
+    ev = grams.filter(F.col("doc_id") % 101 == 0).select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 101 != 0)
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+
+    # -- quality filters (scan-side, integer basis) ------------------
+    toks = T.tokens(F.col("text"))
+    grams3 = T.word_shingles(F.col("text"), 3)
+    q = (
+        docs.filter(F.col("doc_id") % 101 != 0)
+        .select(
+            "doc_id",
+            "text",
+            F.size(toks).cast("long").alias("n_toks"),
+            T.top_token_count(F.col("text")).alias("top_cnt"),
+            F.size(grams3).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams3)).cast("long").alias("n_dgrams"),
+        )
+        .filter(F.col("n_toks") >= 20)
+        .filter(F.col("top_cnt") * 100 < F.col("n_toks") * 15)
+        .filter(
+            (F.col("n_grams") - F.col("n_dgrams")) * 100 < F.col("n_grams") * 5
+        )
+    )
+
+    # -- exact dedup (md5 fingerprint to match the SQL restatement) --
+    w = F.row_number().over(
+        Window.partitionBy(T.fingerprint_md5(F.col("text"))).orderBy("doc_id")
+    )
+    kept = q.withColumn("rn", w).filter(F.col("rn") == 1)
+
+    survivors = kept.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "n_toks"
+    )
+    packed = pack_sequences(survivors, "doc_id", "n_toks", budget=2048)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
     )

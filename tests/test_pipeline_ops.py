@@ -141,3 +141,37 @@ def test_decontaminate_no_eval_docs_in_output(spark, sf_dir):
     out = all_queries()["i_decontaminate"].fn(spark, sf_dir).collect()
     assert all(r["doc_id"] % 101 != 0 for r in out)
     assert all(r["n_shared"] >= 1 for r in out)
+
+
+def test_corpus_mix_invariants(spark, sf_dir):
+    from sparkclif.registry import all_queries
+
+    out = all_queries()["i_corpus_mix"].fn(spark, sf_dir).collect()
+    assert len(out) >= 2  # multiple sources in the testbed
+    total = sum(r["tokens_total"] for r in out)
+    budget = total * 3 // 10
+    for r in out:
+        assert 0 <= r["rate_bp"] <= 10000
+        assert r["n_sampled"] <= r["n_docs"]
+        assert r["tokens_sampled"] <= r["tokens_total"]
+    # the realized sample should land near the budget unless every
+    # source capped at 100%
+    sampled = sum(r["tokens_sampled"] for r in out)
+    if all(r["rate_bp"] < 10000 for r in out):
+        assert 0.5 * budget / len(out) < sampled  # loose sanity floor
+
+
+def test_pipeline_end2end_shards_contiguous(spark, sf_dir):
+    from sparkclif.registry import all_queries
+
+    rows = sorted(
+        all_queries()["i_pipeline_end2end"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert rows, "pipeline must keep some docs"
+    ids = [r["shard_id"] for r in rows]
+    assert ids == list(range(len(ids))), "shard ids must be contiguous from 0"
+    # every full shard (all but the last) holds >= budget tokens only
+    # via its LAST doc crossing the boundary, so total >= 2048 - max_doc
+    for r in rows[:-1]:
+        assert r["total_tokens"] >= 2048 - 100  # max doc ~100 tokens

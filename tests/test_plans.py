@@ -225,3 +225,26 @@ def test_pack_sequences_two_exchanges_no_global_sort(spark, sf_dir):
     assert "SinglePartition" not in plan, (
         "pack_sequences must never collapse to one partition:\n" + plan
     )
+
+
+def test_repetition_and_quantize_are_scan_kernels(spark, sf_dir):
+    """The round-4 quality/quantization filters are pure scan work:
+    the only Exchange allowed is io.spread()'s tiny-file round-robin
+    (a no-op at scale) — no hash/range exchange, no Python workers."""
+    for name in ("i_text_repetition", "i_embed_quantize"):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "hashpartitioning" not in plan, f"{name} must not hash-shuffle"
+        assert "rangepartitioning" not in plan, f"{name} must not range-shuffle"
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan, f"{name} must stay JVM-side, found {py}"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side is tiny by construction and must broadcast;
+    the training side must reach the join without a hash exchange (the
+    only hash exchange allowed is the final per-doc count agg)."""
+    plan = formatted_plan(spark, "i_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan, "eval grams must broadcast"
+    assert "SortMergeJoin" not in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 1, f"only the final count agg may hash-shuffle:\n{plan}"
