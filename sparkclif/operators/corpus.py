@@ -1,0 +1,165 @@
+"""Corpus-level text pipeline operators — transformations whose
+semantics depend on CORPUS statistics, not just the row: boilerplate
+segment removal (C4/CCNet-style line dedup, restated over the
+testbed's newline-free word-salad docs as fixed-width word segments),
+corpus-frequency rarity scoring, and overlapping-window chunking for
+context-length packing.
+
+All three stay JVM-side (array/higher-order expressions, no Python in
+the hot path); the corpus statistics are classic two-pass shapes —
+a map-side-combinable aggregation producing a small frequency table
+that broadcasts back over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkclif.operators.text import tokens
+
+
+def word_segments(text: Column | str, width: int = 2) -> Column:
+    """Non-overlapping ``width``-word segments of a document, in
+    order; a trailing remnant shorter than ``width`` is dropped (both
+    engines then agree on the segment count without a ragged-tail
+    convention). The testbed stand-in for "lines" — the unit of
+    boilerplate detection."""
+    toks = tokens(text)
+    n_segs = (F.size(toks) / width).cast("long")
+    idx = F.when(n_segs > 0, F.sequence(F.lit(0).cast("long"), n_segs - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * width + 1).cast("int"), width)
+        ),
+    )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    min_docs: int = 25,
+    width: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove boilerplate segments — segments occurring in at least
+    ``min_docs`` DISTINCT documents (headers, navigation chrome,
+    license banners at web scale). Returns one row per doc:
+    (id, n_segs, n_boiler, clean_text) where clean_text is the
+    non-boilerplate segments rejoined in document order.
+
+    Plan: one segment explode; a (segment -> doc-frequency) aggregation
+    with map-side partial combine; the frequency table filtered to
+    boilerplate is TINY by construction (only segments shared by
+    >= min_docs docs survive — heavy hitters), so it broadcasts back
+    onto the exploded scan; one final per-doc groupBy rebuilds the
+    document. Two shuffles total (df agg + rebuild), both on keys with
+    bounded skew (segment df caps at n_docs; doc_id is unique).
+    """
+    segs = docs.select(
+        id_col, F.posexplode_outer(word_segments(text_col, width)).alias("pos", "seg")
+    )
+    boiler = (
+        segs.where(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("seg", F.lit(1).alias("__boiler"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "seg", "left")
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__boiler").isNull() & F.col("seg").isNotNull(),
+                    F.struct("pos", "seg"),
+                )
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("seg").cast("long").alias("n_segs"),
+        F.coalesce(F.sum("__boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        F.array_join(F.transform(kept, lambda s: s["seg"]), " ").alias("clean_text"),
+    )
+
+
+def rarity_score(
+    docs: DataFrame,
+    rare_df_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency rarity score: per document, how many of its
+    token OCCURRENCES are of rare types — types whose document
+    frequency is at most ``rare_df_pct`` percent of the corpus. The
+    quality signal is two-sided: high rarity flags junk/OCR noise,
+    zero rarity flags template text. All arithmetic is integral
+    (``rare_bp`` is basis points by integer division), so the SQL
+    restatement is exact.
+
+    Plan: token explode -> (token -> df) aggregation (vocabulary-sized
+    output, map-side combined) -> the rare set joins back by broadcast
+    -> per-doc count aggregation. The corpus size scalar is a 1-row
+    broadcast cross join, not a driver-side ``.count()`` — the plan
+    stays pure/cacheable and the oracle's scalar subquery matches.
+    """
+    toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
+    rare = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") * 100 <= F.col("__n_docs") * rare_df_pct)
+        .select("tok", F.lit(1).alias("__rare"))
+    )
+    marked = toks.join(F.broadcast(rare), "tok", "left")
+    counted = marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.coalesce(F.sum("__rare"), F.lit(0)).cast("long").alias("n_rare"),
+    )
+    # integer `div`, never a double quotient: floor(double) can land
+    # one off when the exact ratio is representable
+    return counted.withColumn("rare_bp", F.expr("(n_rare * 10000) div n_toks"))
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    chunk: int = 16,
+    stride: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-length splitter
+    of a pretraining pipeline (chunk tokens per window, advancing by
+    stride, so consecutive chunks share chunk - stride tokens).
+    Chunk count is 1 + ceil(max(n - chunk, 0) / stride): every token
+    is covered, the final chunk may run short, and an empty document
+    still yields its one (empty) chunk so no row silently vanishes.
+
+    Purely scan-side — sequence/slice/explode array expressions, zero
+    shuffle, zero Python; at 100 TB this is the shape you want feeding
+    a shard writer (compose with sampling.shard_interleave).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk, F.lit(0)).cast("double") / stride).cast("long")
+    )
+    pieces = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.slice(toks, (i * stride + 1).cast("int"), chunk),
+    )
+    return docs.select(
+        id_col, F.posexplode(pieces).alias("chunk_id", "__ctoks")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.size("__ctoks").cast("long").alias("n_chunk_toks"),
+        F.array_join("__ctoks", " ").alias("chunk_text"),
+    )

@@ -569,3 +569,97 @@ def ivf_ann(
         F.round(-F.col("__s.negc"), 4).alias("cosine"),
         (F.col("__pos") + 1).cast("int").alias("rn"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    tau: float = 0.4,
+    quant: float = 10_000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the embedding
+    space, then mark duplicates ONLY within clusters — the whole point
+    of the design is that the N^2 pairwise pass never happens; each
+    cluster runs its own members x members BLAS and the cross-cluster
+    pairs are never considered.
+
+    Determinism contract (what makes this exact-SQL-checkable where
+    k-means is not): centroids are the ``n_centroids`` lowest-id
+    vectors, assignment maximizes the INTEGER dot product of
+    floor(v * quant) components (exact int64, order-independent,
+    ties to the lowest centroid id), and a vector is a duplicate iff
+    some SAME-CLUSTER vector with a LOWER id has
+    round(cosine, 4) >= tau (round half-away-from-zero, the Spark /
+    DuckDB convention; cosines on the normalized float64 matmul).
+
+    Returns one row per vector: (id, cluster, n_dup_lower, kept) with
+    kept = 1 iff no lower-id in-cluster near-duplicate exists — the
+    keep-first policy whose kept-set is invariant under partitioning.
+
+    Scale: the assign pass is a scan against broadcast centroids (at
+    100 TB raise n_centroids so clusters fit a task — SemDeDup uses
+    ~100k clusters for web-scale corpora; cluster size ~N/C bounds the
+    per-task matmul). One shuffle total (the cluster groupBy); skewed
+    clusters are the k-means-quality concern, not a join-key concern.
+    """
+    spark = embeddings.sparkSession
+    vec_type = dict(embeddings.dtypes)[vec_col]
+
+    cent_pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    c_ids = cent_pdf[id_col].to_numpy()
+    c_mat = np.floor(
+        np.vstack(cent_pdf[vec_col].to_numpy()).astype(np.float64) * quant
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cmat = bc.value
+        for batch in batches:
+            q = np.floor(
+                np.vstack(batch[vec_col].to_numpy()).astype(np.float64) * quant
+            ).astype(np.int64)
+            # argmax keeps the FIRST max; cmat rows are id-sorted, so
+            # ties land on the lowest centroid id (the SQL tiebreak)
+            best = (q @ cmat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "cluster": ids[best],
+                    vec_col: batch[vec_col],
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster long, {vec_col} {vec_type}"
+    )
+
+    def mark(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        mat = _normalize(np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64))
+        sims = mat @ mat.T
+        # round half-away-from-zero to 4 dp (cosines >= tau > 0 are
+        # the only ones compared, so the positive branch suffices)
+        near = np.floor(sims * 1e4 + 0.5) / 1e4 >= tau
+        # strict lower triangle: row i vs lower-id columns j < i
+        n_dup_lower = np.tril(near, k=-1).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": np.int64(key[0]),
+                "n_dup_lower": n_dup_lower,
+                "kept": (n_dup_lower == 0).astype(np.int64),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        mark, f"{id_col} long, cluster long, n_dup_lower long, kept long"
+    )

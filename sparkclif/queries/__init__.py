@@ -48,6 +48,7 @@ from sparkclif.queries import (  # noqa: F401
     group_g,
     group_i_late,
     group_i_r4,
+    group_i_r4b,
 )
 from sparkclif.registry import REGISTRY
 
@@ -94,19 +95,22 @@ WINDOW_ORDER = [
     "i_embed_quantize",
     "i_corpus_mix",
     "i_pipeline_end2end",
-    # round-3 green, kept fresh (events readers + flagship)
-    "d_agg_global",
+    "i_dedup_semantic",
+    "i_text_boilerplate",
+    "i_text_rarity",
+    "i_chunk_overlap",
+    # round-3 green, kept fresh (events readers + flagship; the four
+    # r3-green, untouched A/D/J queries the second new batch displaced
+    # — d_agg_global, a_scan_text_lines, a_scan_json_string, j_udtf —
+    # keep their r3 CORRECTNESS rows)
     "d_agg_groupby",
     "h_tumbling",
     "h_sliding",
     "h_session",
     "h_stateful_sessions",
     "a_scan_parquet",
-    "a_scan_text_lines",
-    "a_scan_json_string",
     "a_sink_roundtrip",
     "a_sink_partitioned",
-    "j_udtf",
     "c_join_salted",
 ]
 

@@ -1,0 +1,186 @@
+"""Group I round-4 additions, second batch — corpus-statistics
+pipeline stages (semantics that depend on the whole corpus, not the
+row) plus the SemDeDup-shaped semantic deduplicator:
+
+- i_dedup_semantic: cluster-then-dedup over embeddings — duplicates
+  are only sought WITHIN a cluster, so the N^2 pairwise pass never
+  happens (the design of Abbas et al.'s SemDeDup); deterministic
+  centroids + integer-dot assignment make it exact-SQL-checkable.
+- i_text_boilerplate: C4/CCNet-style boilerplate line removal,
+  restated over the newline-free testbed docs as 2-word segments
+  shared by >= 25 distinct documents.
+- i_text_rarity: corpus document-frequency rarity score in integer
+  basis points.
+- i_chunk_overlap: overlapping token-window chunking (context-length
+  splitting), purely scan-side.
+
+Implementations live in operators/corpus.py and
+operators/similarity.py; these are the driver-checked bindings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkclif.io import spread, table
+from sparkclif.operators import corpus as C
+from sparkclif.operators import similarity as S
+from sparkclif.registry import register
+
+
+@register(
+    "i_dedup_semantic",
+    cache_plan=False,  # builds the centroid broadcast at plan time
+    # Exact restatement: assign = nearest of the 8 lowest-id vectors
+    # by integer-quantized dot (ties to lowest centroid id — the IVF
+    # assign contract), dup = any SAME-cluster lower-id vector with
+    # round(cosine, 4) >= 0.4.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    scores AS (
+        SELECT e.vec_id, c.c_id,
+               CAST(sum(CAST(floor(e.v[d.d] * 10000) AS BIGINT)
+                        * CAST(floor(c.cv[d.d] * 10000) AS BIGINT))
+                    AS BIGINT) AS score
+        FROM e CROSS JOIN cent c
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY e.vec_id, c.c_id
+    ),
+    asg AS (
+        SELECT vec_id, c_id AS cluster FROM scores
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, c_id) = 1
+    ),
+    dup AS (
+        SELECT a.vec_id, count(*) AS n_dup_lower
+        FROM asg a
+        JOIN asg b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.cluster,
+           CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
+)
+def i_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape: embeddings are clustered
+    (deterministic centroids, exact integer-dot assignment) and
+    near-duplicates (round(cosine,4) >= 0.4) are marked ONLY within
+    clusters via one cluster-local BLAS per group — the oracle's
+    all-pairs join is the semantics, never the plan. keep-first policy:
+    kept = no lower-id in-cluster near-duplicate."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_centroids=8, tau=0.4)
+
+
+@register(
+    "i_text_boilerplate",
+    # Exact restatement: 2-word non-overlapping segments (ragged tail
+    # dropped), boilerplate = segment in >= 25 distinct docs,
+    # clean_text = kept segments rejoined in document order.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, d.i AS pos,
+               array_to_string(toks[2 * d.i + 1 : 2 * d.i + 2], ' ') AS seg
+        FROM t
+        CROSS JOIN (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) d
+        WHERE d.i < len(toks) // 2
+    ),
+    b AS (
+        SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 25
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(count(s.seg), 0) AS BIGINT) AS n_segs,
+           CAST(coalesce(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_boiler,
+           coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY s.pos), '') AS clean_text
+    FROM t
+    LEFT JOIN s ON s.doc_id = t.doc_id
+    LEFT JOIN b ON b.seg = s.seg
+    GROUP BY t.doc_id
+    """,
+)
+def i_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: segments occurring in >= 25 distinct docs
+    (the headers/nav-chrome of web text) are stripped; each doc comes
+    back as (n_segs, n_boiler, clean_text). The boilerplate set is
+    heavy-hitters-only, so it broadcasts back over the exploded scan."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return C.boilerplate_removal(docs, min_docs=25, width=2)
+
+
+@register(
+    "i_text_rarity",
+    # Exact restatement: rare type = document frequency <= 10% of the
+    # corpus; per doc, occurrences of rare types in integer basis
+    # points (floor division — both engines floor on positives).
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ),
+    rare AS (
+        SELECT tok FROM w GROUP BY tok
+        HAVING count(DISTINCT doc_id) * 100 <= (SELECT count(*) FROM documents) * 10
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS rare_bp
+    FROM w LEFT JOIN rare r ON r.tok = w.tok
+    GROUP BY w.doc_id
+    """,
+)
+def i_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per document: occurrences of
+    rare token types (df <= 10% of docs) as integer basis points —
+    high flags junk, zero flags template text. Vocabulary-sized df
+    table broadcasts back over the token scan."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return C.rarity_score(docs, rare_df_pct=10)
+
+
+@register(
+    "i_chunk_overlap",
+    # Exact restatement: chunk i covers toks[12i+1 : 12i+16];
+    # 1 + ceil(max(n-16, 0)/12) chunks so every token is covered and
+    # the final chunk may run short.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, d.i AS chunk_id, toks[d.i * 12 + 1 : d.i * 12 + 16] AS ctoks
+        FROM t
+        CROSS JOIN (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) d
+        WHERE d.i < 1 + greatest(CAST(ceil((len(toks) - 16) / 12.0) AS BIGINT), 0)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(ctoks) AS BIGINT) AS n_chunk_toks,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def i_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (16-token windows, stride 12)
+    — the context-length splitter. Purely scan-side array expressions:
+    zero shuffle, zero Python."""
+    docs = table(spark, sf_dir, "documents")
+    return C.chunk_overlap(docs, chunk=16, stride=12)

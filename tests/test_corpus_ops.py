@@ -1,0 +1,140 @@
+"""Edge cases and invariants for the corpus-statistics operators
+(operators/corpus.py) and the SemDeDup-shaped semantic_dedup
+(operators/similarity.py) that the fixed synthetic corpus never
+triggers: empty/short documents, boilerplate-free corpora, chunk
+coverage, and partitioning-invariance of the kept set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkclif.operators import corpus as C
+from sparkclif.operators.similarity import semantic_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_short_and_empty_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, ""),  # no tokens -> 0 segments
+            (1, "one"),  # 1 token -> ragged tail dropped -> 0 segments
+            (2, "a b c"),  # 3 tokens -> 1 segment, tail dropped
+            (3, "a b a b"),  # 2 segments, both 'a b'
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.boilerplate_removal(docs, min_docs=3, width=2).collect()
+    }
+    assert out[0]["n_segs"] == 0 and out[0]["clean_text"] == ""
+    assert out[1]["n_segs"] == 0 and out[1]["clean_text"] == ""
+    assert out[2]["n_segs"] == 1 and out[2]["clean_text"] == "a b"
+    # 'a b' occurs in docs 2 and 3 -> df = 2 < min_docs=3: not boiler
+    assert out[3]["n_boiler"] == 0
+
+
+def test_boilerplate_strips_only_frequent_segments(spark):
+    rows = [(i, "hdr txt uniq%d tok" % i) for i in range(5)]
+    docs = _docs(spark, rows)
+    out = C.boilerplate_removal(docs, min_docs=5, width=2).collect()
+    for r in out:
+        # 'hdr txt' in all 5 docs -> boiler; 'uniqN tok' unique -> kept
+        assert r["n_segs"] == 2 and r["n_boiler"] == 1
+        assert r["clean_text"].startswith("uniq")
+
+
+def test_rarity_all_common_is_zero(spark):
+    docs = _docs(spark, [(i, "x y x") for i in range(4)])
+    out = C.rarity_score(docs, rare_df_pct=50).collect()
+    assert all(r["n_rare"] == 0 and r["rare_bp"] == 0 for r in out)
+
+
+def test_rarity_counts_occurrences_not_types(spark):
+    # 'z' appears only in doc 0 (df=1 <= 25% of 4 docs), 3 times
+    rows = [(0, "x z z z"), (1, "x y"), (2, "x y"), (3, "x y")]
+    out = {
+        r["doc_id"]: r
+        for r in C.rarity_score(_docs(spark, rows), rare_df_pct=25).collect()
+    }
+    assert out[0]["n_rare"] == 3 and out[0]["rare_bp"] == 7500
+    assert out[1]["n_rare"] == 0
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = C.chunk_overlap(docs, chunk=16, stride=12)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("n_chunk_toks").alias("mx"),
+        F.sum("n_chunk_toks").alias("tot"),
+        F.count("*").alias("n"),
+    )
+    joined = per_doc.join(
+        docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+            ).alias("n_toks"),
+        ),
+        "doc_id",
+    )
+    bad = joined.where(
+        # coverage: last chunk ends at n_toks => sum of sizes =
+        # n + stride*(n_chunks-1) pattern; the simplest tight check:
+        # total chunked tokens = n_toks + overlap*(n_chunks-1)
+        (F.col("tot") != F.col("n_toks") + 4 * (F.col("n") - 1))
+        & (F.col("n_toks") > 16)
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    docs = _docs(spark, [(0, "a b c"), (1, "")])
+    out = C.chunk_overlap(docs, chunk=16, stride=12).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert len(by_id[0]) == 1 and by_id[0][0]["chunk_text"] == "a b c"
+    assert len(by_id[1]) == 1 and by_id[1][0]["n_chunk_toks"] == 0
+
+
+def test_semantic_dedup_partitioning_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = semantic_dedup(emb, n_centroids=4, tau=0.4)
+    b = semantic_dedup(emb.repartition(7), n_centroids=4, tau=0.4)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b
+
+
+def test_semantic_dedup_exact_dup_drops_higher_id(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    # clone vec 3 under a higher id: identical vector -> same cluster,
+    # cosine 1.0 -> the clone must be dropped, the original kept
+    clone = emb.where(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb.unionByName(clone), n_centroids=2).collect()
+    }
+    assert out[3]["kept"] == 1
+    assert out[10_003]["kept"] == 0 and out[10_003]["n_dup_lower"] >= 1
+    assert out[3]["cluster"] == out[10_003]["cluster"]
+
+
+def test_semantic_dedup_never_crosses_clusters(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, n_centroids=8, tau=0.4)
+    # a duplicate needs >= 2 vectors in its cluster
+    solo = (
+        out.groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.sum("n_dup_lower").alias("dups"))
+        .where((F.col("n") == 1) & (F.col("dups") > 0))
+        .count()
+    )
+    assert solo == 0
