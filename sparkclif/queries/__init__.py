@@ -99,17 +99,17 @@ WINDOW_ORDER = [
     "i_text_boilerplate",
     "i_text_rarity",
     "i_chunk_overlap",
-    # round-3 green, kept fresh (events readers + flagship; the four
+    "h_stream_dedup",
+    # round-3 green, kept fresh (events readers + flagship; the five
     # r3-green, untouched A/D/J queries the second new batch displaced
-    # — d_agg_global, a_scan_text_lines, a_scan_json_string, j_udtf —
-    # keep their r3 CORRECTNESS rows)
+    # — d_agg_global, a_scan_text_lines, a_scan_json_string, j_udtf,
+    # a_sink_roundtrip — keep their r3 CORRECTNESS rows)
     "d_agg_groupby",
     "h_tumbling",
     "h_sliding",
     "h_session",
     "h_stateful_sessions",
     "a_scan_parquet",
-    "a_sink_roundtrip",
     "a_sink_partitioned",
     "c_join_salted",
 ]

@@ -207,3 +207,46 @@ def h_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sessionize(spark, src, ev.schema).select(
         "user_id", "session_start_us", "n_events", "first_event", "last_event"
     )
+
+
+@register(
+    "h_stream_dedup",
+    cache_plan=False,
+    # The stream's output is SQL-checkable: injected duplicates are
+    # FULL-ROW identical (producer-retry echoes), so the dedup output
+    # is exactly the distinct event set regardless of which physical
+    # copy the state keeps.
+    # oracle_in_bench=False: the engine runs a genuine 3-micro-batch
+    # stateful stream (state-store lookups, cross-batch dedup); the
+    # oracle's plain scan is not a comparable plan for baseline timing.
+    oracle_in_bench=False,
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           round(value, 4) AS value
+    FROM events
+    """,
+)
+def h_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: events split
+    into 3 time-ordered files, each file re-appending the previous
+    file's 64 newest rows as bit-identical duplicate echoes (producer
+    retries) -> watermarked dropDuplicates keyed on (event_id, ts) so
+    state is horizon-bounded -> append sink. Output = each event exactly
+    once; the echoes are dropped by cross-batch STATE (they sit at the
+    watermark frontier, so age-filtering can never mask a state bug)."""
+    from sparkclif.streaming.dedup import stream_dedup_events
+    from sparkclif.streaming.source import write_time_chunks
+
+    src = tmp_dir() + "/stream_dedup_src"
+    ev = table(spark, sf_dir, "events")
+    write_time_chunks(ev, src, n_chunks=3, key=f"{sf_dir}/events", echo_rows=64)
+    out = stream_dedup_events(spark, src, ev.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).schema)
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )

@@ -14,6 +14,7 @@ import json
 import os
 import shutil
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
@@ -42,16 +43,29 @@ def stream_shuffle(spark, n: int = STREAM_SHUFFLE_PARTITIONS):
 
 
 def write_time_chunks(
-    df: DataFrame, src: str, n_chunks: int = 4, key: str | None = None
+    df: DataFrame, src: str, n_chunks: int = 4, key: str | None = None,
+    echo_rows: int = 0,
 ) -> None:
     """Write ``df`` (must have ts + event_id columns) as ``n_chunks``
     time-ordered parquet files with increasing mtimes. Idempotent: if
     the same (key, n_chunks) split already exists at ``src`` it is
     reused (the split is a deterministic function of the input).
     ``key`` identifies the input content (callers pass the source
-    path); without it a count() job establishes identity."""
+    path); without it a count() job establishes identity.
+
+    ``echo_rows > 0`` additionally re-appends the last ``echo_rows``
+    rows of each chunk into the NEXT chunk's file — bit-identical
+    late-arriving duplicates (at-least-once delivery, e.g. a Kafka
+    producer retry after an unacked write). The echoes carry the
+    newest timestamps of their original batch, so they always sit at
+    the watermark frontier — a streaming dedup must drop them via
+    cross-batch STATE, never via late-data filtering."""
     manifest = os.path.join(src, "_manifest.json")
-    want = {"key": key or f"n_rows={df.count()}", "n_chunks": n_chunks}
+    want = {
+        "key": key or f"n_rows={df.count()}",
+        "n_chunks": n_chunks,
+        "echo_rows": echo_rows,
+    }
     if os.path.exists(manifest):
         try:
             with open(manifest) as fh:
@@ -71,7 +85,11 @@ def write_time_chunks(
     chunk = (len(pdf) + n_chunks - 1) // n_chunks
     for i in range(n_chunks):
         path = f"{src}/chunk-{i:04d}.parquet"
-        tbl = pa.Table.from_pandas(pdf.iloc[i * chunk : (i + 1) * chunk])
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if echo_rows and i > 0:
+            prev_tail = pdf.iloc[max(i * chunk - echo_rows, 0) : i * chunk]
+            part = pd.concat([prev_tail, part], ignore_index=True)
+        tbl = pa.Table.from_pandas(part)
         ts_idx = tbl.schema.get_field_index("ts")
         tbl = tbl.set_column(
             ts_idx,

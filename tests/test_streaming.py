@@ -154,3 +154,37 @@ def test_tumbling_window_batch_stream_parity(spark, sf_dir, tmp_path):
         # state merge vs batch partial agg; round(4) can flip on the
         # boundary, so counts are exact and sums are tolerance-checked
         assert abs(sum_s - sum_b) < 5e-4, (key, sum_s, sum_b)
+
+
+def test_stream_dedup_drops_cross_batch_echoes(spark, tmp_path):
+    """The duplicate echoes are genuinely INJECTED into later chunk
+    files and genuinely DROPPED by cross-batch state — not silently
+    absent (an echo_rows no-op would make the parity check vacuous)."""
+    import pyarrow.parquet as pq
+
+    from sparkclif.streaming.dedup import stream_dedup_events
+    from sparkclif.streaming.source import write_time_chunks
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, "t%d" % (i % 2), float(i))
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "echo_src")
+    write_time_chunks(ev, src, n_chunks=3, key=None, echo_rows=5)
+    # chunk files really carry the duplicates: 30 originals + 2*5 echoes
+    n_source_rows = sum(
+        pq.read_table(f"{src}/chunk-{i:04d}.parquet").num_rows for i in range(3)
+    )
+    assert n_source_rows == 40
+    # echoes land in the NEXT chunk (cross-batch), not their own
+    chunk1_ids = pq.read_table(f"{src}/chunk-0001.parquet").column("event_id").to_pylist()
+    assert set(chunk1_ids) & set(range(10)), "no echo from chunk 0 in chunk 1"
+    out = stream_dedup_events(spark, src, ev.schema)
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == list(range(30))
