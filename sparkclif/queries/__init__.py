@@ -100,16 +100,18 @@ WINDOW_ORDER = [
     "i_text_rarity",
     "i_chunk_overlap",
     "h_stream_dedup",
-    # round-3 green, kept fresh (events readers + flagship; the five
-    # r3-green, untouched A/D/J queries the second new batch displaced
-    # — d_agg_global, a_scan_text_lines, a_scan_json_string, j_udtf,
-    # a_sink_roundtrip — keep their r3 CORRECTNESS rows)
-    "d_agg_groupby",
+    "a_sink_csv_roundtrip",
+    "a_sink_orc_roundtrip",
+    # round-3 green, kept fresh (events readers; the r3-green,
+    # untouched queries the new batches displaced — d_agg_global,
+    # d_agg_groupby, a_scan_parquet, a_scan_text_lines,
+    # a_scan_json_string, a_sink_roundtrip, j_udtf — keep their r3
+    # CORRECTNESS rows, and d_agg_groupby is additionally smoke-run
+    # every round as the driver's entry() flagship)
     "h_tumbling",
     "h_sliding",
     "h_session",
     "h_stateful_sessions",
-    "a_scan_parquet",
     "a_sink_partitioned",
     "c_join_salted",
 ]

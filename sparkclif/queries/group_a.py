@@ -184,3 +184,68 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         fixed_sum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "a_sink_csv_roundtrip",
+    cache_plan=False,
+    # identity roundtrip on the projected columns => aggregate checks
+    # directly against orders
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS sum_price,
+           CAST(sum(o_orderkey * o_custkey) AS BIGINT) AS key_checksum
+    FROM orders
+    """,
+)
+def a_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: write an orders projection as headered CSV,
+    re-read with an EXPLICIT schema (schema inference reads the data
+    twice and guesses — never on a 100 TB interchange path), return a
+    checksum row. Doubles survive the text roundtrip exactly: the JVM
+    writes shortest-round-trip decimal and the reader parses it back
+    to the identical bit pattern."""
+    out = tmp_dir() + "/roundtrip.csv"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    orders.write.option("header", "true").mode("overwrite").csv(out)
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+    ).option("header", "true").csv(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
+        fixed_sum("o_totalprice").alias("sum_price"),
+        F.sum(F.col("o_orderkey") * F.col("o_custkey")).cast("long").alias("key_checksum"),
+    )
+
+
+@register(
+    "a_sink_orc_roundtrip",
+    cache_plan=False,
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(p_size) AS BIGINT) AS sum_size,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS sum_price,
+           CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+    FROM part
+    """,
+)
+def a_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (the second columnar interchange format the
+    JVM ships natively): write part, re-read, checksum. Same pushdown/
+    pruning machinery as parquet on the read side — a format choice,
+    not a planner change."""
+    out = tmp_dir() + "/roundtrip.orc"
+    part = table(spark, sf_dir, "part")
+    part.write.option("compression", "uncompressed").mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        fixed_sum("p_retailprice").alias("sum_price"),
+        F.countDistinct("p_brand").cast("long").alias("n_brands"),
+    )
