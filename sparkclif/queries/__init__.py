@@ -102,13 +102,15 @@ WINDOW_ORDER = [
     "h_stream_dedup",
     "a_sink_csv_roundtrip",
     "a_sink_orc_roundtrip",
+    "c_join_range_bucketed",
     # round-3 green, kept fresh (events readers; the r3-green,
     # untouched queries the new batches displaced — d_agg_global,
     # d_agg_groupby, a_scan_parquet, a_scan_text_lines,
     # a_scan_json_string, a_sink_roundtrip, j_udtf — keep their r3
     # CORRECTNESS rows, and d_agg_groupby is additionally smoke-run
-    # every round as the driver's entry() flagship)
-    "h_tumbling",
+    # every round as the driver's entry() flagship; h_tumbling's
+    # displacement is covered by the five other in-window events
+    # readers)
     "h_sliding",
     "h_session",
     "h_stateful_sessions",

@@ -419,3 +419,43 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "c_join_range_bucketed",
+    # Exact restatement as the THETA self-join the bucketed plan
+    # replaces: same-user events within +/-1 hour, excluding self;
+    # neighbor-value sum in the fixed-point decimal basis.
+    oracle="""
+    SELECT a.event_id, a.user_id AS user_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_near,
+           round(CAST(coalesce(sum(CAST(b.value AS DECIMAL(38,6))), 0)
+                      AS DOUBLE), 4) AS sum_near
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id AND b.event_id <> a.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def c_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucketing: for every event, the count and
+    exact value-sum of same-user events within +/-1 hour. The oracle
+    states the theta join; the plan replaces it with a pure hash
+    equi-join on (user_id, bucket) after replicating one side into its
+    three reachable buckets (operators/rangejoin.py) — no
+    BroadcastNestedLoopJoin, no per-key cross product, AQE-skew-
+    splittable at 100 TB."""
+    from sparkclif.operators.rangejoin import self_range_neighbors
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return self_range_neighbors(
+        ev,
+        key_col="user_id",
+        time_us_col="ts_us",
+        id_col="event_id",
+        window_us=3_600_000_000,
+        value_col="value",
+    )
