@@ -103,6 +103,8 @@ WINDOW_ORDER = [
     "a_sink_csv_roundtrip",
     "a_sink_orc_roundtrip",
     "c_join_range_bucketed",
+    "e_win_distribution",
+    "d_agg_histogram",
     # round-3 green, kept fresh (events readers; the r3-green,
     # untouched queries the new batches displaced — d_agg_global,
     # d_agg_groupby, a_scan_parquet, a_scan_text_lines,
@@ -111,8 +113,6 @@ WINDOW_ORDER = [
     # every round as the driver's entry() flagship; h_tumbling's
     # displacement is covered by the five other in-window events
     # readers)
-    "h_sliding",
-    "h_session",
     "h_stateful_sessions",
     "a_sink_partitioned",
     "c_join_salted",

@@ -308,3 +308,39 @@ def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_discount", 0.5, "med_discount"),
         ],
     )
+
+
+@register(
+    "d_agg_histogram",
+    # fixed 25-wide buckets clamped to [0, 19]: floor(value / 25) is
+    # one IEEE division + floor, identical in both engines — no
+    # data-dependent bounds, so the histogram is one pass.
+    oracle="""
+    SELECT CAST(least(floor(value / 25), 19) AS BIGINT) AS bucket,
+           CAST(least(floor(value / 25), 19) * 25 AS BIGINT) AS lo_edge,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def d_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (20 x 25-wide buckets, top bucket
+    clamped): the one-pass profiling aggregate — bucket assignment is
+    scan-side, the agg is map-side-combined, and no second pass
+    computes data-dependent bounds (the 100 TB histogram discipline:
+    fix the edges or sample them, never min/max-scan first)."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("long")
+    return (
+        ev.select(
+            bucket.alias("bucket"),
+            (bucket * 25).cast("long").alias("lo_edge"),
+            "value",
+        )
+        .groupBy("bucket", "lo_edge")
+        .agg(
+            F.count("*").alias("n"),
+            fixed_sum("value").alias("sum_value"),
+        )
+    )

@@ -162,3 +162,33 @@ def e_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "e_win_distribution",
+    # percent_rank/cume_dist are exact ratios of window-frame integers;
+    # round(4) guards the double formatting, not the arithmetic.
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist()    OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) per
+    customer — the remaining rank-family members beyond e_win_rank's
+    row_number/rank/dense_rank/ntile. Same single (custkey) hash
+    shuffle + per-partition sort shape."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
