@@ -127,6 +127,51 @@ def main() -> None:
         ).count(),
     )
 
+    # --- semantic dedup: the n_centroids knob is the scale path --------
+    # Cloned embeddings all land in their original's cluster, so with
+    # FIXED centroids the per-cluster matmul grows quadratically in k —
+    # measuring exactly the failure SemDeDup's cluster-count scaling
+    # prevents. Scaling n_centroids with N restores ~linear wall.
+    timed(
+        f"semantic_dedup_{k}x_fixed_centroids",
+        lambda: S.semantic_dedup(emb_k, n_centroids=8).count(),
+    )
+    timed(
+        f"semantic_dedup_{k}x_scaled_centroids",
+        lambda: S.semantic_dedup(emb_k, n_centroids=8 * k).count(),
+    )
+
+    # --- boilerplate removal at kx (df table k-fold denser) ------------
+    from sparkclif.operators import corpus as CO
+
+    timed(
+        f"boilerplate_{k}x",
+        lambda: CO.boilerplate_removal(docs_k, min_docs=25 * k).count(),
+    )
+
+    # --- bucketized range join at kx (users shifted: pair density ------
+    # per (user, bucket) constant, so wall isolates engine scaling,
+    # not the k^2 pair blowup identical timestamps would inflict)
+    from sparkclif.operators.rangejoin import self_range_neighbors
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    ev_k = (
+        ev.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts_us",
+        )
+    )
+    timed(
+        f"range_join_{k}x",
+        lambda: self_range_neighbors(
+            ev_k, "user_id", "ts_us", "event_id", window_us=3_600_000_000
+        ).count(),
+    )
+
     # --- sequence packing: distributed prefix sum vs global window -----
     # Probed on 5M synthetic rows, not the 40k-doc table. With the
     # window genuinely materialized (see the pruning note below) the
