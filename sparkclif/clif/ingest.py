@@ -94,13 +94,11 @@ def github_contents_to_catalog(
         .otherwise(F.col("j.content"))
         .alias("body"),
     )
+    from sparkclif.clif.mcide import variable_from_fname
+
     lines = decoded.select(
         "table_name",
-        F.expr(
-            "regexp_replace("
-            "  regexp_replace(fname, '_categories\\\\.csv$', ''),"
-            "  concat('^clif_', table_name, '_'), '')"
-        ).alias("variable"),
+        variable_from_fname("fname", "table_name").alias("variable"),
         F.posexplode(F.split("body", "\n")).alias("idx", "value"),
     )
     return (
@@ -149,7 +147,7 @@ _VIEW_KINDS = {
 
 
 def slack_payloads_to_command_log(
-    spark: SparkSession, payloads: Iterable[str]
+    spark: SparkSession, payloads: Iterable["str | tuple[float, str]"]
 ) -> DataFrame:
     """Slack interactivity bodies -> command_log(event_id, ts, kind,
     user_id, payload). Supports the three mutating surfaces of the
@@ -159,20 +157,49 @@ def slack_payloads_to_command_log(
     the reference's "repo|status" packing, app.py:623-634 — kept
     packed here; ``commands.status_events`` splits it).
 
+    Timestamps: ``view_submission`` bodies carry NO event timestamp
+    (only block_actions embeds action_ts), so each payload item may be
+    a ``(arrival_epoch_seconds, body_json)`` pair — the orchestration
+    layer reads arrival time from the X-Slack-Request-Timestamp header
+    it already validates for request signing. A bare string is
+    accepted for block_actions (action_ts is inside the body); a bare
+    view_submission without an arrival time is rejected rather than
+    silently stamped with the 1970 epoch (which would corrupt every
+    ts-ordered last-wins/as-of computation downstream).
+
     event_id = arrival order (Slack guarantees per-payload uniqueness
     via trigger ids; the engine needs a total order for last-wins
     ties, and arrival order is the reference's processing order).
     Non-mutating payloads (help/issue modals, option selects) are
     filtered out exactly as app.py routes them to side channels."""
     rows = []
-    for i, p in enumerate(payloads):
+    for i, item in enumerate(payloads):
+        arrival: float | None = None
+        if isinstance(item, tuple):
+            arrival, p = float(item[0]), item[1]
+        else:
+            p = item
         body = json.loads(p)
         user_id = (body.get("user") or {}).get("id")
-        ts = float(
+        embedded = (
             body.get("action_ts")
-            or (body.get("actions") or [{}])[0].get("action_ts", 0)
-            or 0
+            or (body.get("actions") or [{}])[0].get("action_ts")
         )
+        if embedded is not None:
+            ts = float(embedded)
+        elif arrival is not None:
+            ts = arrival
+        elif body.get("type") == "view_submission":
+            cb = (body.get("view") or {}).get("callback_id")
+            if cb in _VIEW_KINDS:
+                raise ValueError(
+                    f"view_submission payload {i} ({cb}) carries no "
+                    "timestamp: pass (arrival_ts, body) pairs — Slack "
+                    "view submissions have no embedded event time"
+                )
+            ts = 0.0  # non-mutating: filtered below anyway
+        else:
+            ts = 0.0
         if body.get("type") == "view_submission":
             cb = (body.get("view") or {}).get("callback_id")
             if cb not in _VIEW_KINDS:

@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def variable_from_fname(fname_col: str, table_col: str) -> "F.Column":
+    """Variable name from a catalog filename: strip the
+    ``clif_{table}_`` prefix using the directory-derived table name so
+    tables whose names contain underscores (respiratory_support,
+    medication_admin_continuous, ...) resolve correctly — mirrors
+    reference removeprefix(f"clif_{table}_") (mcide.py:20-31); a
+    '[^_]+' regex would stop at the first underscore and yield e.g.
+    'support_device_category'. ONE definition: the file-tree reader
+    below and the contents-API ingester (clif/ingest.py) must parse
+    identically (test_ingest pins their outputs equal)."""
+    return F.expr(
+        "regexp_replace("
+        f"  regexp_replace({fname_col}, '_categories\\\\.csv$', ''),"
+        f"  concat('^clif_', {table_col}, '_'), '')"
+    )
+
+
 def read_catalog(spark: SparkSession, base_dir: str) -> DataFrame:
     """Scan the CSV tree into mcide_categories(table_name, variable,
     value, line_no). R24 filename parse + R25 line scan, distributed:
@@ -29,20 +46,7 @@ def read_catalog(spark: SparkSession, base_dir: str) -> DataFrame:
         .withColumn("path", F.input_file_name())
         .withColumn("table_name", F.element_at(F.split("path", "/"), -2))
         .withColumn("fname", F.element_at(F.split("path", "/"), -1))
-        .withColumn(
-            # Strip the prefix using the directory-derived table_name so
-            # tables whose names contain underscores (respiratory_support,
-            # medication_admin_continuous, ...) resolve correctly —
-            # mirrors reference removeprefix(f"clif_{table}_")
-            # (mcide.py:20-31); a '[^_]+' regex would stop at the first
-            # underscore and yield e.g. 'support_device_category'.
-            "variable",
-            F.expr(
-                "regexp_replace("
-                "  regexp_replace(fname, '_categories\\\\.csv$', ''),"
-                "  concat('^clif_', table_name, '_'), '')"
-            ),
-        )
+        .withColumn("variable", variable_from_fname("fname", "table_name"))
     )
     # line_no preserves file order (append keeps order, mcide.py:57-61)
     from pyspark.sql import Window

@@ -70,16 +70,15 @@ def boilerplate_removal(
         .select("seg", F.lit(1).alias("__boiler"))
     )
     flagged = segs.join(F.broadcast(boiler), "seg", "left")
-    kept = F.filter(
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("__boiler").isNull() & F.col("seg").isNotNull(),
-                    F.struct("pos", "seg"),
-                )
+    # collect_list discards NULL inputs, so boilerplate/absent segments
+    # vanish here and only kept segments are sorted back into doc order
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__boiler").isNull() & F.col("seg").isNotNull(),
+                F.struct("pos", "seg"),
             )
-        ),
-        lambda s: s.isNotNull(),
+        )
     )
     return flagged.groupBy(id_col).agg(
         F.count("seg").cast("long").alias("n_segs"),
@@ -103,24 +102,31 @@ def rarity_score(
     restatement is exact.
 
     Plan: token explode -> (token -> df) aggregation (vocabulary-sized
-    output, map-side combined) -> the rare set joins back by broadcast
-    -> per-doc count aggregation. The corpus size scalar is a 1-row
-    broadcast cross join, not a driver-side ``.count()`` — the plan
-    stays pure/cacheable and the oracle's scalar subquery matches.
+    output, map-side combined) -> the COMMON set joins back by
+    broadcast and rare = not-common. Broadcasting the common side, not
+    the rare side, is what scales: under a Zipfian vocabulary the
+    tokens ABOVE a df threshold are a few hundred stopword-like types
+    no matter the corpus size, while the rare tail IS the vocabulary —
+    broadcasting it would ship billions of rows to every executor.
+    The corpus size scalar is a 1-row broadcast cross join, not a
+    driver-side ``.count()`` — the plan stays pure/cacheable and the
+    oracle's scalar subquery matches.
     """
     toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
-    rare = (
+    common = (
         toks.groupBy("tok")
         .agg(F.countDistinct(id_col).alias("__df"))
         .crossJoin(F.broadcast(n_docs))
-        .where(F.col("__df") * 100 <= F.col("__n_docs") * rare_df_pct)
-        .select("tok", F.lit(1).alias("__rare"))
+        .where(F.col("__df") * 100 > F.col("__n_docs") * rare_df_pct)
+        .select("tok", F.lit(1).alias("__common"))
     )
-    marked = toks.join(F.broadcast(rare), "tok", "left")
+    marked = toks.join(F.broadcast(common), "tok", "left")
     counted = marked.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_toks"),
-        F.coalesce(F.sum("__rare"), F.lit(0)).cast("long").alias("n_rare"),
+        F.sum(F.when(F.col("__common").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
     )
     # integer `div`, never a double quotient: floor(double) can land
     # one off when the exact ratio is representable
@@ -145,7 +151,10 @@ def chunk_overlap(
     shuffle, zero Python; at 100 TB this is the shape you want feeding
     a shard writer (compose with sampling.shard_interleave).
     """
-    toks = tokens(text_col)
+    # NULL text behaves as empty text (its one empty chunk) — without
+    # the coalesce, size(NULL)=-1 leaks a (n_chunk_toks=-1, NULL) row
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(F.coalesce(text, F.lit("")))
     n = F.size(toks)
     n_chunks = (
         F.lit(1)

@@ -138,3 +138,14 @@ def test_semantic_dedup_never_crosses_clusters(spark, sf_dir):
         .count()
     )
     assert solo == 0
+
+
+def test_chunk_overlap_null_text_behaves_as_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string"
+    )
+    out = C.chunk_overlap(docs, chunk=16, stride=12).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 2
+    for r in by_id.values():
+        assert r["n_chunk_toks"] == 0 and r["chunk_text"] == ""

@@ -94,11 +94,11 @@ def test_contents_api_catalog_matches_file_tree_reader(spark, tmp_path):
     assert rows == [(1, "vent"), (2, "high flow nc"), (4, "trach collar")]
 
 
-def _view_submission(cb, user, state, ts="1700000000.123456"):
+def _view_submission(cb, user, state):
+    # faithful shape: real view_submission bodies carry NO timestamp
     return json.dumps(
         {
             "type": "view_submission",
-            "action_ts": ts,
             "user": {"id": user},
             "view": {"callback_id": cb, "state": {"values": state}},
         }
@@ -107,27 +107,36 @@ def _view_submission(cb, user, state, ts="1700000000.123456"):
 
 def test_slack_payloads_become_command_log_rows(spark):
     payloads = [
-        _view_submission(
-            "clif_project_modal",
-            "U_ADMIN",
-            {
-                "github_url_block": {"github_url": {"value": "https://github.com/x/p"}},
-                "project_name_block": {"project_name": {"value": "P"}},
-                "result_box_block": {"result_box_link": {"value": "box"}},
-                "special_instructions_block": {"special_instructions": {"value": None}},
-            },
-        ),
-        _view_submission(
-            "clif_site_poc_modal",
-            "U_SUBMITTER",
-            {
-                "site_block": {
-                    "site_select": {"selected_option": {"value": "Rush"}}
+        (
+            1700000000.123456,  # arrival ts from the transport layer
+            _view_submission(
+                "clif_project_modal",
+                "U_ADMIN",
+                {
+                    "github_url_block": {
+                        "github_url": {"value": "https://github.com/x/p"}
+                    },
+                    "project_name_block": {"project_name": {"value": "P"}},
+                    "result_box_block": {"result_box_link": {"value": "box"}},
+                    "special_instructions_block": {
+                        "special_instructions": {"value": None}
+                    },
                 },
-                "user_block": {"user_select": {"selected_user": "U_POC"}},
-                "project_block": {"project_select": {"selected_option": None}},
-            },
-            ts="1700000001.000001",
+            ),
+        ),
+        (
+            1700000001.000001,
+            _view_submission(
+                "clif_site_poc_modal",
+                "U_SUBMITTER",
+                {
+                    "site_block": {
+                        "site_select": {"selected_option": {"value": "Rush"}}
+                    },
+                    "user_block": {"user_select": {"selected_user": "U_POC"}},
+                    "project_block": {"project_select": {"selected_option": None}},
+                },
+            ),
         ),
         json.dumps(  # dashboard status button
             {
@@ -149,6 +158,8 @@ def test_slack_payloads_become_command_log_rows(spark):
     log = slack_payloads_to_command_log(spark, payloads)
     rows = {r["kind"]: r for r in log.collect()}
     assert set(rows) == {"release", "set_poc", "status_update"}
+    # arrival timestamps landed (no 1970-epoch rows)
+    assert rows["release"]["ts"].year >= 2023
     rel = json.loads(rows["release"]["payload"])
     assert rel["repo_url"] == "https://github.com/x/p"
     # set_poc: user_id is the ASSIGNED poc, submitter audited in payload
@@ -164,3 +175,15 @@ def test_slack_payloads_become_command_log_rows(spark):
 
     assert releases(log).count() == 1
     assert poc_events(log).collect()[0]["site_name"] == "Rush"
+
+
+def test_mutating_view_submission_without_arrival_ts_rejected(spark):
+    import pytest
+
+    bare = _view_submission(
+        "clif_project_modal",
+        "U_A",
+        {"github_url_block": {"github_url": {"value": "u"}}},
+    )
+    with pytest.raises(ValueError, match="no\\s+timestamp"):
+        slack_payloads_to_command_log(spark, [bare])
