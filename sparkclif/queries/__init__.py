@@ -105,16 +105,19 @@ WINDOW_ORDER = [
     "c_join_range_bucketed",
     "e_win_distribution",
     "d_agg_histogram",
-    # round-3 green, kept fresh (events readers; the r3-green,
-    # untouched queries the new batches displaced — d_agg_global,
-    # d_agg_groupby, a_scan_parquet, a_scan_text_lines,
-    # a_scan_json_string, a_sink_roundtrip, j_udtf — keep their r3
-    # CORRECTNESS rows, and d_agg_groupby is additionally smoke-run
-    # every round as the driver's entry() flagship; h_tumbling's
-    # displacement is covered by the five other in-window events
-    # readers)
-    "h_stateful_sessions",
-    "a_sink_partitioned",
+    "d_agg_mode",
+    "i_text_tfidf",
+    # The 14 round-4b additions above took window slots from r3-green,
+    # untouched queries (d_agg_global, d_agg_groupby, a_scan_parquet,
+    # a_scan_text_lines, a_scan_json_string, a_sink_roundtrip,
+    # a_sink_partitioned, j_udtf, h_tumbling, h_sliding, h_session,
+    # h_stateful_sessions) — new queries must get a first driver
+    # CORRECTNESS row; the displaced keep their r3 rows, d_agg_groupby
+    # is additionally smoke-run every round as the driver's entry()
+    # flagship, and events-timestamp drift coverage stays via the six
+    # in-window events readers. c_join_salted stays as the final slot:
+    # it reads events through the same io.table normalization path the
+    # sf regeneration has broken before.
     "c_join_salted",
 ]
 

@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkclif.numeric import fixed_sum
@@ -342,5 +342,46 @@ def d_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             fixed_sum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "d_agg_mode",
+    # deterministic mode: most frequent o_orderstatus per priority,
+    # ties to the lexicographically smallest status
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status,
+           cnt AS mode_count
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY cnt DESC, o_orderstatus) = 1
+    """,
+)
+def d_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group, the scalable way: count-then-argmax
+    (two map-side-combinable aggregations + a window over the tiny
+    (group, value) relation) instead of the built-in mode(), which
+    buffers a per-group value->count map in each aggregation buffer
+    and breaks ties arbitrarily. Ties break to the smallest value —
+    deterministic under any partitioning."""
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.col("o_orderstatus")
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").alias("mode_count"),
         )
     )

@@ -20,7 +20,8 @@ operators/similarity.py; these are the driver-checked bindings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from sparkclif.io import spread, table
 from sparkclif.operators import corpus as C
@@ -184,3 +185,65 @@ def i_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, zero Python."""
     docs = table(spark, sf_dir, "documents")
     return C.chunk_overlap(docs, chunk=16, stride=12)
+
+
+@register(
+    "i_text_tfidf",
+    # integer IDF surrogate: idf_bp = (n_docs * 10000) div df — order-
+    # equivalent to log(n_docs/df) for ranking, and exact integer
+    # arithmetic cross-engine; top-3 terms per doc by
+    # (tf * idf_bp desc, tok asc).
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY doc_id, tok),
+    df AS (
+        SELECT tok,
+               (SELECT count(*) FROM documents) * 10000
+                   // count(DISTINCT doc_id) AS idf_bp
+        FROM w GROUP BY tok
+    )
+    SELECT doc_id, tok,
+           CAST(tf * idf_bp AS BIGINT) AS score,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.idf_bp,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * df.idf_bp DESC, tf.tok) AS rn
+        FROM tf JOIN df USING (tok)
+    ) scored
+    WHERE rn <= 3
+    """,
+)
+def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with an
+    integer IDF surrogate (idf_bp = n_docs*10⁴ div df — monotone in
+    1/df, so rankings match log-IDF, and the arithmetic is exact
+    cross-engine). Plan: tf agg (map-side combined) + vocabulary-sized
+    idf table broadcast back + per-doc top-3 window with deterministic
+    ties. The same two-pass + broadcast shape as rarity_score."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    from sparkclif.operators.text import tokens as _tokens
+
+    w = docs.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    tf = w.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("__n"))
+    idf = (
+        w.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok", F.expr("(__n * 10000) div __df").alias("idf_bp"))
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_bp")).cast("long").alias("score")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "score", "rank")
+    )
