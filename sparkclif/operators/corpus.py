@@ -62,10 +62,16 @@ def boilerplate_removal(
     segs = docs.select(
         id_col, F.posexplode_outer(word_segments(text_col, width)).alias("pos", "seg")
     )
+    # document frequency WITHOUT a countDistinct aggregate: dedup each
+    # doc's segments scan-side (cheap array op), then a plain count —
+    # one fully map-side-combinable aggregation instead of the
+    # distinct-aggregate's expand + two-phase shuffle
     boiler = (
-        segs.where(F.col("seg").isNotNull())
+        docs.select(
+            F.explode(F.array_distinct(word_segments(text_col, width))).alias("seg")
+        )
         .groupBy("seg")
-        .agg(F.countDistinct(id_col).alias("__df"))
+        .agg(F.count("*").alias("__df"))
         .where(F.col("__df") >= min_docs)
         .select("seg", F.lit(1).alias("__boiler"))
     )
@@ -114,9 +120,12 @@ def rarity_score(
     """
     toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
+    # df via scan-side per-doc distinct + plain count (map-side
+    # combinable) — not a countDistinct expand; see boilerplate_removal
     common = (
-        toks.groupBy("tok")
-        .agg(F.countDistinct(id_col).alias("__df"))
+        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("__df") * 100 > F.col("__n_docs") * rare_df_pct)
         .select("tok", F.lit(1).alias("__common"))

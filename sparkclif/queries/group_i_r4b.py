@@ -32,6 +32,12 @@ from sparkclif.registry import register
 @register(
     "i_dedup_semantic",
     cache_plan=False,  # builds the centroid broadcast at plan time
+    # oracle_in_bench=False: the oracle's within-cluster ALL-PAIRS join
+    # is the semantics the cluster-local BLAS replaces — quadratic per
+    # cluster in SQL, not a comparable plan shape for baseline timing
+    # (same convention as cosine top-k). Correctness stays hash-checked
+    # at sf0.01.
+    oracle_in_bench=False,
     # Exact restatement: assign = nearest of the 8 lowest-id vectors
     # by integer-quantized dot (ties to lowest centroid id — the IVF
     # assign contract), dup = any SAME-cluster lower-id vector with
@@ -232,9 +238,12 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", F.explode(_tokens("text")).alias("tok"))
     tf = w.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     n_docs = docs.agg(F.count("*").cast("long").alias("__n"))
+    # df via scan-side per-doc distinct + plain count — no
+    # countDistinct expand (see corpus.rarity_score)
     idf = (
-        w.groupBy("tok")
-        .agg(F.countDistinct("doc_id").alias("__df"))
+        docs.select(F.explode(F.array_distinct(_tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .select("tok", F.expr("(__n * 10000) div __df").alias("idf_bp"))
     )
