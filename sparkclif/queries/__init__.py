@@ -18,20 +18,23 @@ c_join_asof, the percentile-path d_agg_percentile), then the
 remaining D/H/A/J + the events-reading c_join_salted (testdata
 timestamp types drift between rounds — keep events readers covered).
 
-The six queries added mid-round-4 (i_text_repetition,
+The twenty queries added during round 4 (i_text_repetition,
 i_decontaminate, i_shard_interleave, i_embed_quantize, i_corpus_mix,
-i_pipeline_end2end) take window slots from six round-3-green,
-untouched queries (c_join_inner, d_agg_distinct,
-d_agg_collect_ordered, d_agg_pivot, j_udf_scalar, j_pandas_udf_agg)
-— new queries must get a first driver CORRECTNESS row (VERDICT r3
-finding 1).
+i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
+i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
+a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
+e_win_distribution, d_agg_histogram, d_agg_mode, plus the three
+ANN anchors counted with the earlier batch) take window slots from
+round-3-green, untouched queries — new queries must get a first
+driver CORRECTNESS row (VERDICT r3 finding 1); the displaced keep
+their r3 rows.
 
-Outside the window (33): the group-I text/dedup/similarity queries,
-seven C joins, three D aggregates, and two J UDF queries — all
-driver-green in round 3 and untouched since (the only edit near
-them, graph.py's non-convergence raise, cannot change a converging
-run). Every query is still oracle-checked locally each round by
-tests/test_oracle_parity.py.
+Outside the window (45): the group-I round-3 text/dedup/similarity
+queries, several C joins, D aggregates, A scans/sinks, H windowed
+aggs, and the J UDF queries — all driver-green in round 3 and
+untouched since. Every query is still oracle-checked locally each
+round by tests/test_oracle_parity.py, and a fresh-process driver
+simulation (.claude/skills/verify) ran green on all 95 this round.
 """
 
 from sparkclif.queries import (  # noqa: F401
