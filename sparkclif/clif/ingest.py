@@ -227,10 +227,20 @@ def slack_payloads_to_command_log(
         elif body.get("type") == "block_actions":
             for act in body.get("actions") or []:
                 if act.get("action_id") == "status_update":
+                    act_ts = act.get("action_ts")
+                    if act_ts is None and arrival is None:
+                        # same epoch-corruption guard as the mutating
+                        # view_submission branch: a status row stamped
+                        # 1970 always loses last-wins ties silently
+                        raise ValueError(
+                            f"block_actions payload {i} (status_update) "
+                            "carries no action_ts and no arrival time "
+                            "was provided: pass (arrival_ts, body) pairs"
+                        )
                     rows.append(
                         (
                             i,
-                            float(act.get("action_ts") or ts),
+                            float(act_ts) if act_ts is not None else arrival,
                             "status_update",
                             user_id,
                             json.dumps({"value": act.get("value")}, sort_keys=True),

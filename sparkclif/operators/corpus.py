@@ -58,6 +58,12 @@ def boilerplate_removal(
     onto the exploded scan; one final per-doc groupBy rebuilds the
     document. Two shuffles total (df agg + rebuild), both on keys with
     bounded skew (segment df caps at n_docs; doc_id is unique).
+
+    Precondition: ``docs`` has ONE ROW PER ``id_col`` (an entity
+    table). Document frequency is computed by deduping each row's
+    segments scan-side and counting rows — duplicate id rows would
+    each contribute, inflating df (dropDuplicates(id_col) upstream if
+    your input is a union of corpus slices).
     """
     segs = docs.select(
         id_col, F.posexplode_outer(word_segments(text_col, width)).alias("pos", "seg")
@@ -117,6 +123,9 @@ def rarity_score(
     The corpus size scalar is a 1-row broadcast cross join, not a
     driver-side ``.count()`` — the plan stays pure/cacheable and the
     oracle's scalar subquery matches.
+
+    Precondition: one row per ``id_col`` (see boilerplate_removal —
+    df counts rows after scan-side per-row token dedup).
     """
     toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))

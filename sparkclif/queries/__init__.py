@@ -18,16 +18,17 @@ c_join_asof, the percentile-path d_agg_percentile), then the
 remaining D/H/A/J + the events-reading c_join_salted (testdata
 timestamp types drift between rounds — keep events readers covered).
 
-The twenty queries added during round 4 (i_text_repetition,
-i_decontaminate, i_shard_interleave, i_embed_quantize, i_corpus_mix,
+The 22 queries added during round 4 (i_dedup_minhash_anchor,
+i_sim_lsh_bucket_stats, i_sim_ivf_assign_stats,
+i_dedup_embedding_at_scale, i_text_repetition, i_decontaminate,
+i_shard_interleave, i_embed_quantize, i_corpus_mix,
 i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
 i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
 a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
-e_win_distribution, d_agg_histogram, d_agg_mode, plus the three
-ANN anchors counted with the earlier batch) take window slots from
-round-3-green, untouched queries — new queries must get a first
-driver CORRECTNESS row (VERDICT r3 finding 1); the displaced keep
-their r3 rows.
+e_win_distribution, d_agg_histogram, d_agg_mode — 95 registered vs
+73 in round 3) take window slots from round-3-green, untouched
+queries — new queries must get a first driver CORRECTNESS row
+(VERDICT r3 finding 1); the displaced keep their r3 rows.
 
 Outside the window (45): the group-I round-3 text/dedup/similarity
 queries, several C joins, D aggregates, A scans/sinks, H windowed
@@ -117,7 +118,7 @@ WINDOW_ORDER = [
     # h_stateful_sessions) — new queries must get a first driver
     # CORRECTNESS row; the displaced keep their r3 rows, d_agg_groupby
     # is additionally smoke-run every round as the driver's entry()
-    # flagship, and events-timestamp drift coverage stays via the six
+    # flagship, and events-timestamp drift coverage stays via the ten
     # in-window events readers. c_join_salted stays as the final slot:
     # it reads events through the same io.table normalization path the
     # sf regeneration has broken before.

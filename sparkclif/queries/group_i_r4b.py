@@ -167,21 +167,26 @@ def i_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact restatement: chunk i covers toks[12i+1 : 12i+16];
     # 1 + ceil(max(n-16, 0)/12) chunks so every token is covered and
     # the final chunk may run short.
+    # coalesce mirrors the operator's NULL-text-as-empty contract —
+    # without it a NULL/empty doc diverges (oracle drops or NULLs the
+    # row where the operator keeps one empty chunk)
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS toks
         FROM documents
     ),
     c AS (
         SELECT doc_id, d.i AS chunk_id, toks[d.i * 12 + 1 : d.i * 12 + 16] AS ctoks
         FROM t
-        CROSS JOIN (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) d
+        CROSS JOIN (SELECT unnest(range(greatest((SELECT max(len(toks)) FROM t), 1)))
+                    AS i) d
         WHERE d.i < 1 + greatest(CAST(ceil((len(toks) - 16) / 12.0) AS BIGINT), 0)
     )
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-           CAST(len(ctoks) AS BIGINT) AS n_chunk_toks,
-           array_to_string(ctoks, ' ') AS chunk_text
+           CAST(coalesce(len(ctoks), 0) AS BIGINT) AS n_chunk_toks,
+           coalesce(array_to_string(ctoks, ' '), '') AS chunk_text
     FROM c
     """,
 )

@@ -187,3 +187,20 @@ def test_mutating_view_submission_without_arrival_ts_rejected(spark):
     )
     with pytest.raises(ValueError, match="no\\s+timestamp"):
         slack_payloads_to_command_log(spark, [bare])
+
+
+def test_block_actions_without_any_ts_rejected(spark):
+    import pytest
+
+    bare = json.dumps(
+        {
+            "type": "block_actions",
+            "user": {"id": "U"},
+            "actions": [{"action_id": "status_update", "value": "r|Done"}],
+        }
+    )
+    with pytest.raises(ValueError, match="no action_ts"):
+        slack_payloads_to_command_log(spark, [bare])
+    # with an arrival timestamp the same payload ingests fine
+    out = slack_payloads_to_command_log(spark, [(1700000005.0, bare)])
+    assert out.collect()[0]["ts"].year >= 2023
