@@ -248,3 +248,40 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 1, f"only the final count agg may hash-shuffle:\n{plan}"
+
+
+def test_corpus_stats_backjoins_broadcast(spark, sf_dir):
+    """Boilerplate / rarity / tfidf: the frequency-table back-join must
+    be a broadcast hash join (never a sort-merge shuffle of the full
+    occurrence relation) and the df aggregation must be a plain
+    partial+final count — the countDistinct expand shape is banned."""
+    for name in ("i_text_boilerplate", "i_text_rarity", "i_text_tfidf"):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "Expand" not in plan, (
+            f"{name}: distinct-aggregate expand crept back into the df stats"
+        )
+
+
+def test_chunk_overlap_zero_shuffle(spark, sf_dir):
+    plan = formatted_plan(spark, "i_chunk_overlap", sf_dir)
+    assert "Exchange" not in plan, "chunking must stay scan-side"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_is_hash_equi_join(spark, sf_dir):
+    plan = formatted_plan(spark, "c_join_range_bucketed", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket equi-join may be SMJ or SHJ depending on stats; what
+    # matters is that it IS an equi-join on (key, bucket)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_histogram_and_mode_have_partial_aggregation(spark, sf_dir):
+    for name in ("d_agg_histogram", "d_agg_mode"):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "partial_count" in plan or "Partial" in plan, name
