@@ -63,3 +63,23 @@ def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_randomized_against_model(spark):
+    """One seeded random dataset (clustered timestamps so windows
+    genuinely overlap) checked row-for-row against the brute-force
+    model — catches bucket-boundary arithmetic errors no handpicked
+    case covers."""
+    import random
+
+    rng = random.Random(0xC1F)
+    rows = [
+        (i, rng.randrange(5), rng.randrange(0, 1000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t long")
+    out = self_range_neighbors(
+        df, key_col="user_id", time_us_col="t", id_col="event_id", window_us=W
+    )
+    got = {r["event_id"]: r["n_near"] for r in out.collect()}
+    assert got == _brute(rows)
