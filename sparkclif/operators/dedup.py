@@ -275,3 +275,69 @@ def simhash64(
             yield pd.DataFrame({id_col: ids, "simhash": pd.Series(fps, dtype="int64")})
 
     return tok_hashes.mapInPandas(vote_pack, f"{id_col} long, simhash long")
+
+
+def substring_candidate_pairs(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring near-duplicate candidates (the Lee et al. 2022
+    "Deduplicating Training Data" modality): docs sharing any exact
+    ``window``-char substring window, sampled at ``stride`` character
+    offsets. With stride = window/2, any common substring of length
+    >= window + stride - 1 is GUARANTEED to produce a shared window
+    (some window start falls entirely inside it on both docs), so this
+    is a detection net for long verbatim overlap, not a similarity
+    heuristic.
+
+    Plan: windows are generated scan-side (Column.substr over a
+    sequence — zero Python) and deduped per doc scan-side
+    (array_distinct, so the frequency count needs no distinct
+    aggregate); ONE shuffle groups windows into buckets; buckets
+    sized [2, max_df] emit their id pairs locally (a window shared by
+    more docs than max_df is boilerplate, not duplication — the same
+    skew guard as minhash's max_bucket); a final pair count yields
+    n_shared. Same single-shuffle bucket shape as
+    minhash_candidate_pairs.
+    """
+    text = F.col(text_col)
+    n_wins = F.when(
+        F.length(text) >= window,
+        ((F.length(text) - window) / stride).cast("long") + 1,
+    ).otherwise(F.lit(0))
+    starts = F.when(n_wins > 0, F.sequence(F.lit(0).cast("long"), n_wins - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: text.substr((i * stride + 1).cast("int"), F.lit(window)),
+                )
+            )
+        ).alias("win"),
+    )
+    buckets = (
+        wins.groupBy("win")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+        .where((F.size("members") >= 2) & (F.size("members") <= max_df))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda a: F.transform(
+                F.filter("members", lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )

@@ -18,24 +18,26 @@ c_join_asof, the percentile-path d_agg_percentile), then the
 remaining D/H/A/J + the events-reading c_join_salted (testdata
 timestamp types drift between rounds — keep events readers covered).
 
-The 22 queries added during round 4 (i_dedup_minhash_anchor,
+The 23 queries added during round 4 (i_dedup_minhash_anchor,
 i_sim_lsh_bucket_stats, i_sim_ivf_assign_stats,
 i_dedup_embedding_at_scale, i_text_repetition, i_decontaminate,
 i_shard_interleave, i_embed_quantize, i_corpus_mix,
 i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
 i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
 a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
-e_win_distribution, d_agg_histogram, d_agg_mode — 95 registered vs
+e_win_distribution, d_agg_histogram, d_agg_mode,
+i_dedup_substring — 96 registered vs
 73 in round 3) take window slots from round-3-green, untouched
 queries — new queries must get a first driver CORRECTNESS row
 (VERDICT r3 finding 1); the displaced keep their r3 rows.
 
-Outside the window (45): the group-I round-3 text/dedup/similarity
+Outside the window (46): the group-I round-3 text/dedup/similarity
 queries, several C joins, D aggregates, A scans/sinks, H windowed
 aggs, and the J UDF queries — all driver-green in round 3 and
 untouched since. Every query is still oracle-checked locally each
 round by tests/test_oracle_parity.py, and a fresh-process driver
-simulation (.claude/skills/verify) ran green on all 95 this round.
+simulation (.claude/skills/verify) ran green on the full registry
+repeatedly this round.
 """
 
 from sparkclif.queries import (  # noqa: F401
@@ -111,7 +113,8 @@ WINDOW_ORDER = [
     "d_agg_histogram",
     "d_agg_mode",
     "i_text_tfidf",
-    # The 14 round-4b additions above took window slots from r3-green,
+    "i_dedup_substring",
+    # The 15 round-4b additions above took window slots from r3-green,
     # untouched queries (d_agg_global, d_agg_groupby, a_scan_parquet,
     # a_scan_text_lines, a_scan_json_string, a_sink_roundtrip,
     # a_sink_partitioned, j_udtf, h_tumbling, h_sliding, h_session,
@@ -119,10 +122,9 @@ WINDOW_ORDER = [
     # CORRECTNESS row; the displaced keep their r3 rows, d_agg_groupby
     # is additionally smoke-run every round as the driver's entry()
     # flagship, and events-timestamp drift coverage stays via the ten
-    # in-window events readers. c_join_salted stays as the final slot:
-    # it reads events through the same io.table normalization path the
-    # sf regeneration has broken before.
-    "c_join_salted",
+    # in-window events readers (every reader goes through the same
+    # io.table normalization path the sf regeneration has broken
+    # before; c_join_salted, displaced last, keeps its r3 row).
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -261,3 +261,39 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "score", "rank")
     )
+
+
+@register(
+    "i_dedup_substring",
+    # Exact restatement: distinct 32-char windows at 16-char strides,
+    # windows in [2, 16] docs pair their docs, count shared windows.
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, substr(text, d.i * 16 + 1, 32) AS win
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(
+            (SELECT CAST(ceil(max(length(text)) / 16.0) AS BIGINT)
+             FROM documents))) AS i) d
+        WHERE d.i * 16 + 32 <= length(text)
+    ),
+    dw AS (SELECT DISTINCT doc_id, win FROM w),
+    freq AS (SELECT win, count(*) AS df FROM dw GROUP BY win),
+    ok AS (SELECT win FROM freq WHERE df BETWEEN 2 AND 16)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM dw a
+    JOIN ok ON ok.win = a.win
+    JOIN dw b ON b.win = a.win AND b.doc_id > a.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def i_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate candidates (Lee et al. 2022 shape):
+    32-char windows at 16-char strides — any common verbatim run of
+    >= 47 chars is guaranteed detected. Scan-side window generation +
+    one bucket shuffle + in-bucket pair emission with a df <= 16
+    boilerplate cap (operators/dedup.py:substring_candidate_pairs)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    from sparkclif.operators.dedup import substring_candidate_pairs
+
+    return substring_candidate_pairs(docs, window=32, stride=16, max_df=16)
