@@ -286,42 +286,55 @@ def substring_candidate_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact-substring near-duplicate candidates (the Lee et al. 2022
-    "Deduplicating Training Data" modality): docs sharing any exact
-    ``window``-char substring window, sampled at ``stride`` character
-    offsets. With stride = window/2, any common substring of length
-    >= window + stride - 1 is GUARANTEED to produce a shared window
-    (some window start falls entirely inside it on both docs), so this
-    is a detection net for long verbatim overlap, not a similarity
-    heuristic.
+    "Deduplicating Training Data" modality) via WINNOWING (Schleimer
+    et al., the MOSS fingerprinter): from each document's
+    every-position ``window``-char grams, select the minimum gram of
+    every sliding group of ``stride`` positions. Selection is
+    CONTENT-aligned — a gram's selection depends only on its
+    neighboring grams, never on its document offset — so any common
+    verbatim run of length >= window + stride - 1 contains a full
+    group on both sides and is GUARANTEED to contribute a shared
+    selected gram, at ~1/stride selection density. (A first
+    formulation sampled windows at document-offset-aligned strides;
+    a run at offsets not congruent mod stride produced disjoint
+    window sets and was silently missed — caught by
+    test_substring_dedup_detection_guarantee.)
 
-    Plan: windows are generated scan-side (Column.substr over a
-    sequence — zero Python) and deduped per doc scan-side
-    (array_distinct, so the frequency count needs no distinct
-    aggregate); ONE shuffle groups windows into buckets; buckets
-    sized [2, max_df] emit their id pairs locally (a window shared by
-    more docs than max_df is boilerplate, not duplication — the same
-    skew guard as minhash's max_bucket); a final pair count yields
-    n_shared. Same single-shuffle bucket shape as
-    minhash_candidate_pairs.
+    Plan: gram generation + sliding-min selection are scan-side array
+    expressions (O(len * stride) short-string compares per doc; the
+    100 TB variant swaps this kernel for an Arrow-batched numpy
+    rolling-hash winnower, same selected-set contract); per-doc dedup
+    via array_distinct so the frequency count needs no distinct
+    aggregate; ONE shuffle groups selected grams into buckets;
+    buckets sized [2, max_df] emit their id pairs locally (a gram
+    shared by more docs than max_df is boilerplate, not duplication —
+    the same skew guard as minhash's max_bucket); a final pair count
+    yields n_shared.
     """
     text = F.col(text_col)
-    n_wins = F.when(
-        F.length(text) >= window,
-        ((F.length(text) - window) / stride).cast("long") + 1,
-    ).otherwise(F.lit(0))
-    starts = F.when(n_wins > 0, F.sequence(F.lit(0).cast("long"), n_wins - 1)).otherwise(
-        F.array().cast("array<long>")
+    n_grams = F.greatest(F.length(text) - (window - 1), F.lit(0))
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: text.substr(i.cast("int"), F.lit(window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    selected = F.when(
+        n_grams <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.when(
+            n_grams < stride, F.array(F.array_min(grams))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_grams - (stride - 1)),
+                lambda i: F.array_min(F.slice(grams, i.cast("int"), stride)),
+            )
+        )
     )
     wins = docs.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    starts,
-                    lambda i: text.substr((i * stride + 1).cast("int"), F.lit(window)),
-                )
-            )
-        ).alias("win"),
+        F.explode(F.array_distinct(selected)).alias("win"),
     )
     buckets = (
         wins.groupBy("win")

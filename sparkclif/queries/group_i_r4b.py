@@ -265,33 +265,44 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_dedup_substring",
-    # Exact restatement: distinct 32-char windows at 16-char strides,
-    # windows in [2, 16] docs pair their docs, count shared windows.
+    # Exact restatement of the winnowing selection: every-position
+    # 32-char grams, minimum gram of each sliding 16-group (single
+    # group when a doc has fewer than 16 grams), distinct selected
+    # grams in [2, 16] docs pair their docs, count shared selections.
     oracle=r"""
-    WITH w AS (
-        SELECT doc_id, substr(text, d.i * 16 + 1, 32) AS win
+    WITH g AS (
+        SELECT doc_id,
+               [substr(text, i, 32)
+                for i in range(1, greatest(length(text) - 31, 0) + 1)] AS grams
         FROM documents
-        CROSS JOIN (SELECT unnest(range(
-            (SELECT CAST(ceil(max(length(text)) / 16.0) AS BIGINT)
-             FROM documents))) AS i) d
-        WHERE d.i * 16 + 32 <= length(text)
+        WHERE length(text) >= 32
     ),
-    dw AS (SELECT DISTINCT doc_id, win FROM w),
-    freq AS (SELECT win, count(*) AS df FROM dw GROUP BY win),
+    sel AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(grams) < 16
+                        THEN [list_aggregate(grams, 'min')]
+                        ELSE [list_aggregate(grams[i : i + 15], 'min')
+                              for i in range(1, len(grams) - 16 + 2)]
+                   END)) AS win
+        FROM g
+    ),
+    freq AS (SELECT win, count(*) AS df FROM sel GROUP BY win),
     ok AS (SELECT win FROM freq WHERE df BETWEEN 2 AND 16)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_shared
-    FROM dw a
+    FROM sel a
     JOIN ok ON ok.win = a.win
-    JOIN dw b ON b.win = a.win AND b.doc_id > a.doc_id
+    JOIN sel b ON b.win = a.win AND b.doc_id > a.doc_id
     GROUP BY 1, 2
     """,
 )
 def i_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplicate candidates (Lee et al. 2022 shape):
-    32-char windows at 16-char strides — any common verbatim run of
-    >= 47 chars is guaranteed detected. Scan-side window generation +
-    one bucket shuffle + in-bucket pair emission with a df <= 16
+    """Exact-substring duplicate candidates (Lee et al. 2022 shape)
+    via winnowing fingerprints: content-aligned minimum-gram selection
+    guarantees any common verbatim run >= 47 chars is detected
+    regardless of where it sits in each document. Scan-side selection
+    + one bucket shuffle + in-bucket pair emission with a df <= 16
     boilerplate cap (operators/dedup.py:substring_candidate_pairs)."""
     docs = spread(table(spark, sf_dir, "documents"))
     from sparkclif.operators.dedup import substring_candidate_pairs

@@ -149,3 +149,25 @@ def test_chunk_overlap_null_text_behaves_as_empty(spark):
     assert len(out) == 2
     for r in by_id.values():
         assert r["n_chunk_toks"] == 0 and r["chunk_text"] == ""
+
+
+def test_substring_dedup_detection_guarantee(spark):
+    """Any common verbatim run of >= window + stride - 1 chars MUST be
+    detected (some stride-aligned window falls entirely inside it in
+    both docs); short overlaps and solo docs yield no pairs."""
+    from sparkclif.operators.dedup import substring_candidate_pairs
+
+    run = "X" * 20 + "COMMON VERBATIM SEGMENT HERE!!!" + "Y" * 20  # 71 chars
+    rows = [
+        (0, "aaa " * 10 + run),                   # shared run, offset 40
+        (1, run + " bbb " * 12),                  # shared run, offset 0
+        (2, "totally different text " * 5),       # unrelated
+        (3, "zz " + run[:30] + " unrelated tail due to short overlap"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_candidate_pairs(docs, window=32, stride=16).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(k == (0, 1) for k in pairs), pairs
