@@ -24,18 +24,20 @@ def word_segments(text: Column | str, width: int = 2) -> Column:
     order; a trailing remnant shorter than ``width`` is dropped (both
     engines then agree on the segment count without a ragged-tail
     convention). The testbed stand-in for "lines" — the unit of
-    boilerplate detection."""
-    toks = tokens(text)
-    n_segs = (F.size(toks) / width).cast("long")
-    idx = F.when(n_segs > 0, F.sequence(F.lit(0).cast("long"), n_segs - 1)).otherwise(
-        F.array().cast("array<long>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i * width + 1).cast("int"), width)
-        ),
-    )
+    boilerplate detection. Token array bind-bound (see expr.bind)."""
+    from sparkclif.operators.expr import bind
+
+    def segs(t: Column) -> Column:
+        n_segs = (F.size(t) / width).cast("long")
+        idx = F.when(
+            n_segs > 0, F.sequence(F.lit(0).cast("long"), n_segs - 1)
+        ).otherwise(F.array().cast("array<long>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(t, (i * width + 1).cast("int"), width)),
+        )
+
+    return bind(tokens(text), segs)
 
 
 def boilerplate_removal(
@@ -171,17 +173,22 @@ def chunk_overlap(
     """
     # NULL text behaves as empty text (its one empty chunk) — without
     # the coalesce, size(NULL)=-1 leaks a (n_chunk_toks=-1, NULL) row
+    from sparkclif.operators.expr import bind
+
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(F.coalesce(text, F.lit("")))
-    n = F.size(toks)
-    n_chunks = (
-        F.lit(1)
-        + F.ceil(F.greatest(n - chunk, F.lit(0)).cast("double") / stride).cast("long")
-    )
-    pieces = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda i: F.slice(toks, (i * stride + 1).cast("int"), chunk),
-    )
+
+    def chunks(t: Column) -> Column:
+        n_chunks = F.lit(1) + F.ceil(
+            F.greatest(F.size(t) - chunk, F.lit(0)).cast("double") / stride
+        ).cast("long")
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.slice(t, (i * stride + 1).cast("int"), chunk),
+        )
+
+    # token array bind-bound: referenced bare in the lambda it would be
+    # re-split once per chunk (see expr.bind)
+    pieces = bind(tokens(F.coalesce(text, F.lit(""))), chunks)
     return docs.select(
         id_col, F.posexplode(pieces).alias("chunk_id", "__ctoks")
     ).select(

@@ -99,6 +99,24 @@ def minhash_signatures(
     return based.mapInPandas(remix_min, f"{id_col} long, signature array<long>")
 
 
+def _bucket_pair_array(members, pair_struct, key=None):
+    """All (a, b) pairs with key(b) > key(a) inside one bucket's
+    ``members`` array, as a flat struct array — the bucket-local pair
+    emission shared by minhash banding and the winnowing substring
+    dedup. ``pair_struct(a, b)`` builds the pair payload; ``key``
+    extracts the ordering field (identity by default)."""
+    k = key or (lambda m: m)
+    return F.flatten(
+        F.transform(
+            members,
+            lambda a: F.transform(
+                F.filter(members, lambda b: k(b) > k(a)),
+                lambda b: pair_struct(a, b),
+            ),
+        )
+    )
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -185,20 +203,16 @@ def minhash_candidate_pairs(
     agree = lambda sa, sb: F.size(  # noqa: E731
         F.filter(F.zip_with(sa, sb, lambda a, b: (a == b).cast("int")), lambda x: x == 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "members",
-            lambda a: F.transform(
-                F.filter("members", lambda b: b["id"] > a["id"]),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    F.round(agree(a["sig"], b["sig"]) / F.size(a["sig"]), 4).alias(
-                        "est_jaccard"
-                    ),
-                ),
+    pair_arr = _bucket_pair_array(
+        F.col("members"),
+        lambda a, b: F.struct(
+            a["id"].alias("id_a"),
+            b["id"].alias("id_b"),
+            F.round(agree(a["sig"], b["sig"]) / F.size(a["sig"]), 4).alias(
+                "est_jaccard"
             ),
-        )
+        ),
+        key=lambda m: m["id"],
     )
     # the same pair can surface from several bands with identical est —
     # dedup on ids only (no signatures cross this shuffle)
@@ -301,16 +315,24 @@ def substring_candidate_pairs(
     test_substring_dedup_detection_guarantee.)
 
     Plan: gram generation + sliding-min selection are scan-side array
-    expressions (O(len * stride) short-string compares per doc; the
-    100 TB variant swaps this kernel for an Arrow-batched numpy
-    rolling-hash winnower, same selected-set contract); per-doc dedup
+    expressions — the gram array is ``bind``-bound so it is built ONCE
+    per row (Spark re-inlines aliased expressions into HOF lambdas;
+    unbound, selection measured O(len²·window): 329 s for one 4 KB
+    doc), giving the intended O(len·stride) short-string compares;
+    the 100 TB variant swaps this kernel for an Arrow-batched numpy
+    rolling-hash winnower, same selected-set contract. Per-doc dedup
     via array_distinct so the frequency count needs no distinct
-    aggregate; ONE shuffle groups selected grams into buckets;
-    buckets sized [2, max_df] emit their id pairs locally (a gram
-    shared by more docs than max_df is boilerplate, not duplication —
-    the same skew guard as minhash's max_bucket); a final pair count
-    yields n_shared.
+    aggregate; ONE shuffle groups selected grams into buckets.
+    Buckets sized [2, max_df] emit all id pairs locally; buckets ABOVE
+    the cap emit STAR pairs (every member against the bucket's lowest
+    id) — O(members), so a document verbatim-copied hundreds of times
+    still surfaces in pairs and downstream connected-components
+    clustering reunites the whole copy set, while the quadratic
+    all-pairs blowup stays capped (a plain drop would silently hide
+    exactly the mass-duplication case this operator exists for).
     """
+    from sparkclif.operators.expr import bind
+
     text = F.col(text_col)
     n_grams = F.greatest(F.length(text) - (window - 1), F.lit(0))
     grams = F.when(
@@ -320,17 +342,16 @@ def substring_candidate_pairs(
             lambda i: text.substr(i.cast("int"), F.lit(window)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    selected = F.when(
-        n_grams <= 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.when(
-            n_grams < stride, F.array(F.array_min(grams))
-        ).otherwise(
+    selected = bind(
+        grams,
+        lambda g: F.when(F.size(g) <= 0, F.array().cast("array<string>"))
+        .when(F.size(g) < stride, F.array(F.array_min(g)))
+        .otherwise(
             F.transform(
-                F.sequence(F.lit(1), n_grams - (stride - 1)),
-                lambda i: F.array_min(F.slice(grams, i.cast("int"), stride)),
+                F.sequence(F.lit(1), F.size(g) - (stride - 1)),
+                lambda i: F.array_min(F.slice(g, i.cast("int"), stride)),
             )
-        )
+        ),
     )
     wins = docs.select(
         F.col(id_col),
@@ -339,17 +360,18 @@ def substring_candidate_pairs(
     buckets = (
         wins.groupBy("win")
         .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
-        .where((F.size("members") >= 2) & (F.size("members") <= max_df))
+        .where(F.size("members") >= 2)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "members",
-            lambda a: F.transform(
-                F.filter("members", lambda b: b > a),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
+    all_pairs = _bucket_pair_array(
+        F.col("members"), lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b"))
     )
+    star_pairs = F.transform(
+        F.slice("members", 2, 2_000_000_000),
+        lambda b: F.struct(
+            F.element_at("members", 1).alias("id_a"), b.alias("id_b")
+        ),
+    )
+    pair_arr = F.when(F.size("members") <= max_df, all_pairs).otherwise(star_pairs)
     pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.id_a", "p.id_b")
     return pairs.groupBy("id_a", "id_b").agg(
         F.count("*").cast("long").alias("n_shared")

@@ -88,13 +88,20 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word-level n-gram shingles as an array of 'w1 w2 w3' strings.
-    Pure array lambdas — no explode, no Python."""
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
+    Pure array lambdas — no explode, no Python. The token array is
+    bind-bound: referenced bare inside the transform lambda it would
+    be re-split once PER SHINGLE (O(len²) per doc — see expr.bind)."""
+    from sparkclif.operators.expr import bind
+
+    return bind(
+        tokens(text),
+        lambda t: F.transform(
+            F.when(
+                F.size(t) - (n - 1) >= 1, F.sequence(F.lit(1), F.size(t) - (n - 1))
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
     )
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def top_token_count(text: Column | str) -> Column:
@@ -102,16 +109,22 @@ def top_token_count(text: Column | str) -> Column:
     the numerator of the Gopher-style top-token repetition fraction
     (Rae et al. 2021 §A1.1: docs where one token dominates are
     boilerplate/spam). Pure array lambdas, O(distinct × tokens) per
-    row, no shuffle, no Python — at 100 TB this is scan-side work."""
-    toks = tokens(text)
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
+    row, no shuffle, no Python — at 100 TB this is scan-side work.
+    The token array is bind-bound (else it is re-split once per
+    distinct token — O(distinct × len) splits; see expr.bind)."""
+    from sparkclif.operators.expr import bind
+
+    return bind(
+        tokens(text),
+        lambda t: F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda tk: F.size(F.filter(t, lambda x: x == tk)),
+                )
+            ),
+            F.lit(0),
         ),
-        F.lit(0),
     ).cast("long")
 
 

@@ -14,9 +14,10 @@ round 2, then everything new or edited this round (the three
 exact-SQL ANN anchors, the at-scale embedding dedup, the re-trained
 i_sim_ivf, the Spark-side-state h_stream_upsert, the
 staleness-guarded c_join_bucketed, the strictness-encoded
-c_join_asof, the percentile-path d_agg_percentile), then the
-remaining D/H/A/J + the events-reading c_join_salted (testdata
-timestamp types drift between rounds — keep events readers covered).
+c_join_asof, the percentile-path d_agg_percentile), then the rest of
+this round's additions (c_join_salted itself was displaced late in
+the round — its r3 row stands, and ten in-window queries still read
+events, covering the timestamp-type drift between rounds).
 
 The 23 queries added during round 4 (i_dedup_minhash_anchor,
 i_sim_lsh_bucket_stats, i_sim_ivf_assign_stats,

@@ -267,8 +267,9 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i_dedup_substring",
     # Exact restatement of the winnowing selection: every-position
     # 32-char grams, minimum gram of each sliding 16-group (single
-    # group when a doc has fewer than 16 grams), distinct selected
-    # grams in [2, 16] docs pair their docs, count shared selections.
+    # group when a doc has fewer than 16 grams); distinct selected
+    # grams in [2, 16] docs emit all pairs, grams in MORE docs emit
+    # star pairs against the bucket's lowest id; count per pair.
     oracle=r"""
     WITH g AS (
         SELECT doc_id,
@@ -287,14 +288,21 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    END)) AS win
         FROM g
     ),
-    freq AS (SELECT win, count(*) AS df FROM sel GROUP BY win),
-    ok AS (SELECT win FROM freq WHERE df BETWEEN 2 AND 16)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM sel a
-    JOIN ok ON ok.win = a.win
-    JOIN sel b ON b.win = a.win AND b.doc_id > a.doc_id
-    GROUP BY 1, 2
+    freq AS (SELECT win, count(*) AS df, min(doc_id) AS mn
+             FROM sel GROUP BY win),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sel a
+        JOIN freq f ON f.win = a.win AND f.df BETWEEN 2 AND 16
+        JOIN sel b ON b.win = a.win AND b.doc_id > a.doc_id
+        UNION ALL
+        SELECT f.mn AS id_a, s.doc_id AS id_b
+        FROM freq f
+        JOIN sel s ON s.win = f.win AND s.doc_id > f.mn
+        WHERE f.df > 16
+    )
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY 1, 2
     """,
 )
 def i_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,3 +171,21 @@ def test_substring_dedup_detection_guarantee(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1
     assert all(k == (0, 1) for k in pairs), pairs
+
+
+def test_substring_dedup_mass_duplication_star_pairs(spark):
+    """A doc verbatim-copied into MORE docs than max_df must still
+    surface: over-cap buckets emit star pairs against the lowest id
+    (O(members)), so connected components reunite the whole copy set
+    — a plain bucket drop would hide exactly the mass-duplication
+    case this operator targets."""
+    from sparkclif.operators.dedup import substring_candidate_pairs
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    pairs = substring_candidate_pairs(docs, max_df=16).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(40))
+    assert all(r["id_a"] == 0 for r in pairs)  # star centre = lowest id
