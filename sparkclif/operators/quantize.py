@@ -61,21 +61,41 @@ def int8_quant_stats(vec: Column) -> dict[str, Column]:
     - ``n_zero``: lanes that quantize to 0 (underflow — information loss)
     - ``err_sq``: integer residual energy sum(((127*a) % scale)^2)
     """
-    xi = int_basis(vec)
-    ax = F.transform(xi, lambda x: F.abs(x))
-    scale = F.greatest(F.coalesce(F.array_max(ax), F.lit(0)), F.lit(1))
+    from sparkclif.operators.expr import bind
 
-    def qmag(a: Column) -> Column:
-        num = a * INT8_MAX
-        return ((num - num % scale) / scale).cast("long")
+    # both the abs array and the scalar scale are bind-bound: scale
+    # embeds array_max(ax), and referenced bare inside the per-element
+    # lambdas it is re-evaluated PER LANE — O(dim²) per vector (16M
+    # element ops at dim 4096; see expr.bind for the no-CSE-in-lambdas
+    # trap). Bound, every field is O(dim).
+    def build(a: Column) -> Column:
+        def with_scale(s: Column) -> Column:
+            def qmag(x: Column) -> Column:
+                num = x * INT8_MAX
+                return ((num - num % s) / s).cast("long")
 
-    qm = F.transform(ax, qmag)
-    res = F.transform(ax, lambda a: (a * INT8_MAX) % scale)
+            qm = F.transform(a, qmag)
+            res = F.transform(a, lambda x: (x * INT8_MAX) % s)
+            return F.struct(
+                F.size(a).cast("long").alias("dim"),
+                s.alias("scale_int"),
+                _lsum(qm).alias("sum_q_abs"),
+                F.size(F.filter(qm, lambda q: q == INT8_MAX))
+                .cast("long")
+                .alias("n_sat"),
+                F.size(F.filter(qm, lambda q: q == 0)).cast("long").alias("n_zero"),
+                _lsum(F.transform(res, lambda r: r * r)).alias("err_sq"),
+            )
+
+        return bind(
+            F.greatest(F.coalesce(F.array_max(a), F.lit(0)), F.lit(1)), with_scale
+        )
+
+    stats = bind(F.transform(int_basis(vec), lambda x: F.abs(x)), build)
+    # field extraction from the struct duplicates the (now linear)
+    # expression per column; Catalyst's SimplifyExtractValueOps prunes
+    # the unused fields of each copy
     return {
-        "dim": F.size(xi).cast("long"),
-        "scale_int": scale,
-        "sum_q_abs": _lsum(qm),
-        "n_sat": F.size(F.filter(qm, lambda q: q == INT8_MAX)).cast("long"),
-        "n_zero": F.size(F.filter(qm, lambda q: q == 0)).cast("long"),
-        "err_sq": _lsum(F.transform(res, lambda r: r * r)),
+        c: stats[c]
+        for c in ("dim", "scale_int", "sum_q_abs", "n_sat", "n_zero", "err_sq")
     }
