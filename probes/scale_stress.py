@@ -97,6 +97,12 @@ def main() -> None:
         ).count(),
     )
     timed(f"simhash_{k}x", lambda: D.simhash64(docs_k).count())
+    # clone-dense winnowing: every selected gram lands in a bucket of
+    # >= k docs, so the star-pair over-cap path carries the output
+    timed(
+        f"substring_{k}x_cloned",
+        lambda: D.substring_candidate_pairs(docs_k, max_df=k).count(),
+    )
 
     # --- similarity at kx ----------------------------------------------
     emb_k = spark.read.parquet(replicate("embeddings", "vec_id", k))

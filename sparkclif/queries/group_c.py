@@ -423,6 +423,12 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_join_range_bucketed",
+    # oracle_in_bench=False: the oracle IS the theta self-join the
+    # bucketed plan replaces (26 s/pass in DuckDB at sf0.1) — not a
+    # comparable plan shape for baseline timing, and timing it would
+    # inflate the DuckDB total in the engine's favor. Correctness
+    # stays hash-checked at sf0.01.
+    oracle_in_bench=False,
     # Exact restatement as the THETA self-join the bucketed plan
     # replaces: same-user events within +/-1 hour, excluding self;
     # neighbor-value sum in the fixed-point decimal basis.
