@@ -11,15 +11,17 @@ Round-4 window (50): leads with ``i_dedup_keep_best`` (registered
 73rd in round 3, so never driver-verified — VERDICT r3's top item),
 then groups B/E/F/G and the four D queries last driver-green in
 round 2, then everything new or edited this round (the three
-exact-SQL ANN anchors, the at-scale embedding dedup, the re-trained
-i_sim_ivf, the Spark-side-state h_stream_upsert, the
+exact-SQL ANN anchors, the at-scale embedding dedup, the
+stream-stream h_stream_join, the Spark-side-state h_stream_upsert
+(the re-trained i_sim_ivf was displaced for it — its row is
+rows-only and its assign anchor stays in-window hash-checked), the
 staleness-guarded c_join_bucketed, the strictness-encoded
 c_join_asof, the percentile-path d_agg_percentile), then the rest of
 this round's additions (c_join_salted itself was displaced late in
 the round — its r3 row stands, and ten in-window queries still read
 events, covering the timestamp-type drift between rounds).
 
-The 23 queries added during round 4 (i_dedup_minhash_anchor,
+The 24 queries added during round 4 (i_dedup_minhash_anchor,
 i_sim_lsh_bucket_stats, i_sim_ivf_assign_stats,
 i_dedup_embedding_at_scale, i_text_repetition, i_decontaminate,
 i_shard_interleave, i_embed_quantize, i_corpus_mix,
@@ -27,12 +29,12 @@ i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
 i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
 a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
 e_win_distribution, d_agg_histogram, d_agg_mode,
-i_dedup_substring — 96 registered vs
+i_dedup_substring, h_stream_join — 97 registered vs
 73 in round 3) take window slots from round-3-green, untouched
 queries — new queries must get a first driver CORRECTNESS row
 (VERDICT r3 finding 1); the displaced keep their r3 rows.
 
-Outside the window (46): the group-I round-3 text/dedup/similarity
+Outside the window (47): the group-I round-3 text/dedup/similarity
 queries, several C joins, D aggregates, A scans/sinks, H windowed
 aggs, and the J UDF queries — all driver-green in round 3 and
 untouched since. Every query is still oracle-checked locally each
@@ -91,7 +93,7 @@ WINDOW_ORDER = [
     "i_sim_lsh_bucket_stats",
     "i_sim_ivf_assign_stats",
     "i_dedup_embedding_at_scale",
-    "i_sim_ivf",
+    "h_stream_join",
     "h_stream_upsert",
     "c_join_bucketed",
     "c_join_asof",

@@ -250,3 +250,43 @@ def h_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "h_stream_join",
+    cache_plan=False,
+    # Inner stream-stream join over a time-ordered source folds to the
+    # batch theta join row-for-row; the oracle states that join.
+    # oracle_in_bench=False: the engine runs a genuine two-source
+    # micro-batch stream-stream join (state store per side, cross-batch
+    # matches); the oracle's one-shot batch join is not a comparable
+    # plan shape for baseline timing.
+    oracle_in_bench=False,
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.user_id AS user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def h_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner self-join with an event-time range
+    condition: each event joined to the same user's strictly-later
+    events within 30 minutes, across micro-batch boundaries. The
+    time bound + both watermarks give Spark a finite state-retention
+    horizon — the only way a stream-stream join is runnable at
+    100 TB. Output equals the batch theta join (oracle)."""
+    from sparkclif.streaming.join import stream_range_join_events
+    from sparkclif.streaming.source import write_time_chunks
+
+    src = tmp_dir() + "/stream_join_src"
+    ev = table(spark, sf_dir, "events")
+    write_time_chunks(ev, src, n_chunks=3, key=f"{sf_dir}/events")
+    out = stream_range_join_events(
+        spark, src, ev.select("event_id", "user_id", "ts").schema, window_s=1800
+    )
+    return out.select("id_a", "id_b", "user_id", "gap_us")

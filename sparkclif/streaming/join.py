@@ -1,0 +1,80 @@
+"""Stream-stream join: the remaining major Structured Streaming
+operator family (after windowed aggs, stateful sessions, MERGE
+upserts, and watermarked dedup) — two watermarked event streams
+inner-joined on a key plus an event-time RANGE condition.
+
+Spark derives the join-state retention bound from the time-range
+predicate plus both watermarks: a left row can only match right rows
+in [ts, ts + window], so once the right watermark passes ts + window
+the left row's state is evicted — bounded state at 100 TB, which an
+unconstrained stream-stream join (no time bound) cannot have.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.streaming.source import stream_shuffle
+
+
+def stream_range_join_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window_s: int = 1800,
+    watermark: str = "1 hour",
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Join every event to the SAME user's strictly-later events
+    within ``window_s`` seconds, as a genuine stream-stream inner
+    self-join (two file-source streams over the same chunk sequence,
+    one file per trigger — matches can span micro-batches, so the
+    join state machinery is really exercised).
+
+    Output: (id_a, id_b, user_id, gap_s) for a.ts < b.ts <= a.ts +
+    window. Inner append-mode semantics: the accumulated output
+    equals the batch theta join row-for-row (time-ordered source, so
+    nothing is ever beyond the watermark horizon) — which is exactly
+    what the SQL oracle states.
+    """
+    if out_dir is None:
+        out_dir = source_dir.rstrip("/") + "_join_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def one_side(alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(source_dir)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    left, right = one_side("a"), one_side("b")
+    joined = left.join(
+        right,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {window_s} SECONDS")),
+    ).select(
+        F.col("a_id").alias("id_a"),
+        F.col("b_id").alias("id_b"),
+        F.col("a_user").alias("user_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
+
+    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    with stream_shuffle(spark):
+        q = joined.writeStream.foreachBatch(append_batch).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+    return spark.read.parquet(out_dir)

@@ -188,3 +188,27 @@ def test_stream_dedup_drops_cross_batch_echoes(spark, tmp_path):
     out = stream_dedup_events(spark, src, ev.schema)
     got = sorted(r["event_id"] for r in out.collect())
     assert got == list(range(30))
+
+
+def test_stream_join_matches_cross_batch(spark, tmp_path):
+    """Matches whose two sides arrive in DIFFERENT micro-batches must
+    be found via join state — proves the stream-stream join is not
+    degenerating to per-batch joins."""
+    import datetime as dt
+
+    from sparkclif.streaming.join import stream_range_join_events
+    from sparkclif.streaming.source import write_time_chunks
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: events every 10 min; chunks of 4 split pairs across files
+    rows = [(i, base + dt.timedelta(minutes=10 * i), 1) for i in range(12)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    src = str(tmp_path / "join_src")
+    write_time_chunks(ev, src, n_chunks=3, key=None)
+    out = stream_range_join_events(spark, src, ev.schema, window_s=1800)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # expected: every (i, j) with 0 < (j - i) * 10min <= 30min
+    want = {(i, j) for i in range(12) for j in range(12) if 0 < j - i <= 3}
+    assert got == want
+    # cross-batch evidence: chunk 0 holds ids 0-3, chunk 1 ids 4-7
+    assert (3, 4) in got and (2, 5) in got
