@@ -1,0 +1,63 @@
+"""Time-series resample + gap-fill — the hypertable-style rollup:
+bucket an event stream to a fixed grid per key, materialize the empty
+buckets, and forward-fill the last observation across gaps.
+
+Plan shape: per-key bounds aggregation (map-side combined) -> grid
+explode (scan-side sequence over the key's own time span — never a
+global calendar cross join) -> left join of the bucketed aggregates ->
+one per-key ordered window for the forward fill. Grid size is
+sum over keys of (key's active span / step): sparse keys cost
+proportionally to THEIR span, and a hot key's grid is bounded by the
+calendar, not its event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample ``events`` to one row per (key, ``unit`` bucket) over
+    each key's [first, last] bucket span, with event counts (0 in
+    gaps) and the last observed value forward-filled across gaps.
+    "Last" within a bucket breaks ties by (ts, id) — deterministic
+    under any partitioning.
+    """
+    h = F.date_trunc(unit, F.col(ts_col))
+    bounds = events.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__h0"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__h1"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__h0"), F.col("__h1"), F.expr(f"interval {step}"))
+        ).alias("__h"),
+    )
+    hourly = events.groupBy(F.col(key_col), h.alias("__h")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max_by(
+            F.round(value_col, 4), F.struct(ts_col, id_col)
+        ).alias("__lastv"),
+    )
+    joined = grid.join(hourly, [key_col, "__h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        F.unix_micros("__h").alias("hour_us"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("__lastv", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -21,7 +21,7 @@ this round's additions (c_join_salted itself was displaced late in
 the round — its r3 row stands, and ten in-window queries still read
 events, covering the timestamp-type drift between rounds).
 
-The 24 queries added during round 4 (i_dedup_minhash_anchor,
+The 25 queries added during round 4 (i_dedup_minhash_anchor,
 i_sim_lsh_bucket_stats, i_sim_ivf_assign_stats,
 i_dedup_embedding_at_scale, i_text_repetition, i_decontaminate,
 i_shard_interleave, i_embed_quantize, i_corpus_mix,
@@ -29,12 +29,13 @@ i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
 i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
 a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
 e_win_distribution, d_agg_histogram, d_agg_mode,
-i_dedup_substring, h_stream_join — 97 registered vs
+i_dedup_substring, h_stream_join, e_win_gapfill — 98 registered vs
 73 in round 3) take window slots from round-3-green, untouched
 queries — new queries must get a first driver CORRECTNESS row
 (VERDICT r3 finding 1); the displaced keep their r3 rows.
 
-Outside the window (47): the group-I round-3 text/dedup/similarity
+Outside the window (48): d_agg_approx (rows-only — its row is a
+bare count, displaced for the hash-checked e_win_gapfill), the group-I round-3 text/dedup/similarity
 queries, several C joins, D aggregates, A scans/sinks, H windowed
 aggs, and the J UDF queries — all driver-green in round 3 and
 untouched since. Every query is still oracle-checked locally each
@@ -86,7 +87,6 @@ WINDOW_ORDER = [
     "g_reminder_sweep",
     "d_agg_grouping_sets",
     "d_agg_unpivot",
-    "d_agg_approx",
     "d_agg_percentile",
     # new or edited in round 4
     "i_dedup_minhash_anchor",
@@ -117,6 +117,7 @@ WINDOW_ORDER = [
     "d_agg_mode",
     "i_text_tfidf",
     "i_dedup_substring",
+    "e_win_gapfill",
     # The 15 round-4b additions above took window slots from r3-green,
     # untouched queries (d_agg_global, d_agg_groupby, a_scan_parquet,
     # a_scan_text_lines, a_scan_json_string, a_sink_roundtrip,

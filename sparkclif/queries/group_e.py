@@ -192,3 +192,51 @@ def e_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@register(
+    "e_win_gapfill",
+    # Exact restatement: per-user hourly grid over [first, last] hour,
+    # bucket counts (0 in gaps), last-in-bucket value by (ts, event_id)
+    # forward-filled with last_value IGNORE NULLS.
+    oracle="""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM b
+    ),
+    lastrow AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, round(value, 4) AS lastv
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, epoch_us(g.h) AS hour_us,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           last_value(lastv IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly USING (user_id, h)
+    LEFT JOIN lastrow USING (user_id, h)
+    """,
+)
+def e_win_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable rollup): one
+    row per (user, hour) over each user's active span, empty buckets
+    materialized with n_events = 0 and the last observed value
+    forward-filled (last-in-bucket ties broken by (ts, event_id)).
+    Grid explode is per-key span — never a global calendar cross
+    join (operators/timeseries.py)."""
+    from sparkclif.operators.timeseries import resample_gapfill
+
+    ev = table(spark, sf_dir, "events")
+    return resample_gapfill(ev)
