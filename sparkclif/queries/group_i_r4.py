@@ -123,7 +123,13 @@ def i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS; the training side is one scan (Arrow-batched shingle
     kernel — the nested array-lambda alternative costs ~3 s of codegen
     per session, see i_dedup_ngram_jaccard) and the only shuffle is
-    the final per-doc count. No train×train pairing anywhere."""
+    the final per-doc count. No train×train pairing anywhere. The
+    eval/train split predicates are applied BELOW the shingle kernel —
+    Catalyst cannot push a filter through mapInPandas, so filtering the
+    kernel's *output* would run the shingle pass over the full corpus
+    once per branch; filtering its *input* makes the eval branch scan
+    1/101th of the table (in production the eval set is a separate,
+    small benchmark table to begin with)."""
     import re
 
     import pandas as pd
@@ -142,14 +148,16 @@ def i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     grams.append(gm)
             yield pd.DataFrame({"doc_id": ids, "gram": grams})
 
-    grams = docs.mapInPandas(gram_kernel, "doc_id long, gram string")
+    def grams_of(side: DataFrame) -> DataFrame:
+        return side.mapInPandas(gram_kernel, "doc_id long, gram string")
+
     ev = (
-        grams.filter(F.col("doc_id") % 101 == 0)
+        grams_of(docs.filter(F.col("doc_id") % 101 == 0))
         .select("gram")
         .distinct()
     )
     return (
-        grams.filter(F.col("doc_id") % 101 != 0)
+        grams_of(docs.filter(F.col("doc_id") % 101 != 0))
         .join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))

@@ -34,7 +34,7 @@ def stream_range_join_events(
     one file per trigger — matches can span micro-batches, so the
     join state machinery is really exercised).
 
-    Output: (id_a, id_b, user_id, gap_s) for a.ts < b.ts <= a.ts +
+    Output: (id_a, id_b, user_id, gap_us) for a.ts < b.ts <= a.ts +
     window. Inner append-mode semantics: the accumulated output
     equals the batch theta join row-for-row (time-ordered source, so
     nothing is ever beyond the watermark horizon) — which is exactly
