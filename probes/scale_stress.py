@@ -52,7 +52,12 @@ def main() -> None:
         shifted = copies.withColumn(
             id_col, F.col(id_col) + F.col("__copy") * F.lit(10_000_000)
         ).drop("__copy")
-        shifted.write.mode("overwrite").parquet(out)
+        # spread over many files: the sf0.1 source is ONE parquet file,
+        # and explode is narrow, so without this the replica is one
+        # ~40 MB file -> one scan partition -> every downstream kernel
+        # runs single-task and the probe measures one core, not the
+        # engine (a real corpus arrives as many files per executor)
+        shifted.repartition(64).write.mode("overwrite").parquet(out)
         return out
 
     def timed(label: str, fn) -> None:
@@ -109,7 +114,10 @@ def main() -> None:
     from sparkclif.operators import similarity as S
 
     timed(f"lsh_ann_{k}x", lambda: S.lsh_ann(emb_k, k=3).count())
-    timed(f"ivf_{k}x", lambda: S.ivf_ann(emb_k, k=3).count())
+    # fixed cluster count = postings lists grow with N = O(N²) search
+    # (the documented failure); auto sqrt(N) clusters restore ~N^1.5
+    timed(f"ivf_{k}x_fixed16", lambda: S.ivf_ann(emb_k, k=3, n_clusters=16).count())
+    timed(f"ivf_{k}x_auto", lambda: S.ivf_ann(emb_k, k=3).count())
 
     # --- distributed percentile path at kx -----------------------------
     from sparkclif.operators.rank import exact_percentiles

@@ -440,7 +440,7 @@ def cosine_threshold_pairs_lsh(
 def ivf_ann(
     embeddings: DataFrame,
     k: int = 3,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     n_iters: int = 5,
     id_col: str = "vec_id",
@@ -450,6 +450,16 @@ def ivf_ann(
     """IVF-style approximate nearest neighbors: a coarse k-means
     quantizer buckets vectors into inverted lists; each query probes
     its ``n_probe`` nearest centroids and searches only those lists.
+
+    ``n_clusters=None`` (the default) scales the cluster count with
+    the table: ``max(16, isqrt(N))``, the FAISS-style ~sqrt(N) rule.
+    This is what keeps IVF sub-quadratic — with a FIXED cluster count
+    the inverted lists grow with N and the per-cluster probes x
+    postings matmul is O(N²) total (the 32x scale probe measures
+    exactly that blowup: ~10x wall for 4x data at fixed 16, ~linear
+    with sqrt-N clusters). With C ~ sqrt(N) total search work is
+    O(N^1.5 · n_probe / 1), the canonical IVF cost. Auto mode spends
+    one count() on the input; pass an explicit n_clusters to skip it.
 
     Layout (the 100 TB shape):
     - TRAIN: centroids fitted on a BOUNDED deterministic sample — the
@@ -468,9 +478,13 @@ def ivf_ann(
       is bounded per cluster; only k rows per (query, cluster) shuffle.
     - MERGE: global window top-k over the probed clusters' candidates.
     """
+    import math
+
     from sparkclif.operators.hashing import md5_bits
 
     spark = embeddings.sparkSession
+    if n_clusters is None:
+        n_clusters = max(16, math.isqrt(embeddings.count()))
     train = (
         embeddings.select(id_col, vec_col)
         .orderBy(
@@ -481,6 +495,8 @@ def ivf_ann(
     pdf = train.toPandas().sort_values(id_col)
     ids = pdf[id_col].to_numpy()
     mat = _normalize(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
+    # a tiny table can't seed more centroids than it has sample rows
+    n_clusters = min(n_clusters, len(pdf))
     # deterministic Lloyd iterations (cosine/IP metric on unit vectors)
     cent = mat[:n_clusters].copy()
     for _ in range(n_iters):
