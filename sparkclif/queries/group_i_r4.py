@@ -425,10 +425,19 @@ def i_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
                     grams.append(gm)
             yield pd.DataFrame({"doc_id": ids, "gram": grams})
 
-    grams = docs.mapInPandas(gram_kernel, "doc_id long, gram string")
-    ev = grams.filter(F.col("doc_id") % 101 == 0).select("gram").distinct()
+    # eval/train split BELOW the kernel (filters don't push through
+    # mapInPandas — see i_decontaminate): the eval branch shingles
+    # 1/101th of the corpus instead of all of it
+    def grams_of(side):
+        return side.mapInPandas(gram_kernel, "doc_id long, gram string")
+
+    ev = (
+        grams_of(docs.filter(F.col("doc_id") % 101 == 0))
+        .select("gram")
+        .distinct()
+    )
     contaminated = (
-        grams.filter(F.col("doc_id") % 101 != 0)
+        grams_of(docs.filter(F.col("doc_id") % 101 != 0))
         .join(F.broadcast(ev), "gram")
         .select("doc_id")
         .distinct()
