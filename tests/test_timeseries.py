@@ -84,3 +84,41 @@ def test_no_python_udf_in_plan(spark):
     df = resample_gapfill(_ev(spark, [(1, 0, 0, 1, 1.0)]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_randomized_against_pandas_model(spark):
+    # random event sets vs a pure-pandas reference model of the
+    # contract: per-key hourly grid over [first, last] bucket, event
+    # counts, last-(ts, event_id) value forward-filled
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    for uid in range(1, 7):
+        for _ in range(rng.randint(1, 25)):
+            rows.append(
+                (
+                    uid,
+                    rng.randrange(0, 24),
+                    rng.randrange(0, 60),
+                    eid,
+                    round(rng.uniform(-50, 50), 4),
+                )
+            )
+            eid += 1
+    got = _run(spark, rows)
+
+    want = []
+    for uid in sorted({r[0] for r in rows}):
+        evs = [r for r in rows if r[0] == uid]
+        base = int(datetime(2024, 1, 1).timestamp() * 1_000_000)
+        h0 = min(e[1] for e in evs)
+        h1 = max(e[1] for e in evs)
+        filled = None
+        for h in range(h0, h1 + 1):
+            bucket = [e for e in evs if e[1] == h]
+            if bucket:
+                filled = max(bucket, key=lambda e: (e[2], e[3]))[4]
+            want.append((uid, base + h * HOUR_US, len(bucket), filled))
+    assert got == want
