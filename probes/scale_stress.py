@@ -102,6 +102,22 @@ def main() -> None:
         ).count(),
     )
     timed(f"simhash_{k}x", lambda: D.simhash64(docs_k).count())
+    # connected components over the clone-dense candidate graph:
+    # materialize edges once so the CC timing isolates the iterative
+    # engine (per-round: relax join + jump join + checkpoint; the
+    # convergence probe is an in-row flag, no extra shuffle)
+    from sparkclif.operators import graph as G
+
+    D.minhash_candidate_pairs(
+        D.minhash_signatures(docs_k, num_hashes=32, shingle_n=3), num_bands=8
+    ).select("id_a", "id_b").write.mode("overwrite").parquet(
+        f"{scratch}/cc_edges.parquet"
+    )
+    cc_edges = spark.read.parquet(f"{scratch}/cc_edges.parquet")
+    timed(
+        f"cc_{k}x_cloned",
+        lambda: G.connected_components(cc_edges, src="id_a", dst="id_b").count(),
+    )
     # clone-dense winnowing: every selected gram lands in a bucket of
     # >= k docs, so the star-pair over-cap path carries the output
     timed(

@@ -66,6 +66,7 @@ def connected_components(
             labels.join(nbr, labels[id_col] == nbr["a"], "left")
             .select(
                 id_col,
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
@@ -80,19 +81,19 @@ def connected_components(
             .select(
                 id_col,
                 F.coalesce("j_comp", "component").alias("component"),
+                # in-row change flag: the round's input label rides along
+                # through relax+jump, so convergence needs no new-vs-old
+                # join (one fewer shuffle per round at any scale)
+                (F.coalesce("j_comp", "component") != F.col("__old")).alias(
+                    "__chg"
+                ),
             )
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        # convergence probe: any changed row at all? limit(1) lets the
-        # scan early-stop instead of counting every row
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # convergence probe: any changed row at all? limit(1) over the
+        # checkpointed flag column early-stops — scan-only, no shuffle
+        changed = new_labels.filter("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break
