@@ -153,6 +153,151 @@ def rarity_score(
     return counted.withColumn("rare_bp", F.expr("(n_rare * 10000) div n_toks"))
 
 
+def segment_dedup(
+    docs: DataFrame,
+    width: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide segment deduplication, keep-first: every occurrence
+    of a ``width``-word segment EXCEPT the globally first one (by
+    ``(doc_id, pos)``) is removed. This is C4's span-dedup rule
+    (Raffel et al. 2020 discard repeated three-sentence spans; the
+    newline-free testbed restates spans as fixed-width word segments),
+    and it is distinct from ``boilerplate_removal``: boilerplate drops
+    ALL occurrences of high-df segments, span dedup keeps exactly one
+    canonical occurrence of EVERY repeated segment.
+
+    Returns one row per document: ``(id, n_segs, n_removed,
+    clean_text)`` with ``clean_text`` the surviving segments rejoined
+    in document order (empty/short docs keep their row via the outer
+    explode).
+
+    Plan: one segment posexplode; the winner per segment is a
+    ``min(struct(doc_id, pos))`` aggregation — fully map-side
+    combinable, so a segment duplicated a billion times contributes
+    one row per map task to the shuffle, not a billion; then a
+    shuffle join back on ``seg`` (the winner table is
+    distinct-segment-sized — the corpus vocabulary — so it can NEVER
+    broadcast; both sides hash-partition on ``seg`` and AQE's skew
+    split handles mass-duplicated segments); one final per-doc
+    groupBy rebuilds documents. Precondition: one row per ``id_col``.
+    """
+    segs = docs.select(
+        id_col, F.posexplode_outer(word_segments(text_col, width)).alias("pos", "seg")
+    )
+    # min(struct) orders lexicographically (doc_id, then pos) — the
+    # global first occurrence; both fields are non-null where seg is
+    winners = (
+        segs.where(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__first"))
+    )
+    flagged = segs.join(winners, "seg", "left")
+    is_kept = F.col("seg").isNotNull() & (
+        F.struct(id_col, "pos") == F.col("__first")
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(is_kept, F.struct("pos", "seg")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("seg").cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("seg").isNotNull() & ~is_kept, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["seg"]), " ").alias("clean_text"),
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram language-model fluency score — the CCNet/Gopher
+    LM-quality-filter shape (Wenzek et al. 2020 score documents with
+    a small LM; here the LM is a bigram model trained on the corpus
+    itself). Per document, the mean add-one-smoothed conditional
+    probability of its bigrams, in exact integer basis points:
+
+        p_bp(w1, w2) = ((c12 + 1) * 10000) div (c1 + V)
+        lm_score_bp  = sum(p_bp over doc bigrams) div n_bigrams
+
+    where ``c12`` counts corpus occurrences of the bigram, ``c1``
+    counts bigrams whose left token is ``w1`` (the conditional
+    denominator), and ``V`` is the corpus vocabulary size (add-one
+    smoothing mass). High score = made of common continuations
+    (fluent/template), low = improbable juxtapositions (junk, OCR
+    noise). Integer ``div`` end-to-end keeps the SQL restatement
+    exact. Documents with < 2 tokens keep their row with
+    ``n_bigrams = 0`` and a NULL score.
+
+    Plan: bigram occurrences are built SCAN-SIDE (zip of the token
+    array with itself shifted — no self-join, no window); the two
+    count tables are map-side-combinable aggregations producing
+    vocabulary-sized relations, joined on ``w1`` and then back onto
+    the bigram scan on ``(w1, w2)`` — both shuffle joins on key
+    distributions with Zipfian heads (AQE skew split; neither side is
+    broadcastable at corpus scale, same argument as rarity_score's
+    rare tail); ``V`` is a 1-row broadcast cross join. Final per-doc
+    groupBy is map-side combinable. Precondition: one row per
+    ``id_col``.
+    """
+    from sparkclif.operators.expr import bind
+
+    def bigrams(t: Column) -> Column:
+        # slice length must be >= 0: guard the < 2-token case
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    bg = docs.select(
+        id_col,
+        F.explode(
+            bind(tokens(F.coalesce(F.col(text_col), F.lit(""))), bigrams)
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    # vocabulary size: per-doc distinct scan-side, then a global
+    # distinct count stated as an aggregation (map-side combinable)
+    vocab = (
+        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.lit(1).alias("__one"))
+        .agg(F.count("*").cast("long").alias("__v"))
+    )
+    p = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.expr("((__c12 + 1) * 10000) div (__c1 + __v)").alias("__p_bp"),
+        )
+    )
+    scored = bg.join(p, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("__p_bp").cast("long").alias("sum_p_bp"),
+    )
+    base = docs.select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("sum_p_bp"), F.lit(0)).cast("long").alias("sum_p_bp"),
+        F.expr("CASE WHEN n_bigrams > 0 THEN sum_p_bp div n_bigrams END")
+        .cast("long")
+        .alias("lm_score_bp"),
+    )
+
+
 def chunk_overlap(
     docs: DataFrame,
     chunk: int = 16,

@@ -51,6 +51,41 @@ def _lsum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def dim_stats(emb, vec_col: str = "embedding"):
+    """Per-DIMENSION corpus moments over an embedding column — the
+    input to mean-centering / variance scaling / whitening before
+    quantization or ANN indexing. One row per dimension (0-based):
+    ``(dim, n, sum_q, sumsq_q, min_q, max_q)`` in the exact integer
+    basis ``floor(v * 10000)`` — every column is an exact BIGINT, so
+    the SQL restatement is bit-identical (no float-sum order
+    sensitivity: integer addition is associative, so the result is
+    independent of partition order, unlike a double mean).
+
+    Plan: posexplode to ``(dim, q)`` then one hash aggregation on
+    ``dim``. The explode looks like a D× row blowup but is NOT a
+    D× shuffle: partial aggregation combines each map task down to
+    ``D`` rows before the exchange, so the shuffle carries
+    ``partitions × D`` tiny rows regardless of corpus size. ``dim``
+    has perfectly uniform cardinality — no skew.
+
+    At ~100 TB (1e12 vectors), ``sumsq_q`` sums 1e8-magnitude terms
+    over 1e12 rows ≈ 1e20 and overflows BIGINT — widen that column
+    (only) to ``decimal(38, 0)`` at that scale; the bench keeps BIGINT
+    so the DuckDB hash compare sees identical dtypes.
+    """
+    from pyspark.sql import functions as _F
+
+    q = int_basis(_F.col(vec_col))
+    exploded = emb.select(_F.posexplode(q).alias("dim", "q"))
+    return exploded.groupBy(_F.col("dim").cast("long").alias("dim")).agg(
+        _F.count("*").cast("long").alias("n"),
+        _F.sum("q").cast("long").alias("sum_q"),
+        _F.sum(_F.col("q") * _F.col("q")).cast("long").alias("sumsq_q"),
+        _F.min("q").cast("long").alias("min_q"),
+        _F.max("q").cast("long").alias("max_q"),
+    )
+
+
 def int8_quant_stats(vec: Column) -> dict[str, Column]:
     """Per-vector int8 quantization summary as named columns:
 

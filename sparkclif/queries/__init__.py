@@ -42,6 +42,12 @@ untouched since. Every query is still oracle-checked locally each
 round by tests/test_oracle_parity.py, and a fresh-process driver
 simulation (.claude/skills/verify) ran green on the full registry
 repeatedly this round.
+
+Registered after the window (round-5 rotation candidates, with the
+rest of this round's 48 outside-window queries): the late-session
+trio i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats
+(group_i_r4c) — exact-oracle, locally hash-green, first driver row
+due round 5.
 """
 
 from sparkclif.queries import (  # noqa: F401
@@ -59,6 +65,7 @@ from sparkclif.queries import (  # noqa: F401
     group_i_late,
     group_i_r4,
     group_i_r4b,
+    group_i_r4c,
 )
 from sparkclif.registry import REGISTRY
 

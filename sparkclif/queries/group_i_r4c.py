@@ -1,0 +1,164 @@
+"""Group I round-4 additions, third batch — the remaining canonical
+corpus-curation stages of a pretraining-data pipeline:
+
+- i_dedup_paragraph: C4-style span dedup (Raffel et al. 2020) — every
+  occurrence of a repeated segment except the globally FIRST one is
+  removed (contrast boilerplate_removal, which drops ALL occurrences
+  of high-df segments).
+- i_text_lm_score: CCNet-style LM quality filter (Wenzek et al. 2020)
+  — per-document mean add-one-smoothed bigram conditional
+  probability, exact integer basis points.
+- i_embed_dim_stats: per-dimension corpus moments over the embedding
+  column — the input to mean-centering / whitening before ANN
+  indexing or quantization, in the exact floor(v*10000) basis shared
+  with the ANN anchors.
+
+Implementations live in operators/corpus.py and operators/quantize.py;
+these are the driver-checked bindings. All three are pure plan
+builders with exact integer/string SQL restatements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkclif.io import spread, table
+from sparkclif.operators import corpus as C
+from sparkclif.operators.quantize import dim_stats
+from sparkclif.registry import register
+
+
+@register(
+    "i_dedup_paragraph",
+    # Exact restatement: 3-word segments (trailing remnant dropped),
+    # keep-first by (doc_id, pos) via a window; every doc keeps its
+    # row (LEFT JOIN from documents mirrors posexplode_outer).
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, d.i AS pos,
+               array_to_string(toks[d.i * 3 + 1 : d.i * 3 + 3], ' ') AS seg
+        FROM t
+        CROSS JOIN (SELECT unnest(range(greatest(
+                        (SELECT max(len(toks)) FROM t) // 3, 1))) AS i) d
+        WHERE d.i < len(toks) // 3
+    ),
+    k AS (
+        SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM s
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_segs,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+               coalesce(array_to_string(
+                   list(seg ORDER BY pos) FILTER (WHERE rn = 1), ' '),
+                   '') AS clean_text
+        FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def i_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup: remove every occurrence of a repeated
+    3-word segment except the globally first (by (doc_id, pos));
+    rebuild each document from its surviving segments. Map-side-
+    combinable min(struct) winner agg + shuffle join on segment —
+    the winner table is vocabulary-sized and never broadcasts."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return C.segment_dedup(docs, width=3)
+
+
+@register(
+    "i_text_lm_score",
+    # Exact restatement: p_bp = ((c12+1)*10000) // (c1+V) — all
+    # counts non-negative, so DuckDB's flooring // and Spark's
+    # truncating div agree; docs with < 2 tokens keep a row with
+    # n_bigrams = 0 and NULL score.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[d.i + 1] AS w1, toks[d.i + 2] AS w2
+        FROM t
+        CROSS JOIN (SELECT unnest(range(greatest(
+                        (SELECT max(len(toks)) FROM t), 1))) AS i) d
+        WHERE d.i < len(toks) - 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    p AS (
+        SELECT c12.w1, c12.w2,
+               ((c12.c12 + 1) * 10000) // (c1.c1 + v.v) AS p_bp
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    sc AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams, sum(p.p_bp) AS sum_p_bp
+        FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sc.sum_p_bp, 0) AS BIGINT) AS sum_p_bp,
+           CAST(CASE WHEN sc.n_bigrams > 0
+                     THEN sc.sum_p_bp // sc.n_bigrams END AS BIGINT)
+               AS lm_score_bp
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+)
+def i_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document (CCNet LM-filter shape):
+    mean add-one-smoothed conditional bigram probability in integer
+    basis points. Bigrams are built scan-side (shifted-array zip, no
+    self-join); count tables aggregate map-side and join back on
+    Zipfian keys under AQE skew handling."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return C.bigram_lm_score(docs)
+
+
+@register(
+    "i_embed_dim_stats",
+    # Exact restatement in the shared floor(v*10000) BIGINT basis;
+    # integer sums are partition-order-independent, so the hash
+    # compare is exact (a double mean would not be).
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (
+        SELECT d.i AS dim, CAST(floor(v[d.i + 1] * 10000) AS BIGINT) AS q
+        FROM e
+        CROSS JOIN (SELECT unnest(range(greatest(
+                        (SELECT max(len(v)) FROM e), 1))) AS i) d
+        WHERE d.i < len(v)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+           CAST(min(q) AS BIGINT) AS min_q,
+           CAST(max(q) AS BIGINT) AS max_q
+    FROM x GROUP BY dim
+    """,
+)
+def i_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus moments over the embedding column (mean-
+    centering / whitening input). Posexplode + one hash agg on dim:
+    partial aggregation collapses each map task to D rows before the
+    exchange, so the shuffle is partitions × D rows at any corpus
+    size."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return dim_stats(emb)

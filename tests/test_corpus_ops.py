@@ -189,3 +189,112 @@ def test_substring_dedup_mass_duplication_star_pairs(spark):
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert ids == set(range(40))
     assert all(r["id_a"] == 0 for r in pairs)  # star centre = lowest id
+
+
+def test_segment_dedup_keep_first_across_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c x y z"),        # segs: 'a b c', 'x y z' (both first)
+            (1, "a b c q r s"),        # 'a b c' removed, 'q r s' kept
+            (2, "x y z x y z"),        # both occurrences duplicate doc 0's
+            (3, ""),                   # no segs -> row survives
+            (4, "one two"),            # ragged tail only -> 0 segs
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.segment_dedup(docs, width=3).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["clean_text"] == "a b c x y z"
+    assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == "q r s"
+    assert out[2]["n_removed"] == 2 and out[2]["clean_text"] == ""
+    assert out[3]["n_segs"] == 0 and out[3]["clean_text"] == ""
+    assert out[4]["n_segs"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_segment_dedup_first_within_doc_by_pos(spark):
+    # duplicate segment INSIDE one doc: the earlier position wins
+    docs = _docs(spark, [(7, "p q p q p q")])
+    out = C.segment_dedup(docs, width=2).collect()[0]
+    assert out["n_segs"] == 3 and out["n_removed"] == 2
+    assert out["clean_text"] == "p q"
+
+
+def test_segment_dedup_randomized_model(spark):
+    """Randomized differential test against a Python reference model:
+    global keep-first over (doc_id, pos) for width-2 segments."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 9))))
+        for i in range(40)
+    ]
+    width = 2
+    seen, model = set(), {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        segs = [
+            " ".join(toks[i * width : i * width + width])
+            for i in range(len(toks) // width)
+        ]
+        kept = []
+        removed = 0
+        for s in segs:
+            if s in seen:
+                removed += 1
+            else:
+                seen.add(s)
+                kept.append(s)
+        model[doc_id] = (len(segs), removed, " ".join(kept))
+    out = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["clean_text"])
+        for r in C.segment_dedup(_docs(spark, rows), width=width).collect()
+    }
+    assert out == model
+
+
+def test_bigram_lm_score_hand_case(spark):
+    # corpus: doc0 'a b a b', doc1 'a b', doc2 'a' (no bigrams)
+    # bigrams: doc0 [ab, ba, ab], doc1 [ab] -> c12: ab=3, ba=1
+    # c1: a=3 (ab occurrences), b=1 (ba) ; V = 2 types
+    # p_bp(ab) = (3+1)*10000 div (3+2) = 8000
+    # p_bp(ba) = (1+1)*10000 div (1+2) = 6666
+    docs = _docs(spark, [(0, "a b a b"), (1, "a b"), (2, "a")])
+    out = {r["doc_id"]: r for r in C.bigram_lm_score(docs).collect()}
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["sum_p_bp"] == 8000 + 6666 + 8000
+    assert out[0]["lm_score_bp"] == (8000 + 6666 + 8000) // 3
+    assert out[1]["lm_score_bp"] == 8000
+    assert out[2]["n_bigrams"] == 0 and out[2]["lm_score_bp"] is None
+
+
+def test_bigram_lm_score_flags_improbable_text(spark):
+    # template docs repeat the same continuations; the junk doc pairs
+    # tokens never seen together -> strictly lower score
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((99, "mat the on cat sat the"))
+    docs = _docs(spark, rows)
+    out = {r["doc_id"]: r["lm_score_bp"] for r in C.bigram_lm_score(docs).collect()}
+    assert out[99] < out[0]
+
+
+def test_dim_stats_numpy_model(spark):
+    import numpy as np
+
+    from sparkclif.operators.quantize import dim_stats
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in dim_stats(emb).collect()}
+    q = np.floor(vecs.astype("float64") * 10000).astype("int64")
+    assert set(out) == set(range(8))
+    for d in range(8):
+        assert out[d]["n"] == 50
+        assert out[d]["sum_q"] == int(q[:, d].sum())
+        assert out[d]["sumsq_q"] == int((q[:, d] ** 2).sum())
+        assert out[d]["min_q"] == int(q[:, d].min())
+        assert out[d]["max_q"] == int(q[:, d].max())

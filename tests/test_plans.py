@@ -285,3 +285,38 @@ def test_histogram_and_mode_have_partial_aggregation(spark, sf_dir):
     for name in ("d_agg_histogram", "d_agg_mode"):
         plan = formatted_plan(spark, name, sf_dir)
         assert "partial_count" in plan or "Partial" in plan, name
+
+
+def test_dim_stats_partial_agg_no_python(spark, sf_dir):
+    """Per-dimension moments: the posexplode must feed a map-side
+    partial aggregation (the shuffle carries partitions x D rows, not
+    N x D), all JVM-side."""
+    plan = formatted_plan(spark, "i_embed_dim_stats", sf_dir)
+    assert "HashAggregate" in plan and "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one aggregation exchange on dim (plus the spread input
+    # repartition) — an extra shuffle means partial agg was lost
+    assert plan.count("+- Exchange") <= 2, plan
+
+
+def test_segment_dedup_winner_agg_is_partial(spark, sf_dir):
+    """Span dedup: the keep-first winner must come from a partial+final
+    min(struct) aggregation (map-side combinable — a mass-duplicated
+    segment contributes one row per map task), never from a window
+    rank over the raw occurrence relation, and never via Expand."""
+    plan = formatted_plan(spark, "i_dedup_paragraph", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert "Window" not in plan, "winner must be an aggregation, not a window rank"
+    assert re.search(r"(Sort|ObjectHash|Hash)Aggregate", plan)
+
+
+def test_lm_score_no_expand_vocab_broadcast(spark, sf_dir):
+    """Bigram LM: vocabulary size must be a 1-row broadcast (cross
+    join), the df/count tables plain partial+final aggregations (no
+    countDistinct Expand), bigrams built scan-side (no self-join of
+    the token relation, i.e. no extra join beyond the three stated)."""
+    plan = formatted_plan(spark, "i_text_lm_score", sf_dir)
+    assert "Expand" not in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # the 1-row V scalar
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
