@@ -179,6 +179,28 @@ def main() -> None:
         lambda: CO.boilerplate_removal(docs_k, min_docs=25 * k).count(),
     )
 
+    # --- span dedup at kx (cloned docs = every segment duplicated ------
+    # k-fold: the min(struct) winner agg must combine map-side and the
+    # seg back-join must survive the k-dense key distribution)
+    timed(
+        f"segment_dedup_{k}x_cloned",
+        lambda: CO.segment_dedup(docs_k, width=3).count(),
+    )
+
+    # --- bigram LM at kx (same vocabulary, k-fold occurrence counts: ---
+    # count aggs are map-side combined, so wall should track the scan,
+    # not the occurrence blowup)
+    timed(
+        f"bigram_lm_{k}x_cloned",
+        lambda: CO.bigram_lm_score(docs_k).count(),
+    )
+
+    # --- per-dimension moments at kx (partial agg -> partitions x D ----
+    # shuffle rows regardless of N; wall must track the scan)
+    from sparkclif.operators.quantize import dim_stats
+
+    timed(f"dim_stats_{k}x", lambda: dim_stats(emb_k).count())
+
     # --- bucketized range join at kx (users shifted: pair density ------
     # per (user, bucket) constant, so wall isolates engine scaling,
     # not the k^2 pair blowup identical timestamps would inflict)

@@ -54,6 +54,61 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted corpus fingerprint store —
+    the recurring-ingest shape (each crawl refresh dedups against every
+    earlier one without re-reading old text; only content hashes are
+    kept as state). ``store`` needs one ``content_hash`` column (rows
+    need not be distinct). Returns one row per batch doc:
+    ``(id, content_hash, status)`` with status ``'dup_store'`` (hash
+    already known to the corpus — store wins over batch order),
+    ``'dup_batch'`` (first seen in THIS batch under a lower id) or
+    ``'kept'``. The store delta for the next ingest is exactly the
+    hashes of the ``'kept'`` rows.
+
+    Plan: batch hashes are computed scan-side (the shuffle never
+    carries text); the within-batch winner is a map-side-combinable
+    ``min(id)`` agg; the store probe is a shuffle join on
+    ``content_hash`` (uniform key — no skew). At 100 TB of HISTORY the
+    store side dwarfs the batch: Spark's runtime bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) builds a
+    filter from the small batch side and prunes store scan output
+    before the exchange, which is precisely the classic
+    bloom-pre-filter design for incremental dedup.
+
+    NULL-text batch rows have a NULL hash and DROP from the output
+    (NULL keys match nothing in the winner join) — the SQL
+    restatement's USING join agrees; route NULL text to a quality
+    filter upstream, not a deduper.
+    """
+    hashed = new_docs.select(
+        F.col(id_col), fingerprint_sha256(text_col).alias("content_hash")
+    )
+    batch_first = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("__first_id")
+    )
+    known = store.select("content_hash").dropDuplicates(["content_hash"]).select(
+        "content_hash", F.lit(1).alias("__in_store")
+    )
+    return (
+        hashed.join(batch_first, "content_hash")
+        .join(known, "content_hash", "left")
+        .select(
+            id_col,
+            "content_hash",
+            F.when(F.col("__in_store").isNotNull(), F.lit("dup_store"))
+            .when(F.col(id_col) != F.col("__first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

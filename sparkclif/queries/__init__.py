@@ -45,9 +45,9 @@ repeatedly this round.
 
 Registered after the window (round-5 rotation candidates, with the
 rest of this round's 48 outside-window queries): the late-session
-trio i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats
-(group_i_r4c) — exact-oracle, locally hash-green, first driver row
-due round 5.
+quartet i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats /
+i_dedup_incremental (group_i_r4c) — exact-oracle, locally hash-green,
+first driver row due round 5.
 """
 
 from sparkclif.queries import (  # noqa: F401

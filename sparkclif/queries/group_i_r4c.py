@@ -162,3 +162,47 @@ def i_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     return dim_stats(emb)
+
+
+@register(
+    "i_dedup_incremental",
+    # Exact restatement: history = docs with doc_id % 3 != 0 (their
+    # distinct hashes ARE the persisted store), batch = doc_id % 3 = 0;
+    # store membership wins over batch order, then within-batch
+    # keep-first by min(doc_id).
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS content_hash
+        FROM documents
+    ),
+    store AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 3 <> 0),
+    batch AS (SELECT * FROM h WHERE doc_id % 3 = 0),
+    f AS (SELECT content_hash, min(doc_id) AS first_id
+          FROM batch GROUP BY content_hash)
+    SELECT b.doc_id, b.content_hash,
+           CASE WHEN s.content_hash IS NOT NULL THEN 'dup_store'
+                WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+                ELSE 'kept' END AS status
+    FROM batch b
+    JOIN f USING (content_hash)
+    LEFT JOIN store s USING (content_hash)
+    """,
+)
+def i_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new ingest batch against the persisted
+    corpus fingerprint store (recurring-crawl refresh): scan-side
+    hashes, map-side-combinable within-batch winner, shuffle join
+    probe into the store with runtime bloom-filter pruning at scale.
+    History/batch simulated by doc_id % 3."""
+    docs = table(spark, sf_dir, "documents")
+    from sparkclif.operators import dedup as D
+
+    from pyspark.sql import functions as F
+
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    store = docs.where(F.col("doc_id") % 3 != 0).select(
+        D.fingerprint_sha256("text").alias("content_hash")
+    )
+    return D.dedup_incremental(batch, store)

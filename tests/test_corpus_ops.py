@@ -298,3 +298,25 @@ def test_dim_stats_numpy_model(spark):
         assert out[d]["sumsq_q"] == int((q[:, d] ** 2).sum())
         assert out[d]["min_q"] == int(q[:, d].min())
         assert out[d]["max_q"] == int(q[:, d].max())
+
+
+def test_dedup_incremental_precedence(spark):
+    from sparkclif.operators.dedup import dedup_incremental, fingerprint_sha256
+
+    batch = _docs(
+        spark,
+        [
+            (0, "known text"),     # hash in store -> dup_store
+            (3, "fresh text"),     # first in batch -> kept
+            (6, "fresh text"),     # second in batch -> dup_batch
+            (9, "known text"),     # in store AND duplicated in batch -> dup_store
+        ],
+    )
+    store = _docs(spark, [(100, "known text"), (101, "other history")]).select(
+        fingerprint_sha256("text").alias("content_hash")
+    )
+    out = {r["doc_id"]: r["status"] for r in dedup_incremental(batch, store).collect()}
+    assert out == {0: "dup_store", 3: "kept", 6: "dup_batch", 9: "dup_store"}
+    # store delta = hashes of kept rows only
+    kept = dedup_incremental(batch, store).filter("status = 'kept'")
+    assert kept.count() == 1
