@@ -13,7 +13,7 @@ that broadcasts back over the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkclif.operators.text import tokens
@@ -295,6 +295,66 @@ def bigram_lm_score(
         F.expr("CASE WHEN n_bigrams > 0 THEN sum_p_bp div n_bigrams END")
         .cast("long")
         .alias("lm_score_bp"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The byte-pair-encoding merge-selection step (Sennrich et al.
+    2016): count adjacent symbol pairs across the corpus, weighted by
+    word frequency, and return the ``top_k`` merge candidates — the
+    inner loop of tokenizer training. Returns
+    ``(left_sym, right_sym, pair_count, rank)`` with rank 1 = the pair
+    a BPE trainer would merge next (here symbols are single characters
+    — the first merge round; later rounds re-run on re-segmented
+    vocabularies, same plan shape).
+
+    The scale insight this plan encodes: pair counting runs over the
+    VOCABULARY, not the corpus. Stage 1 collapses the corpus to a
+    (word -> count) table with one fully map-side-combined aggregation
+    — a trillion-token corpus becomes a few-million-row relation.
+    Stage 2 explodes adjacent character pairs of each vocabulary entry
+    (work = vocab × word-length, corpus-size-independent) and sums
+    ``wc`` per pair — again map-side combined, and the pair-key space
+    is alphabet², so the final shuffle is tiny. Stage 3's global
+    top-k is a sort+limit, which Spark executes as TakeOrdered (per-
+    partition heaps + driver merge of top_k rows), never a full sort.
+    Ties are broken by (left_sym, right_sym) so the boundary is
+    deterministic. Single-symbol words contribute no pairs; a pair
+    repeated inside one word counts once per position per occurrence.
+    """
+    wf = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    # adjacent (char i, char i+1) pairs; sequence() must be guarded —
+    # sequence(1, 0) steps DOWNWARD in Spark, it is not empty
+    pairs = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.struct(
+                F.substring(F.col("word"), i, F.lit(1)).alias("l"),
+                F.substring(F.col("word"), i + 1, F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    counted = (
+        wf.select(F.col("wc"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+    )
+    order = [F.desc("pair_count"), F.col("left_sym"), F.col("right_sym")]
+    top = counted.orderBy(*order).limit(top_k)
+    # rank AFTER the limit: the global sort+limit above runs as
+    # TakeOrdered (per-partition heaps, driver merge of top_k rows);
+    # the single-task window below only ever sees top_k rows
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
     )
 
 

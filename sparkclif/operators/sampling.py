@@ -53,6 +53,66 @@ def stratified_sample_stats(
     )
 
 
+def pps_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Probability-proportional-to-size sampling without replacement —
+    sequential Poisson sampling (Ohlsson 1998; the order-sampling
+    cousin of Efraimidis–Spirakis): each row gets priority
+    ``u / w`` with ``u`` uniform and ``w`` its weight, and the sample
+    is the ``k`` SMALLEST priorities. Heavier rows draw smaller
+    priorities, so inclusion probability is ~proportional to weight —
+    the standard shape for token-budget-proportional corpus
+    subsampling (sample docs proportional to length so the TOKEN
+    budget, not the doc count, is what's controlled).
+
+    Deterministic and engine-exact with no RNG coordination: ``u`` is
+    the portable md5 basis (28 bits of md5('pps|' || key), +1 so 0 is
+    excluded), and the priority is one IEEE double division of those
+    exact integers — +,-,*,/ are correctly-rounded in IEEE 754, so
+    Spark and any oracle engine produce bit-identical priorities and
+    an identical selected SET (contrast ln/pow order keys, whose
+    last-ulp behavior is libm-implementation-specific: the classic
+    Efraimidis–Spirakis ``u^(1/w)`` key is NOT portably exact, which
+    is why the priority form is the one to ship).
+
+    Plan: the priority is a scan-side expression (pushes into the
+    scan, no precomputation pass); sort+limit executes as TakeOrdered
+    — per-partition k-row heaps and a driver merge of partitions×k
+    rows, never a global sort. One job, no shuffle. Zero-or-negative
+    weights are clamped to 1 (a weight-0 row would otherwise divide
+    to +inf — deterministically excluded, but silently; clamping
+    keeps every row sampleable and both engines agree).
+    """
+    from sparkclif.operators.hashing import md5_bits
+
+    u = (
+        md5_bits(
+            F.concat(F.lit("pps|"), F.col(key_col).cast("string")), 18, 7
+        )
+        + 1
+    ).cast("double")
+    w = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    pri = u / w
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("__pri"),
+        )
+        .orderBy(F.col("__pri"), F.col(key_col))
+        .limit(k)
+        .select(
+            key_col,
+            "weight",
+            F.round(F.col("__pri"), 4).alias("priority"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,

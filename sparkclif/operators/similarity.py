@@ -679,3 +679,90 @@ def semantic_dedup(
     return assigned.groupBy("cluster").applyInPandas(
         mark, f"{id_col} long, cluster long, n_dup_lower long, kept long"
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    tau: float = 0.5,
+    df_cap_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs SPARSE cosine similarity over term-frequency vectors
+    via an inverted-index join — the bag-of-words complement to the
+    dense-embedding near-dup family (Bayardo et al., WWW'07 "Scaling
+    Up All Pairs Similarity Search"). Emits every ``(id_a < id_b)``
+    pair with tf-vector cosine >= ``tau``.
+
+    The plan IS the inverted index: the tf table ``(doc, term, tf)``
+    self-joins on ``term``, so a pair of documents meets once per
+    SHARED term — never an N² doc-pair blowup; pair-generation cost is
+    the sum of squared posting-list lengths. That sum is dominated by
+    the Zipfian head, so the index applies the classic
+    document-frequency cap: terms appearing in more than
+    ``df_cap_pct`` percent of documents are dropped from the index
+    (they carry no discriminative signal and their posting lists are
+    corpus-sized; this is Bayardo's frequency-ordered pruning in its
+    simplest form). After the cap, posting lists are bounded at
+    df_cap·N but the HEAVIEST survivors still skew the join — both
+    sides hash-partition on ``term`` and AQE's skew split handles the
+    residue. The df relation itself is vocabulary-sized with a tiny
+    over-cap subset — computed with one map-side-combined aggregation
+    (per-doc scan-side distinct, no countDistinct expand).
+
+    Exactness: tf and the pair dot product are BIGINT; norms are
+    ``sqrt`` of BIGINT sums-of-squares. sqrt/*// are correctly-rounded
+    IEEE-754 operations, so ``cosine`` is bit-identical on any engine
+    and the ``>= tau`` selection is deterministic cross-engine (no
+    order-dependent float accumulation: every sum is integral).
+
+    Shuffles: tf agg, df agg, the term self-join, the pair agg, and
+    two pair->norm joins on unique doc ids. The norm join runs on the
+    PAIR table (post-threshold candidates are far fewer than posting
+    rows), not carried through the index join.
+    """
+    from sparkclif.operators.text import tokens
+
+    base = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    tf = base.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
+
+    n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
+    kept_terms = (
+        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") * 100 <= F.col("__n_docs") * df_cap_pct)
+        .select("tok")
+    )
+    # the inverted index: only capped terms post
+    idx = tf.join(kept_terms, "tok")
+
+    # per-doc squared norm over the SAME capped vector the index uses
+    norms = idx.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("__sq")
+    )
+
+    a = idx.select(
+        F.col("tok"), F.col(id_col).alias("id_a"), F.col("tf").alias("__tfa")
+    )
+    b = idx.select(
+        F.col("tok"), F.col(id_col).alias("id_b"), F.col("tf").alias("__tfb")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__tfa") * F.col("__tfb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__sq").alias("__sqa"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__sq").alias("__sqb"))
+    cos = F.col("dot") / (F.sqrt("__sqa") * F.sqrt("__sqb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(cos >= tau)
+        .select(
+            "id_a", "id_b", "dot", F.round(cos, 4).alias("cosine")
+        )
+    )

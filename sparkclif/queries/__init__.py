@@ -44,10 +44,11 @@ simulation (.claude/skills/verify) ran green on the full registry
 repeatedly this round.
 
 Registered after the window (round-5 rotation candidates, with the
-rest of this round's 48 outside-window queries): the late-session
-quartet i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats /
-i_dedup_incremental (group_i_r4c) — exact-oracle, locally hash-green,
-first driver row due round 5.
+rest of this round's outside-window queries): the late-session
+additions i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats /
+i_dedup_incremental (group_i_r4c) and i_tokenizer_pair_counts /
+i_sample_pps / i_sim_sparse_pairs (group_i_r4d) — exact-oracle,
+locally hash-green, first driver row due round 5.
 """
 
 from sparkclif.queries import (  # noqa: F401
@@ -66,6 +67,7 @@ from sparkclif.queries import (  # noqa: F401
     group_i_r4,
     group_i_r4b,
     group_i_r4c,
+    group_i_r4d,
 )
 from sparkclif.registry import REGISTRY
 

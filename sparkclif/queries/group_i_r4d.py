@@ -1,0 +1,154 @@
+"""Group I round-4 additions, fourth batch — three more canonical
+training-data-pipeline stages, each a distinct distributed kernel:
+
+- i_tokenizer_pair_counts: the BPE merge-selection step (Sennrich et
+  al. 2016) — corpus-weighted adjacent-symbol pair counts, top-k merge
+  candidates. The plan collapses the corpus to its vocabulary FIRST,
+  so pair counting is corpus-size-independent.
+- i_sample_pps: probability-proportional-to-size corpus sampling
+  (sequential Poisson, Ohlsson 1998) — token-budget-proportional doc
+  selection, deterministic via the portable md5 basis and IEEE-exact
+  division (no libm transcendentals in the order key).
+- i_sim_sparse_pairs: all-pairs sparse tf-vector cosine via the
+  inverted-index join with document-frequency pruning (Bayardo et al.
+  WWW'07) — the bag-of-words complement to the dense-embedding
+  near-dup family.
+
+Implementations live in operators/corpus.py, operators/sampling.py,
+operators/similarity.py; these are the driver-checked bindings. All
+three have exact SQL restatements (integer counts, IEEE-exact
+division/sqrt, deterministic tiebreakers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkclif.io import spread, table
+from sparkclif.registry import register
+
+
+@register(
+    "i_tokenizer_pair_counts",
+    # Exact restatement: word-frequency table, then adjacent char
+    # pairs per vocabulary entry (substring over a position range),
+    # weighted sum, top-20 by (count desc, left, right).
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+    p AS (
+        SELECT substring(word, d.i, 1)     AS left_sym,
+               substring(word, d.i + 1, 1) AS right_sym,
+               wc
+        FROM wf
+        CROSS JOIN (SELECT unnest(range(1, greatest(
+                        (SELECT max(len(word)) FROM wf), 2))) AS i) d
+        WHERE d.i <= len(word) - 1
+    ),
+    c AS (
+        SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM p GROUP BY left_sym, right_sym
+    )
+    SELECT left_sym, right_sym, pair_count, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY pair_count DESC,
+                                     left_sym, right_sym) AS rn
+        FROM c
+    ) WHERE rn <= 20
+    """,
+)
+def i_tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair selection: corpus-weighted adjacent character
+    pair counts, top-20 merge candidates. Corpus collapses to the
+    vocabulary in one map-side-combined agg before any pair work;
+    the top-k is TakeOrdered, never a global sort."""
+    from sparkclif.operators.corpus import bpe_pair_counts
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return bpe_pair_counts(docs, top_k=20)
+
+
+@register(
+    "i_sample_pps",
+    # Exact restatement: priority = (md5-28bit('pps|' || id) + 1) / w,
+    # one IEEE double division of exact integers — bit-identical
+    # cross-engine (see operators/hashing.py for the md5 basis).
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS weight,
+               (('0x' || substr(md5('pps|' || doc_id::VARCHAR), 18, 7))::UBIGINT
+                   + 1)::DOUBLE
+                   / greatest(n_chars, 1)::DOUBLE AS pri
+        FROM documents
+    )
+    SELECT doc_id, weight, round(pri, 4) AS priority
+    FROM p ORDER BY pri, doc_id LIMIT 50
+    """,
+)
+def i_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling (sequential Poisson):
+    50 docs sampled ~proportional to n_chars — the token-budget-
+    controlled subsample. Scan-side priority expression + TakeOrdered;
+    one job, no shuffle, no RNG state."""
+    from sparkclif.operators.sampling import pps_sample_topk
+
+    # no spread(): the sampler is ONE scan + TakeOrdered with zero
+    # exchanges — a repartition for parallelism would add the only
+    # shuffle in the plan (parallelism comes from input splits)
+    docs = table(spark, sf_dir, "documents")
+    return pps_sample_topk(docs, "doc_id", "n_chars", k=50)
+
+
+@register(
+    "i_sim_sparse_pairs",
+    # Exact restatement of the df-capped inverted-index cosine: tf and
+    # dot are BIGINT, norms are sqrt of BIGINT — every float op is
+    # IEEE-correctly-rounded, so the unrounded >= tau selection
+    # matches bit-for-bit; output cosine rounded to 4.
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, tok),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    kept AS (
+        SELECT d.tok FROM (
+            SELECT tok, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, tok FROM w) GROUP BY tok
+        ) d, nd WHERE d.df * 100 <= nd.n * 20
+    ),
+    idx AS (SELECT tf.* FROM tf JOIN kept USING (tok)),
+    norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS sq FROM idx GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
+        FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot,
+           round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 4) AS cosine
+    FROM pairs
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / (sqrt(na.sq) * sqrt(nb.sq)) >= 0.5
+    """,
+)
+def i_sim_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-vector cosine near-dup pairs via the inverted-index
+    join with a 20% document-frequency cap (Bayardo-style pruning:
+    the Zipfian head posts nothing; the join cost law is the sum of
+    squared posting-list lengths — measured 5 s at the 20% cap vs
+    107 s at an 80% cap on sf0.1). On this testbed the survivors at
+    tau=0.5 are the clone clusters (cosine 1.0): rare terms only
+    co-occur in duplicated documents."""
+    from sparkclif.operators.similarity import sparse_cosine_pairs
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return sparse_cosine_pairs(docs, tau=0.5, df_cap_pct=20)

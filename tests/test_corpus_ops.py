@@ -320,3 +320,61 @@ def test_dedup_incremental_precedence(spark):
     # store delta = hashes of kept rows only
     kept = dedup_incremental(batch, store).filter("status = 'kept'")
     assert kept.count() == 1
+
+
+def test_bpe_pair_counts_model(spark):
+    # vocab: 'abca' x2 occurrences, 'ab' x1, 'x' x1 (no pairs)
+    docs = _docs(spark, [(0, "abca ab"), (1, "abca x")])
+    out = {
+        (r["left_sym"], r["right_sym"]): (r["pair_count"], r["rank"])
+        for r in C.bpe_pair_counts(docs, top_k=10).collect()
+    }
+    # (a,b): abca twice + ab once = 3; (b,c): 2; (c,a): 2 — rank ties
+    # broken by (left, right): (b,c) before (c,a)
+    assert out == {("a", "b"): (3, 1), ("b", "c"): (2, 2), ("c", "a"): (2, 3)}
+
+
+def test_bpe_pair_repeated_within_word(spark):
+    # 'aaa' has (a,a) at two positions -> counts twice per occurrence
+    docs = _docs(spark, [(0, "aaa aaa")])
+    out = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in C.bpe_pair_counts(docs, top_k=5).collect()
+    }
+    assert out == {("a", "a"): 4}
+
+
+def test_sparse_cosine_pairs_model(spark):
+    import math
+
+    from sparkclif.operators.similarity import sparse_cosine_pairs
+
+    # 4 docs; 'common' appears in ALL docs (df 100%) -> capped out at
+    # the 80% cap, while a/b/z (df <= 75%) survive;
+    # remaining vectors: d0 = {a:2, b:1}, d1 = {a:1, b:2}, d2 = {z:1},
+    # d3 = {a:1, b:1}  (d2 shares no surviving term with anyone)
+    docs = _docs(
+        spark,
+        [
+            (0, "common a a b"),
+            (1, "common a b b"),
+            (2, "common z"),
+            (3, "common a b"),
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in sparse_cosine_pairs(docs, tau=0.5, df_cap_pct=80).collect()
+    }
+
+    def cos(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        return dot, round(dot / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))), 4)
+
+    assert got == {
+        (0, 1): cos((2, 1), (1, 2)),   # 4/5 = 0.8
+        (0, 3): cos((2, 1), (1, 1)),   # 3/(sqrt5*sqrt2)
+        (1, 3): cos((1, 2), (1, 1)),
+    }
+    # d2 pairs with nobody (its only surviving term is unique)
+    assert not any(2 in p for p in got)

@@ -320,3 +320,40 @@ def test_lm_score_no_expand_vocab_broadcast(spark, sf_dir):
     assert "Expand" not in plan
     assert "BroadcastNestedLoopJoin Cross" in plan  # the 1-row V scalar
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pps_sample_zero_shuffle_takeordered(spark, sf_dir):
+    """The PPS sampler is one scan + TakeOrdered: per-partition k-row
+    heaps, NO exchange, no global sort (the priority is a scan-side
+    expression)."""
+    plan = formatted_plan(spark, "i_sample_pps", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "PPS sampling must not shuffle"
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", ""), (
+        "no standalone global sort"
+    )
+
+
+def test_bpe_pair_counts_vocab_collapse_then_takeordered(spark, sf_dir):
+    """BPE pair counting: both aggregations partial (the corpus
+    collapses to its vocabulary map-side) and the global top-k is
+    TakeOrdered, never a full sort."""
+    plan = formatted_plan(spark, "i_tokenizer_pair_counts", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4, "partial+final aggs expected"
+
+
+def test_sparse_pairs_inverted_index_no_python(spark, sf_dir):
+    """The sparse-cosine plan is the inverted index: equi-joins on the
+    term key (hash-partitioned; no nested-loop all-pairs), partial
+    aggregation on the tf/df/pair aggs, no Python in the path."""
+    plan = formatted_plan(spark, "i_sim_sparse_pairs", sf_dir)
+    assert "CartesianProduct" not in plan, (
+        "pair generation must ride the term equi-join, not a cross join"
+    )
+    # the only nested-loop joins allowed are the 1-row n_docs scalar
+    # broadcasts (the df-cap comparison), never a doc x doc product
+    n_bnlj = len(re.findall(r"\) BroadcastNestedLoopJoin", plan))
+    n_scalar = len(re.findall(r"Join condition: \(\(__df#\d+L? \* 100\)", plan))
+    assert n_bnlj == n_scalar, (plan_counts := (n_bnlj, n_scalar))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -124,3 +124,55 @@ def test_simhash_matches_pure_python(spark):
         if fp >= 1 << 63:  # two's complement int64
             fp -= 1 << 64
         assert got[doc_id] == fp, f"doc {doc_id}"
+
+
+def test_pps_priority_pinned_to_hashlib(spark):
+    """The PPS priority must equal (md5-28bit('pps|'||id)+1)/w computed
+    with hashlib — the portable-basis pin (and weight<=0 clamps to 1)."""
+    from sparkclif.operators.sampling import pps_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 7), (3, 0)], "doc_id long, w long"
+    )
+    got = {
+        r["doc_id"]: (r["weight"], r["priority"])
+        for r in pps_sample_topk(df, "doc_id", "w", k=3).collect()
+    }
+    for doc_id, w in [(1, 100), (2, 7), (3, 0)]:
+        h = int(hashlib.md5(f"pps|{doc_id}".encode()).hexdigest()[17:24], 16)
+        pri = round((h + 1) / max(w, 1), 4)
+        assert got[doc_id] == (w, pri), doc_id
+
+
+def test_pps_weight_monotonicity(spark, sf_dir):
+    """Doubling every weight halves every priority — the sample is
+    scale-invariant in the weights (only ratios matter)."""
+    from sparkclif.operators.sampling import pps_sample_topk
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    base = [r["doc_id"] for r in pps_sample_topk(docs, "doc_id", "w", k=40).collect()]
+    doubled = [
+        r["doc_id"]
+        for r in pps_sample_topk(
+            docs.withColumn("w", F.col("w") * 2), "doc_id", "w", k=40
+        ).collect()
+    ]
+    assert base == doubled
+
+
+def test_pps_heavier_rows_sampled_more(spark):
+    """With 1000 rows where ids 0..99 carry 50x the weight of the
+    rest, the k=100 sample must be dominated by heavy rows (PPS
+    semantics, not uniform)."""
+    from sparkclif.operators.sampling import pps_sample_topk
+
+    rows = [(i, 5000 if i < 100 else 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = [
+        r["doc_id"] for r in pps_sample_topk(df, "doc_id", "w", k=100).collect()
+    ]
+    heavy = sum(1 for i in picked if i < 100)
+    # E[heavy] ~ 85 of 100; uniform would give ~10
+    assert heavy > 60, heavy
