@@ -1,0 +1,135 @@
+"""Distributed Lloyd's k-means over the embedding column — EXACT.
+
+The canonical iterative algorithm of a training-data pipeline
+(embedding-space clustering feeds corpus curation: SemDeDup-style
+pruning, domain discovery, diversity sampling), implemented so that
+every number it produces is an exact integer and the whole run is
+bit-identical on any engine — an iterative algorithm with a full SQL
+oracle, not a rows-only check:
+
+- Vectors live in the shared portable basis ``q = floor(v * 10⁴)``
+  (BIGINT, operators/quantize.py). Distances are integer sums of
+  squared integer differences — associative, partition-order-proof.
+- Init is deterministic and seedless: the ``k`` vectors with the
+  smallest ``(md5('km|' || id), id)`` are the starting centroids
+  (portable md5 basis; any engine picks the same seeds).
+- The centroid update is an INTEGER mean with TRUNCATING division:
+  ``c_d = trunc(sum_d / n)``. The convention matters because
+  dimension sums go negative, and the engines disagree at the
+  default: Python ``//`` floors (-7//2 = -4) while DuckDB's integer
+  ``//`` and Spark's ``div`` truncate toward zero (-7//2 = -3;
+  DuckDB only floors on FLOATs — measured, not assumed). Truncation
+  is the convention all SQL engines share, so the driver-side update
+  spells it explicitly (``-(-s // n)`` for negative ``s``) and the
+  oracle uses plain ``//``.
+- Assignment ties (equidistant centroids) break to the smallest
+  cluster index; empty clusters keep their previous centroid.
+
+Scale shape (the MLlib shape, stated explicitly): per iteration, the
+centroids are k×D BOUNDED METADATA — they ride the plan as literals
+(broadcast in spirit; at k×D beyond literal size, a broadcast join on
+a crossJoin'd centroid relation, same plan) — and the update is one
+map-side-combined aggregation producing k×D rows. The only per-
+iteration driver traffic is those k×D longs, exactly like
+pack_sequences' per-partition offsets. Each iteration re-reads the
+input (cache/checkpoint the quantized projection on a cluster; the
+assignment is a pure scan-side expression either way); lineage stays
+shallow because every iteration restarts from the scan plus fresh
+literals, so no localCheckpoint is needed (contrast
+graph.connected_components, whose lineage deepens per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkclif.operators.quantize import int_basis
+
+
+def _dist_sq(qv, centroid: list[int]):
+    """Exact integer squared distance from the vector column to a
+    literal centroid."""
+    lit = F.array(*[F.lit(int(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(q_df: DataFrame, centroids: dict[int, list[int]], id_col: str):
+    """(id, qv) -> (id, qv, cluster, dist_sq): argmin over the literal
+    centroids via least(struct(dist, cluster)) — lexicographic struct
+    ordering IS the (min dist, then min index) tiebreak."""
+    best = F.least(
+        *[
+            F.struct(
+                _dist_sq(F.col("qv"), centroids[c]).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c in sorted(centroids)
+        ]
+    )
+    return q_df.select(
+        id_col,
+        "qv",
+        best["c"].alias("cluster"),
+        best["d"].alias("dist_sq"),
+    )
+
+
+def kmeans_exact(
+    emb: DataFrame,
+    k: int = 8,
+    n_updates: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run Lloyd's k-means: deterministic init, ``n_updates`` integer
+    centroid updates, and return the final assignment
+    ``(id, cluster, dist_sq)`` — every column an exact BIGINT/INT.
+
+    ``n_updates + 1`` passes over the input total (one assignment per
+    update plus the final one). The update aggregation explodes
+    assigned vectors to (cluster, dim, q) and partial-aggregates to
+    k×D rows map-side — the shuffle carries partitions × k × D tiny
+    rows no matter the corpus size (same argument as
+    quantize.dim_stats).
+    """
+    q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
+
+    # deterministic portable init: k smallest (md5('km|'||id), id)
+    seed_rows = (
+        q_df.select(
+            id_col,
+            "qv",
+            F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string"))).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = {i: list(r["qv"]) for i, r in enumerate(seed_rows)}
+
+    for _ in range(n_updates):
+        assigned = _assign(q_df, centroids, id_col)
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim", "q"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            vec = new.setdefault(r["cluster"], [0] * len(centroids[0]))
+            s, n = int(r["s"]), int(r["n"])
+            # TRUNCATING integer division — Python // would floor
+            # negative sums one lower than SQL (module docstring)
+            vec[r["dim"]] = s // n if s >= 0 else -((-s) // n)
+        # empty clusters keep their previous centroid
+        centroids = {c: new.get(c, centroids[c]) for c in centroids}
+
+    return _assign(q_df, centroids, id_col).select(
+        id_col, "cluster", "dist_sq"
+    )

@@ -152,3 +152,95 @@ def i_sim_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(table(spark, sf_dir, "documents"))
     return sparse_cosine_pairs(docs, tau=0.5, df_cap_pct=20)
+
+
+@register(
+    "i_cluster_kmeans",
+    # cache_plan=False: plan BUILD runs the iterative work (seed
+    # collect + two update-aggregation jobs); a cached final-assignment
+    # DataFrame would time only the last pass.
+    cache_plan=False,
+    # Exact restatement of two integer Lloyd updates + final assign:
+    # portable md5 seeds, integer squared distances, TRUNCATING
+    # integer centroid means (DuckDB's integer // truncates toward
+    # zero, matching Spark div / the operator's explicit trunc —
+    # DuckDB floors only on FLOATs), (dist, cluster) tiebreak,
+    # empty clusters keep their previous centroid via the LEFT JOIN.
+    oracle=r"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, qv
+        FROM (SELECT vec_id, qv, md5('km|' || vec_id::VARCHAR) AS h
+              FROM q ORDER BY h, vec_id LIMIT 8)
+    ),
+    a1 AS (
+        SELECT vec_id, qv, cluster FROM (
+            SELECT q.vec_id, q.qv, s.cluster,
+                   CAST(list_sum(list_transform(range(1, 65),
+                       i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))
+                       AS BIGINT) AS dist
+            FROM q CROSS JOIN seeds s
+        ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) = 1
+    ),
+    c1 AS (
+        SELECT s.cluster, coalesce(u.cv, s.qv) AS qv
+        FROM seeds s LEFT JOIN (
+            SELECT cluster, list(cd ORDER BY dim) AS cv FROM (
+                SELECT cluster, d.i AS dim,
+                       CAST(CAST(sum(qv[d.i]) AS BIGINT) // count(*)
+                            AS BIGINT) AS cd
+                FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+                GROUP BY cluster, d.i
+            ) GROUP BY cluster
+        ) u USING (cluster)
+    ),
+    a2 AS (
+        SELECT vec_id, qv, cluster FROM (
+            SELECT q.vec_id, q.qv, s.cluster,
+                   CAST(list_sum(list_transform(range(1, 65),
+                       i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))
+                       AS BIGINT) AS dist
+            FROM q CROSS JOIN c1 s
+        ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) = 1
+    ),
+    c2 AS (
+        SELECT s.cluster, coalesce(u.cv, s.qv) AS qv
+        FROM c1 s LEFT JOIN (
+            SELECT cluster, list(cd ORDER BY dim) AS cv FROM (
+                SELECT cluster, d.i AS dim,
+                       CAST(CAST(sum(qv[d.i]) AS BIGINT) // count(*)
+                            AS BIGINT) AS cd
+                FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+                GROUP BY cluster, d.i
+            ) GROUP BY cluster
+        ) u USING (cluster)
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, dist AS dist_sq FROM (
+        SELECT q.vec_id, s.cluster,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))
+                   AS BIGINT) AS dist
+        FROM q CROSS JOIN c2 s
+    ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) = 1
+    """,
+)
+def i_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, two integer centroid updates)
+    over the embedding column, EXACT: integer-basis distances,
+    portable md5 init, truncating integer centroid means — the
+    iterative-algorithm representative with a full hash-checked SQL
+    oracle instead of a rows-only row. Per iteration the centroids are
+    k×D bounded driver metadata and the update is one map-side-
+    combined (cluster, dim) aggregation (operators/kmeans.py)."""
+    from sparkclif.operators.kmeans import kmeans_exact
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return kmeans_exact(emb, k=8, n_updates=2)
