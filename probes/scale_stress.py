@@ -201,6 +201,56 @@ def main() -> None:
 
     timed(f"dim_stats_{k}x", lambda: dim_stats(emb_k).count())
 
+    # --- BPE pair counts at kx (cloned docs: the vocabulary is ---------
+    # IDENTICAL, only word counts scale k-fold — so after the
+    # vocab-collapse agg the pair work is constant and wall must track
+    # the scan, the design claim of the vocabulary-first plan)
+    timed(
+        f"bpe_pairs_{k}x_cloned",
+        lambda: CO.bpe_pair_counts(docs_k, top_k=20).count(),
+    )
+
+    # --- exact k-means at kx embeddings (assignment is scan-side; the --
+    # update shuffle is partitions x k x D regardless of N -> wall
+    # must track the scan across the 3 passes)
+    from sparkclif.operators.kmeans import kmeans_exact
+
+    timed(f"kmeans_{k}x", lambda: kmeans_exact(emb_k, k=8, n_updates=2).count())
+
+    # --- sparse cosine pairs at kx CLONED docs: posting lists grow -----
+    # k-fold inside every clone cluster, so pair OUTPUT grows ~k^2 —
+    # the inherent inverted-index cost law (same argument as the
+    # minhash clone-dense probe); wall should track pair output, and
+    # the df cap is what keeps the Zipfian head out of that law
+    from sparkclif.operators.similarity import sparse_cosine_pairs
+
+    timed(
+        f"sparse_pairs_{k}x_cloned",
+        lambda: sparse_cosine_pairs(docs_k, tau=0.5, df_cap_pct=20).count(),
+    )
+
+    # --- funnel at kx (users SHIFTED: per-user event counts constant, --
+    # so the per-user fold is constant work and wall must track the
+    # scan + the one groupBy shuffle)
+    from sparkclif.operators.sequence import funnel_stages
+
+    ev_f = table(spark, sf_dir, "events")
+    ev_fk = (
+        ev_f.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+    )
+    timed(
+        f"funnel_{k}x_users",
+        lambda: funnel_stages(
+            ev_fk, ["view", "click", "purchase"], window_us=43_200_000_000
+        ).count(),
+    )
+
     # --- bucketized range join at kx (users shifted: pair density ------
     # per (user, bucket) constant, so wall isolates engine scaling,
     # not the k^2 pair blowup identical timestamps would inflict)

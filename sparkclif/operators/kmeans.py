@@ -96,6 +96,11 @@ def kmeans_exact(
     k×D rows map-side — the shuffle carries partitions × k × D tiny
     rows no matter the corpus size (same argument as
     quantize.dim_stats).
+
+    Preconditions: non-null fixed-dimension vectors (a NULL or ragged
+    vector propagates NULL distances) and unique ``id_col``. If the
+    input has fewer than ``k`` rows the run proceeds with that many
+    centroids.
     """
     q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
 

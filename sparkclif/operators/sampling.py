@@ -82,10 +82,13 @@ def pps_sample_topk(
     Plan: the priority is a scan-side expression (pushes into the
     scan, no precomputation pass); sort+limit executes as TakeOrdered
     — per-partition k-row heaps and a driver merge of partitions×k
-    rows, never a global sort. One job, no shuffle. Zero-or-negative
-    weights are clamped to 1 (a weight-0 row would otherwise divide
-    to +inf — deterministically excluded, but silently; clamping
-    keeps every row sampleable and both engines agree).
+    rows, never a global sort. One job, no shuffle. NULL, zero and
+    negative weights are clamped to 1 (a weight-0 row would otherwise
+    divide to +inf — deterministically excluded, but silently;
+    clamping keeps every row sampleable, and the NULL coalesce
+    matters cross-engine: Spark's greatest SKIPS nulls while SQL
+    engines differ, so the clamp must not rely on greatest's null
+    rule).
     """
     from sparkclif.operators.hashing import md5_bits
 
@@ -95,7 +98,9 @@ def pps_sample_topk(
         )
         + 1
     ).cast("double")
-    w = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    w = F.greatest(F.coalesce(F.col(weight_col), F.lit(1)), F.lit(1)).cast(
+        "double"
+    )
     pri = u / w
     return (
         df.select(

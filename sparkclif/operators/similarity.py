@@ -720,6 +720,11 @@ def sparse_cosine_pairs(
     two pair->norm joins on unique doc ids. The norm join runs on the
     PAIR table (post-threshold candidates are far fewer than posting
     rows), not carried through the index join.
+
+    Precondition: one row per ``id_col`` (document frequency counts
+    rows after per-doc dedup — duplicate id rows would inflate df;
+    see corpus.boilerplate_removal). NULL-text docs have no tokens
+    and simply never pair.
     """
     from sparkclif.operators.text import tokens
 

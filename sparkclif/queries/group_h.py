@@ -290,3 +290,57 @@ def h_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, ev.select("event_id", "user_id", "ts").schema, window_s=1800
     )
     return out.select("id_a", "id_b", "user_id", "gap_us")
+
+
+@register(
+    "h_stream_late",
+    cache_plan=False,
+    # oracle_in_bench=False: the engine runs a genuine 3-micro-batch
+    # watermarked stream; the oracle's one-shot filtered agg is not a
+    # comparable plan for baseline timing.
+    oracle_in_bench=False,
+    # Exact restatement of the late-data contract: the 200 displaced
+    # rows (the stream's oldest, by (ts, event_id)) arrive in the last
+    # micro-batch with the watermark near stream end -> DROPPED before
+    # aggregation; append mode emits a window only after the watermark
+    # passes its end, so windows ending after max(ts) - 10 min are
+    # never emitted. Both effects are pure functions of the input.
+    oracle="""
+    WITH late AS (
+        SELECT event_id FROM events ORDER BY ts, event_id LIMIT 200
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*)::BIGINT AS n
+    FROM events, wm
+    WHERE event_id NOT IN (SELECT event_id FROM late)
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+    GROUP BY 1, 2
+    """,
+)
+def h_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, driven end-to-end: a tumbling
+    1-hour count stream whose LAST micro-batch carries the 200 oldest
+    events displaced to the end of the stream. The 10-minute watermark
+    has advanced ~a month past their event times by then, so a
+    conforming engine drops exactly that displaced set, and append
+    mode emits each surviving window once, after the watermark passes
+    its end (streaming/late.py; the state bound at 100 TB is the
+    point — window state is delay-horizon × keys, not stream
+    lifetime)."""
+    from sparkclif.streaming.late import stream_window_counts
+    from sparkclif.streaming.source import write_time_chunks
+
+    src = tmp_dir() + "/stream_late_src"
+    ev = table(spark, sf_dir, "events")
+    write_time_chunks(
+        ev, src, n_chunks=3, key=f"{sf_dir}/events", displace_rows=200
+    )
+    out = stream_window_counts(
+        spark,
+        src,
+        ev.select("event_id", "ts", "user_id", "event_type", "value").schema,
+        watermark="10 minutes",
+        window="1 hour",
+    )
+    return out

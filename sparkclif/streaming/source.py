@@ -44,7 +44,7 @@ def stream_shuffle(spark, n: int = STREAM_SHUFFLE_PARTITIONS):
 
 def write_time_chunks(
     df: DataFrame, src: str, n_chunks: int = 4, key: str | None = None,
-    echo_rows: int = 0,
+    echo_rows: int = 0, displace_rows: int = 0,
 ) -> None:
     """Write ``df`` (must have ts + event_id columns) as ``n_chunks``
     time-ordered parquet files with increasing mtimes. Idempotent: if
@@ -59,12 +59,21 @@ def write_time_chunks(
     producer retry after an unacked write). The echoes carry the
     newest timestamps of their original batch, so they always sit at
     the watermark frontier — a streaming dedup must drop them via
-    cross-batch STATE, never via late-data filtering."""
+    cross-batch STATE, never via late-data filtering.
+
+    ``displace_rows > 0`` instead moves the ``displace_rows`` OLDEST
+    rows of the stream out of the first chunk and appends them to the
+    LAST chunk's file — genuinely LATE data (event time far below the
+    watermark by arrival time), the input a watermark-correctness
+    harness needs: a conforming windowed aggregation must DROP them.
+    The displaced set is deterministic (min (ts, event_id) order), so
+    a batch oracle can restate exactly which rows never count."""
     manifest = os.path.join(src, "_manifest.json")
     want = {
         "key": key or f"n_rows={df.count()}",
         "n_chunks": n_chunks,
         "echo_rows": echo_rows,
+        "displace_rows": displace_rows,
     }
     if os.path.exists(manifest):
         try:
@@ -82,6 +91,9 @@ def write_time_chunks(
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
     pdf = df.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    late = pdf.iloc[:displace_rows]
+    if displace_rows:
+        pdf = pdf.iloc[displace_rows:].reset_index(drop=True)
     chunk = (len(pdf) + n_chunks - 1) // n_chunks
     for i in range(n_chunks):
         path = f"{src}/chunk-{i:04d}.parquet"
@@ -89,6 +101,8 @@ def write_time_chunks(
         if echo_rows and i > 0:
             prev_tail = pdf.iloc[max(i * chunk - echo_rows, 0) : i * chunk]
             part = pd.concat([prev_tail, part], ignore_index=True)
+        if displace_rows and i == n_chunks - 1:
+            part = pd.concat([part, late], ignore_index=True)
         tbl = pa.Table.from_pandas(part)
         ts_idx = tbl.schema.get_field_index("ts")
         tbl = tbl.set_column(

@@ -357,3 +357,33 @@ def test_sparse_pairs_inverted_index_no_python(spark, sf_dir):
     n_scalar = len(re.findall(r"Join condition: \(\(__df#\d+L? \* 100\)", plan))
     assert n_bnlj == n_scalar, (plan_counts := (n_bnlj, n_scalar))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_shuffle_no_python(spark, sf_dir):
+    """The funnel is ONE groupBy(user) exchange + a codegen fold — no
+    per-stage self-joins (the oracle's shape), no Python workers."""
+    plan = formatted_plan(spark, "e_funnel_steps", sf_dir)
+    assert "Join" not in plan, "funnel must fold, not join per stage"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected exactly 1 shuffle, saw {n_exchanges}"
+    # the step-type filter reaches the parquet scan
+    assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_retention_no_count_distinct_expand(spark, sf_dir):
+    """Cohort retention collapses (user, cohort, k) via dropDuplicates
+    BEFORE counting — the plan must contain no Expand (the
+    count-distinct rewrite that doubles shuffle volume)."""
+    plan = formatted_plan(spark, "d_agg_retention", sf_dir)
+    assert "Expand" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_scan_side(spark, sf_dir):
+    """The final k-means assignment plan (what the query returns) is a
+    pure scan + projection over centroid literals: no join, no
+    aggregation, no Python — distances are codegen expressions."""
+    plan = formatted_plan(spark, "i_cluster_kmeans", sf_dir)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -212,3 +212,67 @@ def test_stream_join_matches_cross_batch(spark, tmp_path):
     assert got == want
     # cross-batch evidence: chunk 0 holds ids 0-3, chunk 1 ids 4-7
     assert (3, 4) in got and (2, 5) in got
+
+
+def test_window_agg_drops_late_and_holds_open_windows(spark, tmp_path):
+    """Watermarked tumbling-count append semantics on crafted chunks:
+    (1) a row arriving for an hour whose window closed batches ago is
+    dropped (its count must NOT include it), (2) a window still open
+    at stream end (watermark never passed its end) is never emitted."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.streaming.late import stream_window_counts
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(path, rows, mtime):
+        tbl = pa.Table.from_pydict(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    src = str(tmp_path / "win_late_src")
+    os.makedirs(src)
+    # batch 0: two rows in the 12:00 window, one at 15:05 -> watermark
+    # candidate after batch 0 = 14:55, far past the 12:00 window's end
+    write_chunk(
+        f"{src}/c0.parquet",
+        [(1, base, "a"), (2, base + dt.timedelta(minutes=5), "a"),
+         (3, base + dt.timedelta(hours=3, minutes=5), "a")],
+        1_700_000_000,
+    )
+    # batch 1: unrelated on-time row; DURING this batch the advanced
+    # watermark evicts + emits the 12:00 window (n=2)
+    write_chunk(
+        f"{src}/c1.parquet",
+        [(4, base + dt.timedelta(hours=3, minutes=20), "a")],
+        1_700_000_001,
+    )
+    # batch 2: a row for the EVICTED 12:00 window. Its state is gone,
+    # so it must be dropped at input — NOT re-create the group and
+    # re-emit a duplicate (12:00, 1) row. (A late row arriving while
+    # its window state still lives would merge — that is the allowed-
+    # lateness contract, covered by the batch-0/1 boundary above.)
+    write_chunk(
+        f"{src}/c2.parquet",
+        [(5, base + dt.timedelta(minutes=10), "a")],
+        1_700_000_002,
+    )
+    out = stream_window_counts(
+        spark, src, "event_id long, ts timestamp, event_type string",
+        watermark="10 minutes", window="1 hour",
+    ).collect()
+    got = {(r["window_start"], r["n"]) for r in out}
+    # exactly one emitted window: 12:00 with n=2 (the evicted-window
+    # row dropped, no duplicate emission; the 15:00 window never
+    # closes — stream-end watermark 15:10 < its 16:00 end)
+    assert got == {(base, 2)}, got
