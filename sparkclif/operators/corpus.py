@@ -265,7 +265,10 @@ def bigram_lm_score(
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    # c1 derives FROM c12 (c1(w1) = Σ_w2 c12(w1, w2)) — a vocabulary²-
+    # sized re-aggregation instead of a second full corpus scan +
+    # bigram shuffle; at 100 TB this deletes one pass over the stream
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     # vocabulary size: per-doc distinct scan-side, then a global
     # distinct count stated as an aggregation (map-side combinable)
     vocab = (

@@ -156,3 +156,57 @@ def cohort_retention(
         .groupBy("cohort_week", "week_k")
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+def session_transitions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Corpus-wide event-type transition counts WITHIN sessions — the
+    first-order Markov model of user behavior (the input to next-action
+    prediction and anomaly scoring). Sessions are the standard
+    gaps-and-islands: a new session starts at a gap >= ``gap_minutes``;
+    transitions never cross a session boundary. Returns
+    ``(from_type, to_type, n)``.
+
+    Plan: ONE shuffle (hash partition by user) feeds every window —
+    the gap flag, the session-id running sum, and the lag() that pairs
+    each event with its predecessor all share the same
+    ``(user)`` partitioning with ``(ts, seq)`` ordering, so Catalyst
+    plans them in a single Window stage chain without re-exchanging.
+    Per-user partitions are bounded by activity skew (the same
+    argument as funnel_stages). The final count agg is map-side
+    combined over a type² key space — tiny at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    gap = F.lag(ts_col).over(w)
+    new_session = (
+        gap.isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(gap)
+            >= gap_minutes * 60 * 1_000_000
+        )
+    ).cast("long")
+    with_sess = events.select(
+        user_col,
+        ts_col,
+        seq_col,
+        F.col(type_col),
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__sess"),
+    )
+    w_sess = Window.partitionBy(user_col, "__sess").orderBy(ts_col, seq_col)
+    paired = with_sess.select(
+        F.lag(type_col).over(w_sess).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return paired.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )

@@ -110,3 +110,47 @@ def d_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     sparse = ev.where(portable_bucket(F.col("event_id")) < 3)
     return cohort_retention(sparse, max_weeks=3)
+
+
+@register(
+    "e_session_transitions",
+    # Exact restatement: gaps-and-islands sessionization (identical
+    # semantics to group_h's SESSION_ORACLE: new session at gap >= 30
+    # min, (ts, event_id) ordering), lag within session, type-pair
+    # counts.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    paired AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM numbered
+    )
+    SELECT from_type, to_type, count(*)::BIGINT AS n
+    FROM paired WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def e_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event-type transition counts (first-order Markov
+    model of user behavior): gaps-and-islands sessionization and the
+    predecessor lag share ONE user-partitioned shuffle; the count agg
+    is map-side combined over a type² key space."""
+    from sparkclif.operators.sequence import session_transitions
+
+    ev = table(spark, sf_dir, "events")
+    return session_transitions(ev, gap_minutes=30)

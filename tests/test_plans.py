@@ -387,3 +387,15 @@ def test_kmeans_assignment_is_scan_side(spark, sf_dir):
     plan = formatted_plan(spark, "i_cluster_kmeans", sf_dir)
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_transitions_single_user_shuffle(spark, sf_dir):
+    """All three windows (gap flag, session cumsum, predecessor lag)
+    must share the ONE user-hash exchange — partitioning by user
+    satisfies the (user, session) clustering, so Catalyst must not
+    re-exchange between windows. Total exchanges: that one + the tiny
+    type-pair agg."""
+    plan = formatted_plan(spark, "e_session_transitions", sf_dir)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected 2 exchanges, saw {n_exchanges}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

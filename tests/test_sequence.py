@@ -129,3 +129,37 @@ def test_cohort_retention_model(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_session_transitions_respect_boundaries(spark):
+    from sparkclif.operators.sequence import session_transitions
+
+    ev = _events(
+        spark,
+        [
+            (1, 0, "view", 1),
+            (1, 60, "click", 2),            # view->click (same session)
+            (1, 60 + 31 * 60, "purchase", 3),  # 31 min gap: NO click->purchase
+            (1, 60 + 31 * 60 + 10, "view", 4),  # purchase->view
+            (2, 0, "view", 5),              # lone event, no transition
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in session_transitions(ev, gap_minutes=30).collect()
+    }
+    assert got == {("view", "click"): 1, ("purchase", "view"): 1}
+
+
+def test_session_transitions_equal_ts_order_by_event_id(spark):
+    from sparkclif.operators.sequence import session_transitions
+
+    ev = _events(
+        spark,
+        [(1, 0, "b", 2), (1, 0, "a", 1)],  # same ts: order by event_id -> a->b
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in session_transitions(ev).collect()
+    }
+    assert got == {("a", "b"): 1}
