@@ -134,3 +134,86 @@ def int8_quant_stats(vec: Column) -> dict[str, Column]:
         c: stats[c]
         for c in ("dim", "scale_int", "sum_q_abs", "n_sat", "n_zero", "err_sq")
     }
+
+
+def pq_encode(
+    emb,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into ``n_sub`` subspaces of ``sub_dim`` dims and assign
+    each sub-vector to its nearest codeword — the memory-compression
+    step before an IVF-PQ index (64 floats -> 8 code bytes here).
+    Returns one row per (vector, subspace): ``(id, sub, code,
+    dist_sq)`` with the exact integer residual.
+
+    The codebook is TRAINING-FREE and deterministic: the ``n_codes``
+    vectors with the smallest ``(md5('pq|' || id), id)`` donate their
+    sub-vectors as codewords (the sampled-codebook baseline; swap in
+    ``operators/kmeans.kmeans_exact`` per subspace for trained
+    codebooks — same assignment plan). Everything runs in the shared
+    ``floor(v·10⁴)`` integer basis, so assignment ties break exactly
+    ((dist, code) lexicographic min) and the SQL restatement is
+    bit-identical.
+
+    Plan: ONE posexplode to (id, sub, subvec) — n_sub× rows but the
+    shuffle only moves them once into the (vec, sub) argmin agg, which
+    partial-aggregates map-side (min(struct) combiner); the codebook
+    (n_sub × n_codes rows of sub_dim longs) is a broadcast join. At
+    100 TB: scan + broadcast + one map-side-combined agg — no
+    all-pairs anything.
+    """
+    from pyspark.sql import functions as _F
+
+    q_df = emb.select(_F.col(id_col), int_basis(_F.col(vec_col)).alias("qv"))
+    subs = q_df.select(
+        id_col,
+        _F.posexplode(
+            _F.transform(
+                _F.sequence(_F.lit(0), _F.lit(n_sub - 1)),
+                lambda i: _F.slice("qv", (i * sub_dim + 1).cast("int"), sub_dim),
+            )
+        ).alias("sub", "sv"),
+    ).select(id_col, _F.col("sub").cast("int").alias("sub"), "sv")
+
+    seeds = (
+        q_df.select(
+            "qv",
+            _F.md5(
+                _F.concat(_F.lit("pq|"), _F.col(id_col).cast("string"))
+            ).alias("__h"),
+            _F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_codes)
+        .collect()
+    )
+    spark = emb.sparkSession
+    cb_rows = [
+        (int(code), int(sub), [int(x) for x in r["qv"][sub * sub_dim : (sub + 1) * sub_dim]])
+        for code, r in enumerate(seeds)
+        for sub in range(n_sub)
+    ]
+    cb = spark.createDataFrame(cb_rows, "code int, sub int, cv array<long>")
+
+    dist = _F.aggregate(
+        _F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        _F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(_F.broadcast(cb), "sub").select(
+        id_col,
+        "sub",
+        _F.struct(dist.alias("d"), _F.col("code").alias("c")).alias("__dc"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(_F.min("__dc").alias("__best"))
+    return best.select(
+        id_col,
+        "sub",
+        _F.col("__best.c").alias("code"),
+        _F.col("__best.d").alias("dist_sq"),
+    )

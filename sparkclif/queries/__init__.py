@@ -49,8 +49,9 @@ additions i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats /
 i_dedup_incremental (group_i_r4c), i_tokenizer_pair_counts /
 i_sample_pps / i_sim_sparse_pairs / i_cluster_kmeans (group_i_r4d),
 e_funnel_steps / d_agg_retention / e_session_transitions
-(group_events), and h_stream_late (watermark late-data drop) —
-exact-oracle, locally hash-green, first driver row due round 5.
+(group_events), h_stream_late (watermark late-data drop), and
+i_embed_pq (PQ encode) — exact-oracle, locally hash-green, first
+driver row due round 5.
 """
 
 from sparkclif.queries import (  # noqa: F401

@@ -244,3 +244,53 @@ def i_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(table(spark, sf_dir, "embeddings"))
     return kmeans_exact(emb, k=8, n_updates=2)
+
+
+@register(
+    "i_embed_pq",
+    # cache_plan=False: plan build collects the md5-chosen codebook.
+    cache_plan=False,
+    # Exact restatement: 16 md5-ordered seed vectors donate per-
+    # subspace codewords; one subspace join + (dist, code) argmin via
+    # QUALIFY; integer basis throughout.
+    oracle=r"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, qv
+        FROM (SELECT vec_id, qv, md5('pq|' || vec_id::VARCHAR) AS h
+              FROM q ORDER BY h, vec_id LIMIT 16)
+    ),
+    subs AS (
+        SELECT vec_id, CAST(s.i AS INT) AS sub,
+               qv[s.i * 8 + 1 : s.i * 8 + 8] AS sv
+        FROM q CROSS JOIN (SELECT unnest(range(8)) AS i) s
+    ),
+    cb AS (
+        SELECT CAST(code AS INT) AS code, CAST(s.i AS INT) AS sub,
+               qv[s.i * 8 + 1 : s.i * 8 + 8] AS cv
+        FROM seeds CROSS JOIN (SELECT unnest(range(8)) AS i) s
+    )
+    SELECT vec_id, sub, code, dist AS dist_sq FROM (
+        SELECT subs.vec_id, subs.sub, cb.code,
+               CAST(list_sum(list_transform(range(1, 9),
+                   j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS BIGINT) AS dist
+        FROM subs JOIN cb USING (sub)
+    ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, code) = 1
+    """,
+)
+def i_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (8 subspaces × 16 codes, exact
+    integer basis, deterministic md5 codebook): 64 floats become 8
+    code bytes + exact residuals — the IVF-PQ compression step. Scan
+    + broadcast codebook + one map-side-combined argmin agg
+    (operators/quantize.py)."""
+    from sparkclif.operators.quantize import pq_encode
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return pq_encode(emb)

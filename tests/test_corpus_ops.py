@@ -378,3 +378,42 @@ def test_sparse_cosine_pairs_model(spark):
     }
     # d2 pairs with nobody (its only surviving term is unique)
     assert not any(2 in p for p in got)
+
+
+def test_pq_encode_numpy_model(spark):
+    """pq_encode == numpy reference: same integer basis, md5-ordered
+    codebook, (dist, code) tiebreak."""
+    import hashlib
+
+    import numpy as np
+
+    from sparkclif.io import table
+    from sparkclif.operators.quantize import pq_encode
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    q = np.floor(
+        np.vstack([np.array(r["embedding"], dtype=np.float32) for r in rows]).astype(
+            np.float64
+        )
+        * 10_000
+    ).astype(np.int64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(f"pq|{ids[i]}".encode()).hexdigest(), ids[i]),
+    )[:16]
+    want = {}
+    for i, vid in enumerate(ids):
+        for sub in range(8):
+            sv = q[i, sub * 8 : (sub + 1) * 8]
+            best = min(
+                (int(((sv - q[order[c], sub * 8 : (sub + 1) * 8]) ** 2).sum()), c)
+                for c in range(16)
+            )
+            want[(vid, sub)] = (best[1], best[0])
+    got = {
+        (r["vec_id"], r["sub"]): (r["code"], r["dist_sq"])
+        for r in pq_encode(emb).collect()
+    }
+    assert got == want
