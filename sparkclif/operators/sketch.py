@@ -1,0 +1,141 @@
+"""Deterministic, engine-portable sketches — Count-Min and
+HyperLogLog built from the shared md5 basis (operators/hashing.py)
+instead of engine-private hash families.
+
+The point: sketches are usually consigned to rows-only checks because
+every engine seeds its own hashes (``approx_count_distinct`` — see
+d_agg_approx). But a sketch is DETERMINISTIC given its hash
+functions; pinning the hash family to portable md5 makes the entire
+register/counter state bit-identical on any engine — the sketch
+itself gets an exact SQL oracle, not just its row count. Mergability
+is inherited for free: both builds are plain aggregations (count /
+max), so partial aggregation IS the sketch merge — the same combine
+that unions per-partition sketches on a 1000-executor cluster.
+
+- Count-Min (Cormode & Muthukrishnan 2005): depth × width counter
+  matrix; row r hashes occurrences to ``md5('cms' || r || '|' || x)``
+  columns. Point estimate = min over rows (not built here — it's a
+  driver-side lookup against the matrix).
+- HyperLogLog (Flajolet et al. 2007): 2^p registers, register =
+  max over elements of rho(hash suffix) where rho = leading-zero
+  count + 1. Duplicates cannot move a max, so the build needs NO
+  distinct pass. The estimate's only float work is one literal
+  multiply + one divide of an exact integer — IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkclif.operators.hashing import md5_bits
+
+
+def count_min(
+    items: DataFrame,
+    col: str = "item",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min counter matrix over the (multiset) ``col`` column:
+    one row per (row, col) cell with its count; cells never touched
+    are absent (a dense join with range(depth×width) would add only
+    zeros). ONE map-side-combined aggregation over a depth×width key
+    space — the explode to ``depth`` rows per occurrence collapses to
+    ≤ depth×width rows per map task before the exchange.
+    """
+    cols = F.array(
+        *[
+            md5_bits(
+                F.concat(F.lit(f"cms{r}|"), F.col(col).cast("string")), 25, 8
+            )
+            % width
+            for r in range(depth)
+        ]
+    )
+    return (
+        items.select(F.posexplode(cols).alias("row", "col"))
+        .groupBy(F.col("row").cast("int").alias("row"), F.col("col").cast("int").alias("col"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _hll_rho(v: Column, bits: int) -> Column:
+    """rho = leading zeros of ``v`` in a ``bits``-wide field, + 1.
+    bit-length via length(bin(v)) — identical in Spark and DuckDB;
+    v = 0 (all zeros) maps to bits + 1 by convention."""
+    return F.when(v == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits) + 1 - F.length(F.bin(v))
+    ).cast("int")
+
+
+# 24 suffix bits (md5 hex chars [3, 9)) — the classic 32-bit HLL
+# register geometry (8 index bits + 24 rho bits), so rho <= 25 and the
+# integer harmonic sum Σ 2^(25 - M_j) is bounded by m·2^25: BIGINT-safe
+# even when most registers are untouched (M = 0 -> term 2^25; a 60-bit
+# suffix would put 2^61 per empty register and overflow the sum — hit
+# in practice on the 31-token synthetic vocabulary). Saturation at
+# rho = 25 only matters beyond ~2^25 distinct keys per register-bucket,
+# where a 64-bit-hash HLL++ is the tool anyway.
+HLL_SUFFIX_BITS = 24
+HLL_ALPHA_64 = 0.709  # Flajolet et al. 2007, m = 64
+
+
+def hll_sketch(
+    items: DataFrame,
+    col: str = "item",
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog registers over ``col``: one row per register
+    ``(reg, max_rho)``, all 2^p registers present (untouched ones 0).
+    Build = scan-side hash split + ONE max() aggregation over a
+    2^p key space (map-side combined; the combine IS the HLL merge).
+    """
+    m = 1 << p
+    h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
+    # first 8 bits pick the register (256 % 64 == 0 -> uniform);
+    # the next 24 bits feed rho. NOTE: slice the digest string
+    # directly — md5_bits() would md5 the digest a second time.
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    rho = _hll_rho(
+        F.conv(F.substring(h, 3, 6), 16, 10).cast("long"), HLL_SUFFIX_BITS
+    )
+    touched = (
+        items.select(idx.alias("reg"), rho.alias("__rho"))
+        .groupBy("reg")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+    spark = items.sparkSession
+    all_regs = spark.range(m).select(F.col("id").cast("long").alias("reg"))
+    return all_regs.join(touched, "reg", "left").select(
+        "reg", F.coalesce("max_rho", F.lit(0)).cast("int").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Single-row HLL raw estimate from a register table. The harmonic
+    sum is EXACT integer arithmetic (Σ 2^(24+1-M_j) as BIGINT — every
+    term a power of two ≤ 2^25), and the final α·m²·2^25 / S is one
+    literal multiply + one IEEE division — bit-identical cross-engine.
+    (Raw estimate only: the small-range linear-counting correction is
+    a driver-side branch in practice and is deliberately not applied,
+    so the oracle states one formula.)"""
+    m = 1 << p
+    s = registers.agg(
+        F.sum(
+            # shiftleft() via expr: the DataFrame helper only accepts a
+            # literal int bit count, not a column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SUFFIX_BITS + 1} - max_rho)")
+        )
+        .cast("long")
+        .alias("harm_sum_e25")
+    )
+    est = (
+        F.lit(float(HLL_ALPHA_64))
+        * F.lit(float(m * m))
+        * F.lit(float(1 << (HLL_SUFFIX_BITS + 1)))
+        / F.col("harm_sum_e25").cast("double")
+    )
+    return s.select(
+        "harm_sum_e25", F.round(est, 4).alias("est_distinct")
+    )

@@ -49,9 +49,10 @@ additions i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats /
 i_dedup_incremental (group_i_r4c), i_tokenizer_pair_counts /
 i_sample_pps / i_sim_sparse_pairs / i_cluster_kmeans (group_i_r4d),
 e_funnel_steps / d_agg_retention / e_session_transitions
-(group_events), h_stream_late (watermark late-data drop), and
-i_embed_pq (PQ encode) — exact-oracle, locally hash-green, first
-driver row due round 5.
+(group_events), h_stream_late (watermark late-data drop), i_embed_pq
+(PQ encode), and the portable-md5 sketch family d_agg_countmin /
+d_agg_hll_registers / d_agg_hll_estimate (group_d_sketches) —
+exact-oracle, locally hash-green, first driver row due round 5.
 """
 
 from sparkclif.queries import (  # noqa: F401
@@ -72,6 +73,7 @@ from sparkclif.queries import (  # noqa: F401
     group_i_r4c,
     group_i_r4d,
     group_events,
+    group_d_sketches,
 )
 from sparkclif.registry import REGISTRY
 

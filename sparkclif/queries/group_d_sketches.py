@@ -1,0 +1,122 @@
+"""Deterministic-sketch queries (SURVEY.md §2.2 group D extension,
+round 4): Count-Min and HyperLogLog built on the portable md5 basis —
+the sketch STATE itself is hash-checked against SQL, not just row
+counts (contrast d_agg_approx, whose engine-private hash seeds force
+a rows-only check). See operators/sketch.py for the design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.io import spread, table
+from sparkclif.registry import register
+
+_TOKENS_SQL = r"""
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkclif.operators.text import tokens
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return docs.select(F.explode(tokens("text")).alias("item"))
+
+
+@register(
+    "d_agg_countmin",
+    # Exact restatement: every token occurrence increments one column
+    # per row, column = md5('cms<r>|' || token) low-32-bits % 64.
+    oracle=f"""
+    WITH w AS ({_TOKENS_SQL}),
+    cells AS (
+        SELECT r.i AS row,
+               ('0x' || substr(md5('cms' || r.i || '|' || tok), 25, 8))::UBIGINT
+                   % 64 AS col
+        FROM w CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    )
+    SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+           count(*)::BIGINT AS cnt
+    FROM cells GROUP BY row, col
+    """,
+)
+def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4×64) over token occurrences, portable md5
+    hash rows: the full counter matrix is hash-checked. One map-side-
+    combined aggregation; partial agg IS the sketch merge
+    (operators/sketch.py)."""
+    from sparkclif.operators.sketch import count_min
+
+    return count_min(_tokens(spark, sf_dir), depth=4, width=64)
+
+
+_HLL_T_SQL = f"""
+    w AS ({_TOKENS_SQL}),
+    hx AS (SELECT md5('hll|' || tok) AS h FROM w),
+    t AS (
+        SELECT ('0x' || substr(h, 1, 2))::UBIGINT % 64 AS reg,
+               CASE WHEN ('0x' || substr(h, 3, 6))::UBIGINT = 0 THEN 25
+                    ELSE 25 - length(bin(('0x' || substr(h, 3, 6))::UBIGINT))
+               END AS rho
+        FROM hx
+    ),
+    regs AS (
+        SELECT r.i AS reg, coalesce(u.mx, 0) AS max_rho
+        FROM (SELECT unnest(range(64)) AS i) r
+        LEFT JOIN (SELECT reg, max(rho) AS mx FROM t GROUP BY reg) u
+               ON u.reg = r.i
+    )
+"""
+
+
+@register(
+    "d_agg_hll_registers",
+    # Exact restatement: register = first 8 md5 bits % 64, rho =
+    # 24-bit-suffix leading zeros + 1 (via length(bin(v)) — identical
+    # in both engines), max per register, untouched registers 0.
+    oracle=f"""
+    WITH {_HLL_T_SQL}
+    SELECT CAST(reg AS BIGINT) AS reg, CAST(max_rho AS INT) AS max_rho
+    FROM regs
+    """,
+)
+def d_agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=6, m=64) over tokens, portable
+    md5 basis: all 64 registers hash-checked. Build = scan-side hash
+    split + one max() agg (map-side combine IS the HLL merge); no
+    distinct pass needed — duplicates cannot move a max."""
+    from sparkclif.operators.sketch import hll_sketch
+
+    return hll_sketch(_tokens(spark, sf_dir), p=6)
+
+
+@register(
+    "d_agg_hll_estimate",
+    # Exact restatement: harmonic sum as Σ 2^(25 - M_j) in BIGINT
+    # (every term a power of two), then one literal multiply + one
+    # IEEE division; 33554432 = 2^25.
+    oracle=f"""
+    WITH {_HLL_T_SQL},
+    s AS (
+        SELECT CAST(sum(1::BIGINT << (25 - max_rho)) AS BIGINT)
+                   AS harm_sum_e25
+        FROM regs
+    )
+    SELECT harm_sum_e25,
+           round(0.709 * 4096.0 * 33554432.0 / harm_sum_e25, 4)
+               AS est_distinct
+    FROM s
+    """,
+)
+def d_agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL raw estimate from the register table: exact-integer
+    harmonic sum (powers of two in the 2^25 basis — no float
+    accumulation order anywhere) and a single IEEE multiply/divide,
+    so even the ESTIMATE is hash-checked cross-engine."""
+    from sparkclif.operators.sketch import hll_estimate, hll_sketch
+
+    return hll_estimate(hll_sketch(_tokens(spark, sf_dir), p=6), p=6)

@@ -1,0 +1,97 @@
+"""Deterministic sketches (operators/sketch.py): hashlib-pinned
+register/counter models, the Count-Min overestimate guarantee, and
+HLL estimate accuracy at a cardinality where the raw formula is in
+its calibrated range."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sparkclif.operators.sketch import (
+    HLL_SUFFIX_BITS,
+    count_min,
+    hll_estimate,
+    hll_sketch,
+)
+
+
+def _items(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "item string")
+
+
+def test_count_min_matches_hashlib_model(spark):
+    vals = ["a", "b", "a", "c", "a", "b"]
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min(_items(spark, vals), depth=4, width=64).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for v in vals:
+        for r in range(4):
+            col = int(hashlib.md5(f"cms{r}|{v}".encode()).hexdigest()[24:32], 16) % 64
+            want[(r, col)] = want.get((r, col), 0) + 1
+    assert got == want
+
+
+def test_count_min_point_estimate_never_underestimates(spark):
+    vals = [f"tok{i % 37}" for i in range(500)]
+    cells = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min(_items(spark, vals), depth=4, width=64).collect()
+    }
+    # per-row totals all equal the stream length (each occurrence
+    # lands in exactly one cell per row)
+    for r in range(4):
+        assert sum(c for (rr, _), c in cells.items() if rr == r) == 500
+    # CM guarantee: min over rows >= true count, for every key
+    from collections import Counter
+
+    true = Counter(vals)
+    for v, n in true.items():
+        est = min(
+            cells.get(
+                (r, int(hashlib.md5(f"cms{r}|{v}".encode()).hexdigest()[24:32], 16) % 64),
+                0,
+            )
+            for r in range(4)
+        )
+        assert est >= n, (v, est, n)
+
+
+def test_hll_registers_match_hashlib_model(spark):
+    vals = [f"v{i}" for i in range(200)]
+    got = {
+        r["reg"]: r["max_rho"] for r in hll_sketch(_items(spark, vals)).collect()
+    }
+    want = {reg: 0 for reg in range(64)}
+    for v in vals:
+        h = hashlib.md5(f"hll|{v}".encode()).hexdigest()
+        reg = int(h[0:2], 16) % 64
+        suffix = int(h[2:8], 16)
+        rho = (
+            HLL_SUFFIX_BITS + 1
+            if suffix == 0
+            else HLL_SUFFIX_BITS + 1 - suffix.bit_length()
+        )
+        want[reg] = max(want[reg], rho)
+    assert got == want
+
+
+def test_hll_estimate_accuracy_in_range(spark):
+    """m=64 raw HLL: relative error ~1.04/sqrt(64) = 13%; check a
+    20k-cardinality stream (with duplicates) lands within 3 sigma."""
+    ids = spark.range(60_000).select(
+        (F.col("id") % 20_000).cast("string").alias("item")
+    )
+    est = hll_estimate(hll_sketch(ids)).collect()[0]["est_distinct"]
+    assert abs(est - 20_000) / 20_000 < 0.39, est
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = hll_sketch(_items(spark, [f"x{i}" for i in range(50)])).collect()
+    tripled = hll_sketch(
+        _items(spark, [f"x{i}" for i in range(50)] * 3)
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, tripled))
