@@ -115,3 +115,144 @@ def test_pivot_unpivot_roundtrip(spark, cells):
         (s, p): cells.get((s, p), STATUS_DEFAULT) for s in SITES for p in projects
     }
     assert got == want
+
+
+# ---- round-4 sequence / dedup / sampling operators ------------------
+
+_ev_types = st.sampled_from(["view", "click", "purchase", "error"])
+_funnel_event = st.tuples(
+    st.integers(min_value=1, max_value=3),      # user
+    st.integers(min_value=0, max_value=5000),   # seconds offset
+    _ev_types,
+)
+
+
+@given(log=st.lists(_funnel_event, min_size=0, max_size=16))
+@_settings
+def test_funnel_fold_matches_python_model(spark, log):
+    """The JVM fold == a 10-line Python state machine over the sorted
+    stream, for random (user, ts, type) logs including equal
+    timestamps (the strict-after rule) and window cutoffs."""
+    from sparkclif.operators.sequence import funnel_stages
+
+    steps = ["view", "click", "purchase"]
+    window_us = 1200 * 1_000_000  # 20 min
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), ty, i)
+        for i, (u, s, ty) in enumerate(log)
+    ]
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+
+    # model: fold in (ts, event_id) order; strictly-after + window
+    model: dict[int, list] = {}
+    base_us = int(t0.timestamp() * 1_000_000)
+    for u, ts, ty, eid in sorted(rows, key=lambda r: (r[1], r[3])):
+        if ty not in steps:
+            continue
+        t_us = int(ts.timestamp() * 1_000_000)
+        stage, times = model.setdefault(u, [0, [None, None, None]])
+        s_idx = steps.index(ty)
+        ok = s_idx == stage and stage < 3
+        if ok and stage > 0:
+            ok = t_us > times[stage - 1] and t_us <= times[0] + window_us
+        if ok:
+            times[stage] = t_us
+            model[u][0] = stage + 1
+    got = {
+        r["user_id"]: (r["stage"], r["t0_us"], r["t1_us"], r["t2_us"])
+        for r in funnel_stages(df, steps, window_us=window_us).collect()
+    }
+    want = {
+        u: (stage, times[0], times[1], times[2])
+        for u, (stage, times) in model.items()
+    }
+    assert got == want
+
+
+_batch_doc = st.tuples(
+    st.integers(min_value=0, max_value=20),
+    st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+)
+
+
+@given(
+    batch=st.lists(_batch_doc, min_size=0, max_size=10, unique_by=lambda d: d[0]),
+    store_texts=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]), max_size=4
+    ),
+)
+@_settings
+def test_incremental_dedup_matches_set_model(spark, batch, store_texts):
+    """dedup_incremental == the obvious two-set Python model: store
+    membership wins, then first-in-batch by min id, else kept."""
+    import hashlib as _hl
+
+    from sparkclif.operators.dedup import dedup_incremental, fingerprint_sha256
+
+    bdf = (
+        spark.createDataFrame(batch, "doc_id long, text string")
+        if batch
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    sdf = (
+        spark.createDataFrame([(t,) for t in store_texts], "text string")
+        if store_texts
+        else spark.createDataFrame([], "text string")
+    ).select(fingerprint_sha256("text").alias("content_hash"))
+
+    def _h(t):
+        return _hl.sha256(t.encode()).hexdigest()
+
+    store = {_h(t) for t in store_texts}
+    first = {}
+    for i, t in sorted(batch):
+        first.setdefault(_h(t), i)
+    want = {}
+    for i, t in sorted(batch):
+        h = _h(t)
+        want[i] = (
+            "dup_store" if h in store else ("kept" if first[h] == i else "dup_batch")
+        )
+    got = {
+        r["doc_id"]: r["status"] for r in dedup_incremental(bdf, sdf).collect()
+    }
+    assert got == want
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=0, max_size=12
+    )
+)
+@_settings
+def test_pps_selection_matches_python_model(spark, weights):
+    """pps_sample_topk's selected SET and order == the hashlib model
+    under arbitrary weights (including zeros -> clamp to 1)."""
+    import hashlib as _hl
+
+    from sparkclif.operators.sampling import pps_sample_topk
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, w long")
+        if rows
+        else spark.createDataFrame([], "doc_id long, w long")
+    )
+    k = 5
+    model = sorted(
+        (
+            (int(_hl.md5(f"pps|{i}".encode()).hexdigest()[17:24], 16) + 1)
+            / max(w, 1),
+            i,
+        )
+        for i, w in rows
+    )[:k]
+    want = [i for _, i in model]
+    got = [r["doc_id"] for r in pps_sample_topk(df, "doc_id", "w", k=k).collect()]
+    assert got == want
