@@ -139,3 +139,49 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     return s.select(
         "harm_sum_e25", F.round(est, 4).alias("est_distinct")
     )
+
+
+def bloom_filter(
+    items: DataFrame,
+    col: str = "item",
+    m_bits: int = 512,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) over the distinct values of ``col``,
+    packed into 32-bit words: one row per word ``(word, bits_value)``,
+    all ``m_bits/32`` words present (untouched 0). Words are 32-bit —
+    packing bit 63 of a 64-bit word as 2^63 would overflow/wrap signed
+    BIGINT differently per engine; 2^31 stays exact everywhere.
+
+    Build: scan-side k-hash explode -> DISTINCT (word, bit) — the
+    dedup that makes the pack a plain sum — -> per-word sum of exact
+    powers of two. Both shuffles are over the tiny (word, bit) /
+    (word) key spaces with map-side combine; like the other sketches,
+    partial aggregation is the filter union.
+    """
+    n_words = m_bits // 32
+    bits = F.array(
+        *[
+            md5_bits(
+                F.concat(F.lit(f"bloom{j}|"), F.col(col).cast("string")), 25, 8
+            )
+            % m_bits
+            for j in range(k)
+        ]
+    )
+    wb = (
+        items.select(F.explode(bits).alias("bit"))
+        .select(
+            (F.col("bit") / 32).cast("long").alias("word"),
+            (F.col("bit") % 32).cast("int").alias("__b"),
+        )
+        .dropDuplicates(["word", "__b"])
+    )
+    packed = wb.groupBy("word").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), __b)")).cast("long").alias("bits_value")
+    )
+    spark = items.sparkSession
+    all_words = spark.range(n_words).select(F.col("id").cast("long").alias("word"))
+    return all_words.join(packed, "word", "left").select(
+        "word", F.coalesce("bits_value", F.lit(0)).cast("long").alias("bits_value")
+    )

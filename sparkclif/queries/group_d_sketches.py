@@ -120,3 +120,40 @@ def d_agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkclif.operators.sketch import hll_estimate, hll_sketch
 
     return hll_estimate(hll_sketch(_tokens(spark, sf_dir), p=6), p=6)
+
+
+@register(
+    "d_agg_bloom",
+    # Exact restatement: 4 md5 hash rows set bits in a 512-bit filter;
+    # DISTINCT (word, bit) then per-word sums of exact powers of two,
+    # packed as 16 x 32-bit words (bit 63 of a 64-bit word would
+    # overflow signed BIGINT packing).
+    oracle=f"""
+    WITH w AS ({_TOKENS_SQL}),
+    bits AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5('bloom' || j.i || '|' || tok), 25, 8))::UBIGINT
+                   % 512) // 32 AS word,
+               (('0x' || substr(md5('bloom' || j.i || '|' || tok), 25, 8))::UBIGINT
+                   % 512) % 32 AS b
+        FROM w CROSS JOIN (SELECT unnest(range(4)) AS i) j
+    ),
+    packed AS (
+        SELECT word, CAST(sum(1::BIGINT << CAST(b AS INT)) AS BIGINT) AS bv
+        FROM bits GROUP BY word
+    )
+    SELECT CAST(r.i AS BIGINT) AS word,
+           CAST(coalesce(p.bv, 0) AS BIGINT) AS bits_value
+    FROM (SELECT unnest(range(16)) AS i) r
+    LEFT JOIN packed p ON p.word = r.i
+    """,
+)
+def d_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (512 bits, 4 portable md5 hash rows) over the
+    token vocabulary, packed as 16 × 32-bit words — the third classic
+    sketch with hash-checked STATE. Distinct-bit dedup then per-word
+    power-of-two sums; partial aggregation is the filter union
+    (operators/sketch.py)."""
+    from sparkclif.operators.sketch import bloom_filter
+
+    return bloom_filter(_tokens(spark, sf_dir), m_bits=512, k=4)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from sparkclif.operators.sketch import (
     HLL_SUFFIX_BITS,
+    bloom_filter,
     count_min,
     hll_estimate,
     hll_sketch,
@@ -95,3 +96,25 @@ def test_hll_duplicates_do_not_move_registers(spark):
         _items(spark, [f"x{i}" for i in range(50)] * 3)
     ).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, tripled))
+
+
+def test_bloom_matches_hashlib_model_and_membership(spark):
+    vals = [f"tok{i}" for i in range(40)]
+    got = {
+        r["word"]: r["bits_value"]
+        for r in bloom_filter(_items(spark, vals * 2), m_bits=512, k=4).collect()
+    }
+    want = {w: 0 for w in range(16)}
+    bit_set = set()
+    for v in set(vals):
+        for j in range(4):
+            b = int(hashlib.md5(f"bloom{j}|{v}".encode()).hexdigest()[24:32], 16) % 512
+            bit_set.add(b)
+    for b in bit_set:
+        want[b // 32] |= 1 << (b % 32)
+    assert got == want
+    # no false negatives: every member's bits are all set
+    for v in vals:
+        for j in range(4):
+            b = int(hashlib.md5(f"bloom{j}|{v}".encode()).hexdigest()[24:32], 16) % 512
+            assert want[b // 32] >> (b % 32) & 1
