@@ -73,16 +73,15 @@ def dim_stats(emb, vec_col: str = "embedding"):
     (only) to ``decimal(38, 0)`` at that scale; the bench keeps BIGINT
     so the DuckDB hash compare sees identical dtypes.
     """
-    from pyspark.sql import functions as _F
 
-    q = int_basis(_F.col(vec_col))
-    exploded = emb.select(_F.posexplode(q).alias("dim", "q"))
-    return exploded.groupBy(_F.col("dim").cast("long").alias("dim")).agg(
-        _F.count("*").cast("long").alias("n"),
-        _F.sum("q").cast("long").alias("sum_q"),
-        _F.sum(_F.col("q") * _F.col("q")).cast("long").alias("sumsq_q"),
-        _F.min("q").cast("long").alias("min_q"),
-        _F.max("q").cast("long").alias("max_q"),
+    q = int_basis(F.col(vec_col))
+    exploded = emb.select(F.posexplode(q).alias("dim", "q"))
+    return exploded.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sumsq_q"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
     )
 
 
@@ -167,26 +166,24 @@ def pq_encode(
     100 TB: scan + broadcast + one map-side-combined agg — no
     all-pairs anything.
     """
-    from pyspark.sql import functions as _F
-
-    q_df = emb.select(_F.col(id_col), int_basis(_F.col(vec_col)).alias("qv"))
+    q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
     subs = q_df.select(
         id_col,
-        _F.posexplode(
-            _F.transform(
-                _F.sequence(_F.lit(0), _F.lit(n_sub - 1)),
-                lambda i: _F.slice("qv", (i * sub_dim + 1).cast("int"), sub_dim),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda i: F.slice("qv", (i * sub_dim + 1).cast("int"), sub_dim),
             )
         ).alias("sub", "sv"),
-    ).select(id_col, _F.col("sub").cast("int").alias("sub"), "sv")
+    ).select(id_col, F.col("sub").cast("int").alias("sub"), "sv")
 
     seeds = (
         q_df.select(
             "qv",
-            _F.md5(
-                _F.concat(_F.lit("pq|"), _F.col(id_col).cast("string"))
+            F.md5(
+                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
             ).alias("__h"),
-            _F.col(id_col).alias("__sid"),
+            F.col(id_col).alias("__sid"),
         )
         .orderBy("__h", "__sid")
         .limit(n_codes)
@@ -200,20 +197,20 @@ def pq_encode(
     ]
     cb = spark.createDataFrame(cb_rows, "code int, sub int, cv array<long>")
 
-    dist = _F.aggregate(
-        _F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        _F.lit(0).cast("long"),
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = subs.join(_F.broadcast(cb), "sub").select(
+    scored = subs.join(F.broadcast(cb), "sub").select(
         id_col,
         "sub",
-        _F.struct(dist.alias("d"), _F.col("code").alias("c")).alias("__dc"),
+        F.struct(dist.alias("d"), F.col("code").alias("c")).alias("__dc"),
     )
-    best = scored.groupBy(id_col, "sub").agg(_F.min("__dc").alias("__best"))
+    best = scored.groupBy(id_col, "sub").agg(F.min("__dc").alias("__best"))
     return best.select(
         id_col,
         "sub",
-        _F.col("__best.c").alias("code"),
-        _F.col("__best.d").alias("dist_sq"),
+        F.col("__best.c").alias("code"),
+        F.col("__best.d").alias("dist_sq"),
     )

@@ -88,10 +88,15 @@ def pps_sample_topk(
     clamping keeps every row sampleable, and the NULL coalesce
     matters cross-engine: Spark's greatest SKIPS nulls while SQL
     engines differ, so the clamp must not rely on greatest's null
-    rule).
+    rule). NULL-KEY rows are dropped: md5(NULL) is NULL, and a NULL
+    priority would sort NULLS FIRST in Spark but NULLS LAST in most
+    SQL engines — a silent one-slot divergence; a row with no
+    identity has no deterministic sample fate, so it is excluded
+    explicitly rather than by engine default.
     """
     from sparkclif.operators.hashing import md5_bits
 
+    df = df.where(F.col(key_col).isNotNull())
     u = (
         md5_bits(
             F.concat(F.lit("pps|"), F.col(key_col).cast("string")), 18, 7

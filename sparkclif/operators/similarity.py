@@ -707,8 +707,9 @@ def sparse_cosine_pairs(
     df_cap·N but the HEAVIEST survivors still skew the join — both
     sides hash-partition on ``term`` and AQE's skew split handles the
     residue. The df relation itself is vocabulary-sized with a tiny
-    over-cap subset — computed with one map-side-combined aggregation
-    (per-doc scan-side distinct, no countDistinct expand).
+    over-cap subset — derived from the tf relation (one row per
+    (doc, term) ⇒ a plain row count per term IS df; no second corpus
+    scan, no countDistinct expand).
 
     Exactness: tf and the pair dot product are BIGINT; norms are
     ``sqrt`` of BIGINT sums-of-squares. sqrt/*// are correctly-rounded
@@ -732,9 +733,13 @@ def sparse_cosine_pairs(
     tf = base.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
 
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
+    # df derives FROM the tf relation (one row per (doc, term), so
+    # counting rows per term IS document frequency) — a vocabulary-
+    # sized re-aggregation instead of a second full corpus scan +
+    # tokenize pass (the same one-fewer-pass move as bigram_lm_score's
+    # c1-from-c12)
     kept_terms = (
-        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-        .groupBy("tok")
+        tf.groupBy("tok")
         .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("__df") * 100 <= F.col("__n_docs") * df_cap_pct)

@@ -302,9 +302,11 @@ def h_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact restatement of the late-data contract: the 200 displaced
     # rows (the stream's oldest, by (ts, event_id)) arrive in the last
     # micro-batch with the watermark near stream end -> DROPPED before
-    # aggregation; append mode emits a window only after the watermark
-    # passes its end, so windows ending after max(ts) - 10 min are
-    # never emitted. Both effects are pure functions of the input.
+    # aggregation; append mode emits a window once the watermark
+    # REACHES its end (non-strict — measured: a final watermark landing
+    # exactly ON a window end emits that window), so windows ending
+    # after max(ts) - 10 min are never emitted. Both effects are pure
+    # functions of the input.
     oracle="""
     WITH late AS (
         SELECT event_id FROM events ORDER BY ts, event_id LIMIT 200
@@ -314,7 +316,7 @@ def h_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n
     FROM events, wm
     WHERE event_id NOT IN (SELECT event_id FROM late)
-      AND date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
     GROUP BY 1, 2
     """,
 )

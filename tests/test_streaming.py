@@ -276,3 +276,52 @@ def test_window_agg_drops_late_and_holds_open_windows(spark, tmp_path):
     # row dropped, no duplicate emission; the 15:00 window never
     # closes — stream-end watermark 15:10 < its 16:00 end)
     assert got == {(base, 2)}, got
+
+
+def test_window_emits_when_watermark_equals_window_end(spark, tmp_path):
+    """Emission boundary, pinned by measurement: a final watermark
+    landing EXACTLY on a window's end emits that window (non-strict
+    <=). h_stream_late's oracle uses <= accordingly — a strict <
+    would silently disagree the day max(ts) - delay coincides with an
+    hour boundary."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.streaming.late import stream_window_counts
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(path, rows, mtime):
+        tbl = pa.Table.from_pydict(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    src = str(tmp_path / "wm_eq_src")
+    os.makedirs(src)
+    # last event at 13:10:00.000000 exactly -> final wm = 13:00:00
+    # = the [12:00, 13:00) window's end
+    write_chunk(f"{src}/c0.parquet", [(1, base, "a")], 1_700_000_000)
+    write_chunk(
+        f"{src}/c1.parquet",
+        [(2, base + dt.timedelta(minutes=70), "a")],
+        1_700_000_001,
+    )
+    write_chunk(
+        f"{src}/c2.parquet",
+        [(3, base + dt.timedelta(minutes=70), "a")],
+        1_700_000_002,
+    )
+    out = stream_window_counts(
+        spark, src, "event_id long, ts timestamp, event_type string",
+        watermark="10 minutes", window="1 hour",
+    ).collect()
+    assert sorted((r["window_start"], r["n"]) for r in out) == [(base, 1)]
