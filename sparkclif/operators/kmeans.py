@@ -31,11 +31,11 @@ centroids are k×D BOUNDED METADATA — they ride the plan as literals
 a crossJoin'd centroid relation, same plan) — and the update is one
 map-side-combined aggregation producing k×D rows. The only per-
 iteration driver traffic is those k×D longs, exactly like
-pack_sequences' per-partition offsets. Each iteration re-reads the
-input (cache/checkpoint the quantized projection on a cluster; the
-assignment is a pure scan-side expression either way); lineage stays
-shallow because every iteration restarts from the scan plus fresh
-literals, so no localCheckpoint is needed (contrast
+pack_sequences' per-partition offsets. The quantized projection is
+materialized once (localCheckpoint locally; .persist() on a cluster)
+so the n_updates + 1 passes don't re-read and re-quantize the input;
+lineage stays shallow regardless, because every iteration restarts
+from that projection plus fresh literals (contrast
 graph.connected_components, whose lineage deepens per round).
 """
 
@@ -103,6 +103,11 @@ def kmeans_exact(
     centroids.
     """
     q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
+    # materialize the quantized projection ONCE: every pass (seed scan,
+    # n_updates update jobs, final assignment) would otherwise re-read
+    # and re-quantize the input — localCheckpoint is the local-mode
+    # stand-in for the cluster .persist() the docstring prescribes
+    q_df = q_df.localCheckpoint(eager=True)
 
     # deterministic portable init: k smallest (md5('km|'||id), id)
     seed_rows = (
