@@ -157,3 +157,90 @@ def d_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkclif.operators.sketch import bloom_filter
 
     return bloom_filter(_tokens(spark, sf_dir), m_bits=512, k=4)
+
+
+@register(
+    "d_agg_countmin_topk",
+    # Exact restatement: true top-10 tokens by (count desc, tok), each
+    # joined with its CM point estimate — min over the 4 rows of the
+    # cell its hash lands in. The CM guarantee (est >= true) is
+    # thereby hash-checked, not just asserted in tests.
+    oracle=f"""
+    WITH w AS ({_TOKENS_SQL}),
+    cells AS (
+        SELECT r.i AS row,
+               ('0x' || substr(md5('cms' || r.i || '|' || tok), 25, 8))::UBIGINT
+                   % 64 AS col,
+               count(*) AS cnt
+        FROM w CROSS JOIN (SELECT unnest(range(4)) AS i) r
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT tok, count(*)::BIGINT AS true_cnt,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+        FROM w GROUP BY tok
+        QUALIFY rank <= 10
+    ),
+    probes AS (
+        SELECT t.tok, t.true_cnt, t.rank, r.i AS row,
+               ('0x' || substr(md5('cms' || r.i || '|' || t.tok), 25, 8))::UBIGINT
+                   % 64 AS col
+        FROM topk t CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    )
+    SELECT p.tok, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_est,
+           CAST(p.rank AS INT) AS rank
+    FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+    GROUP BY p.tok, p.true_cnt, p.rank
+    """,
+)
+def d_agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min matrix being USED: true top-10 heavy hitters,
+    each with its CM point estimate (min over the 4 hash rows). The
+    probe side is 40 rows — it broadcasts onto the 256-cell matrix;
+    at 100 TB the matrix build is the only stream-sized work and the
+    estimate lookup costs nothing. The CM overestimate guarantee
+    (cms_est >= true_cnt) is hash-checked by construction."""
+    from sparkclif.operators.hashing import md5_bits
+    from sparkclif.operators.sketch import count_min
+
+    items = _tokens(spark, sf_dir)
+    cms = count_min(items, depth=4, width=64)
+    true_counts = items.groupBy(F.col("item").alias("tok")).agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    from pyspark.sql import Window
+
+    topk = (
+        true_counts.orderBy(F.desc("true_cnt"), "tok")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("true_cnt"), F.col("tok")))
+            .cast("int"),
+        )
+    )
+    probes = topk.select(
+        "tok",
+        "true_cnt",
+        "rank",
+        F.posexplode(
+            F.array(
+                *[
+                    md5_bits(F.concat(F.lit(f"cms{r}|"), F.col("tok")), 25, 8) % 64
+                    for r in range(4)
+                ]
+            )
+        ).alias("row", "col"),
+    ).select(
+        "tok", "true_cnt", "rank",
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("int").alias("col"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cms, ["row", "col"])
+        .groupBy("tok", "true_cnt", "rank")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .select("tok", "true_cnt", "cms_est", "rank")
+    )
