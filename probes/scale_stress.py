@@ -229,6 +229,17 @@ def main() -> None:
         lambda: sparse_cosine_pairs(docs_k, tau=0.5, df_cap_pct=20).count(),
     )
 
+    # --- sketch builds at kx (cloned docs: same vocabulary, k-fold ----
+    # occurrences; CMS counts scale k-fold but the agg output is the
+    # fixed 256-cell matrix, HLL registers are INVARIANT to clones —
+    # both walls must track the scan, the partial-agg-is-the-merge law)
+    from sparkclif.operators.sketch import count_min, hll_sketch
+    from sparkclif.operators.text import tokens as _tokens
+
+    toks_k = docs_k.select(F.explode(_tokens("text")).alias("item"))
+    timed(f"count_min_{k}x_cloned", lambda: count_min(toks_k).count())
+    timed(f"hll_sketch_{k}x_cloned", lambda: hll_sketch(toks_k).count())
+
     # --- funnel at kx (users SHIFTED: per-user event counts constant, --
     # so the per-user fold is constant work and wall must track the
     # scan + the one groupBy shuffle)
