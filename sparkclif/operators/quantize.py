@@ -165,6 +165,11 @@ def pq_encode(
     (n_sub × n_codes rows of sub_dim longs) is a broadcast join. At
     100 TB: scan + broadcast + one map-side-combined agg — no
     all-pairs anything.
+
+    Precondition: non-null vectors of exactly ``n_sub × sub_dim``
+    dims (a short vector's trailing subspace slices come out ragged
+    and zip_with pads NULL into the distances). Fewer than
+    ``n_codes`` input rows simply yields a smaller codebook.
     """
     q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
     subs = q_df.select(

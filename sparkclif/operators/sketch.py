@@ -21,6 +21,12 @@ that unions per-partition sketches on a 1000-executor cluster.
   count + 1. Duplicates cannot move a max, so the build needs NO
   distinct pass. The estimate's only float work is one literal
   multiply + one divide of an exact integer — IEEE-deterministic.
+
+NULL items: md5(NULL) is NULL, so NULL rows fall out of every build
+(HLL/bloom: the dense-register left join drops the NULL group; CMS:
+a NULL cell key would surface as a (row, NULL) cell — callers feed
+non-null item columns, which explode()-produced token streams
+guarantee by construction).
 """
 
 from __future__ import annotations

@@ -29,12 +29,13 @@ i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
 i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
 a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
 e_win_distribution, d_agg_histogram, d_agg_mode,
-i_dedup_substring, h_stream_join, e_win_gapfill — 98 registered vs
-73 in round 3) take window slots from round-3-green, untouched
+i_dedup_substring, h_stream_join, e_win_gapfill — and with the
+late-session batches below, 116 registered vs 73 in round 3) take
+window slots from round-3-green, untouched
 queries — new queries must get a first driver CORRECTNESS row
 (VERDICT r3 finding 1); the displaced keep their r3 rows.
 
-Outside the window (48): d_agg_approx (rows-only — its row is a
+Outside the window (66): d_agg_approx (rows-only — its row is a
 bare count, displaced for the hash-checked e_win_gapfill), the group-I round-3 text/dedup/similarity
 queries, several C joins, D aggregates, A scans/sinks, H windowed
 aggs, and the J UDF queries — all driver-green in round 3 and
