@@ -22,13 +22,13 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    from sparkclif.plans import formatted_plan, plan_metrics
     from sparkclif.registry import all_queries
     from sparkclif.session import get_spark
 
@@ -43,23 +43,7 @@ def main() -> None:
                 "skipped": "impure build (sink/stream/iterative) — plan built at run time"
             }
             continue
-        df = spec.fn(spark, sf_dir)
-        plan = spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        out[name] = {
-            "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
-            "python_eval": bool(re.search(r"BatchEvalPython|ArrowEvalPython", plan)),
-            "arrow_pandas": bool(
-                re.search(r"MapInPandas|FlatMapGroupsInPandas|AggregateInPandas", plan)
-            ),
-            "bnlj": len(re.findall(r"\) BroadcastNestedLoopJoin", plan)),
-            "cartesian": "CartesianProduct" in plan,
-            "take_ordered": "TakeOrderedAndProject" in plan,
-            "sort_merge_joins": len(re.findall(r"\) SortMergeJoin", plan)),
-            "broadcast_joins": len(re.findall(r"\) BroadcastHashJoin", plan)),
-            "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
-        }
+        out[name] = plan_metrics(formatted_plan(spec.fn(spark, sf_dir)))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)

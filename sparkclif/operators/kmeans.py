@@ -85,6 +85,7 @@ def kmeans_exact(
     n_updates: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Run Lloyd's k-means: deterministic init, ``n_updates`` integer
     centroid updates, and return the final assignment
@@ -100,14 +101,23 @@ def kmeans_exact(
     Preconditions: non-null fixed-dimension vectors (a NULL or ragged
     vector propagates NULL distances) and unique ``id_col``. If the
     input has fewer than ``k`` rows the run proceeds with that many
-    centroids.
+    centroids. With ``materialize='persist'`` the returned assignment
+    still reads the persisted projection — the caller owns unpersist
+    after its terminal action.
     """
     q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
     # materialize the quantized projection ONCE: every pass (seed scan,
     # n_updates update jobs, final assignment) would otherwise re-read
-    # and re-quantize the input — localCheckpoint is the local-mode
-    # stand-in for the cluster .persist() the docstring prescribes
-    q_df = q_df.localCheckpoint(eager=True)
+    # and re-quantize the input. 'checkpoint' (localCheckpoint) is the
+    # local-mode default — fastest, but its blocks are UNRECOVERABLE
+    # on executor loss; on a cluster pass materialize='persist'
+    # (lineage-recoverable, recomputes lost blocks) or None to skip.
+    if materialize == "checkpoint":
+        q_df = q_df.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        q_df = q_df.persist()
+    elif materialize is not None:
+        raise ValueError(f"materialize must be 'checkpoint'|'persist'|None, got {materialize!r}")
 
     # deterministic portable init: k smallest (md5('km|'||id), id)
     seed_rows = (

@@ -42,6 +42,7 @@ def count_min(
     col: str = "item",
     depth: int = 4,
     width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min counter matrix over the (multiset) ``col`` column:
     one row per (row, col) cell with its count; cells never touched
@@ -49,6 +50,13 @@ def count_min(
     zeros). ONE map-side-combined aggregation over a depth×width key
     space — the explode to ``depth`` rows per occurrence collapses to
     ≤ depth×width rows per map task before the exchange.
+
+    ``weight_col`` feeds PRE-AGGREGATED counts: pass a (value, count)
+    relation instead of raw occurrences and each value contributes
+    ``weight_col`` to its cells — identical matrix, but the hash/
+    explode work runs over the vocabulary, not the stream (use this
+    when a per-value count table already exists; see
+    d_agg_countmin_topk).
     """
     cols = F.array(
         *[
@@ -59,10 +67,11 @@ def count_min(
             for r in range(depth)
         ]
     )
+    w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        items.select(F.posexplode(cols).alias("row", "col"))
+        items.select(w.alias("__w"), F.posexplode(cols).alias("row", "col"))
         .groupBy(F.col("row").cast("int").alias("row"), F.col("col").cast("int").alias("col"))
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
     )
 
 

@@ -195,19 +195,22 @@ def d_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min matrix being USED: true top-10 heavy hitters,
-    each with its CM point estimate (min over the 4 hash rows). The
-    probe side is 40 rows — it broadcasts onto the 256-cell matrix;
-    at 100 TB the matrix build is the only stream-sized work and the
-    estimate lookup costs nothing. The CM overestimate guarantee
-    (cms_est >= true_cnt) is hash-checked by construction."""
+    each with its CM point estimate (min over the 4 hash rows). ONE
+    corpus pass: the (token -> count) aggregation feeds BOTH the
+    top-k and the CM build (count_min's weight_col path — the matrix
+    from pre-aggregated counts is identical, but the hash/explode
+    work runs over the vocabulary, not the stream). The probe side is
+    40 rows — it broadcasts onto the 256-cell matrix. The CM
+    overestimate guarantee (cms_est >= true_cnt) is hash-checked by
+    construction."""
     from sparkclif.operators.hashing import md5_bits
     from sparkclif.operators.sketch import count_min
 
     items = _tokens(spark, sf_dir)
-    cms = count_min(items, depth=4, width=64)
     true_counts = items.groupBy(F.col("item").alias("tok")).agg(
         F.count("*").cast("long").alias("true_cnt")
     )
+    cms = count_min(true_counts, col="tok", depth=4, width=64, weight_col="true_cnt")
     from pyspark.sql import Window
 
     topk = (

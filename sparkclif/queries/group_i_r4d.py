@@ -83,8 +83,11 @@ def i_tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_chars AS BIGINT) AS weight,
                (('0x' || substr(md5('pps|' || doc_id::VARCHAR), 18, 7))::UBIGINT
                    + 1)::DOUBLE
-                   / greatest(n_chars, 1)::DOUBLE AS pri
+                   / greatest(coalesce(n_chars, 1), 1)::DOUBLE AS pri
         FROM documents
+        -- mirrors the operator's explicit NULL-key exclusion (a NULL
+        -- priority would otherwise rank by engine default NULL order)
+        WHERE doc_id IS NOT NULL
     )
     SELECT doc_id, weight, round(pri, 4) AS priority
     FROM p ORDER BY pri, doc_id LIMIT 50

@@ -18,10 +18,9 @@ from sparkclif.registry import all_queries
 
 
 def formatted_plan(spark, name, sf_dir):
-    df = all_queries()[name].fn(spark, sf_dir)
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    from sparkclif.plans import formatted_plan as _fp
+
+    return _fp(all_queries()[name].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_and_pruning(spark, sf_dir):

@@ -151,7 +151,6 @@ def test_funnel_fold_matches_python_model(spark, log):
 
     # model: fold in (ts, event_id) order; strictly-after + window
     model: dict[int, list] = {}
-    base_us = int(t0.timestamp() * 1_000_000)
     for u, ts, ty, eid in sorted(rows, key=lambda r: (r[1], r[3])):
         if ty not in steps:
             continue

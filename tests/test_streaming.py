@@ -6,6 +6,34 @@ from __future__ import annotations
 
 from sparkclif.registry import all_queries
 
+# Shared crafted-chunk writer for the watermark tests: one parquet
+# file per micro-batch with a controlled mtime (the file source orders
+# batches by mtime). ``spec`` maps column name -> (pyarrow type,
+# row-tuple index).
+
+
+def _write_chunk_file(path, rows, mtime, spec):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pydict(
+        {name: pa.array([r[i] for r in rows], typ) for name, (typ, i) in spec.items()}
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _spec_event3():
+    import pyarrow as pa
+
+    return {
+        "event_id": (pa.int64(), 0),
+        "ts": (pa.timestamp("us"), 1),
+        "event_type": (pa.string(), 2),
+    }
+
 
 def test_stream_upsert_matches_batch_dedup(spark, sf_dir):
     qs = all_queries()
@@ -47,17 +75,13 @@ def test_watermark_drops_late_events(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
 
     def write_chunk(path, rows, mtime):
-        tbl = pa.Table.from_pydict(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "user_id": pa.array([r[1] for r in rows], pa.int64()),
-                "event_type": pa.array([r[2] for r in rows], pa.string()),
-                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
-                "value": pa.array([r[4] for r in rows], pa.float64()),
-            }
-        )
-        pq.write_table(tbl, path)
-        os.utime(path, (mtime, mtime))
+        _write_chunk_file(path, rows, mtime, {
+            "event_id": (pa.int64(), 0),
+            "user_id": (pa.int64(), 1),
+            "event_type": (pa.string(), 2),
+            "ts": (pa.timestamp("us"), 3),
+            "value": (pa.float64(), 4),
+        })
 
     src = str(tmp_path / "late_src")
     os.makedirs(src)
@@ -230,15 +254,7 @@ def test_window_agg_drops_late_and_holds_open_windows(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
 
     def write_chunk(path, rows, mtime):
-        tbl = pa.Table.from_pydict(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-                "event_type": pa.array([r[2] for r in rows], pa.string()),
-            }
-        )
-        pq.write_table(tbl, path)
-        os.utime(path, (mtime, mtime))
+        _write_chunk_file(path, rows, mtime, _spec_event3())
 
     src = str(tmp_path / "win_late_src")
     os.makedirs(src)
@@ -295,15 +311,7 @@ def test_window_emits_when_watermark_equals_window_end(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
 
     def write_chunk(path, rows, mtime):
-        tbl = pa.Table.from_pydict(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-                "event_type": pa.array([r[2] for r in rows], pa.string()),
-            }
-        )
-        pq.write_table(tbl, path)
-        os.utime(path, (mtime, mtime))
+        _write_chunk_file(path, rows, mtime, _spec_event3())
 
     src = str(tmp_path / "wm_eq_src")
     os.makedirs(src)
