@@ -150,3 +150,66 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, bucket int, "
+    "pooled long, n_in_bucket long"
+)
+
+
+def resize_media(media: DataFrame, target: int = 16) -> DataFrame:
+    """Resize / downsample: average-pool each decoded payload into
+    ``target`` buckets — the image-resize / audio-downsample step of a
+    multimodal pipeline, with the decode stub standing in for the
+    pixel/sample decode (a real deployment dispatches to PIL/libsndfile
+    here; the Arrow batch shape, the one-to-many output, and the
+    executor-local pooling are the real plumbing).
+
+    Bucket assignment is the closed-form integer map
+    ``bucket = (pos * target) div n_bytes`` (0-based pos) — exactly
+    restatable in SQL, unlike boundary-list schemes that need an
+    inverse search. Pooled values are truncating integer means
+    (sum div count), so every output column is an exact integer and
+    the whole kernel hash-checks cross-engine. Payloads shorter than
+    ``target`` bytes hit only a subset of buckets (the same formula on
+    both sides); empty payloads emit no rows.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                batch["doc_id"], batch["payload"], batch["media_type"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                if n == 0:
+                    continue
+                buckets = (np.arange(n, dtype=np.int64) * target) // n
+                sums = np.bincount(buckets, weights=arr, minlength=0).astype(np.int64)
+                counts = np.bincount(buckets, minlength=0).astype(np.int64)
+                for b in np.nonzero(counts)[0]:
+                    rows.append(
+                        (
+                            doc_id,
+                            mtype,
+                            n,
+                            int(b),
+                            int(sums[b] // counts[b]),
+                            int(counts[b]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "bucket",
+                    "pooled",
+                    "n_in_bucket",
+                ],
+            )
+
+    return media.mapInPandas(kernel, RESIZE_SCHEMA)

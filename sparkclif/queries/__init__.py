@@ -53,7 +53,7 @@ e_funnel_steps / d_agg_retention / e_session_transitions
 (group_events), h_stream_late (watermark late-data drop), i_embed_pq
 (PQ encode), and the portable-md5 sketch family d_agg_countmin /
 d_agg_hll_registers / d_agg_hll_estimate / d_agg_bloom /
-d_agg_countmin_topk (group_d_sketches) —
+d_agg_countmin_topk (group_d_sketches), and i_multimodal_resize —
 exact-oracle, locally hash-green, first driver row due round 5.
 """
 

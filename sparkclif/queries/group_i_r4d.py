@@ -297,3 +297,48 @@ def i_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(table(spark, sf_dir, "embeddings"))
     return pq_encode(emb)
+
+
+@register(
+    "i_multimodal_resize",
+    # The decode stub is the deterministic UTF-8 byte view (see
+    # i_multimodal_features), so the average-pool resize is exactly
+    # statable: bucket = (pos * 16) div n_bytes, pooled = sum div
+    # count — all integers.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, d.i - 1 AS pos,
+               ascii(substring(text, d.i, 1)) AS byte,
+               length(text) AS n
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(1,
+            (SELECT max(length(text)) FROM documents) + 1)) AS i) d
+        WHERE d.i <= length(text)
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST((pos * 16) // n AS INT) AS bucket,
+               max(n) AS n,
+               CAST(sum(byte) AS BIGINT) AS s,
+               count(*)::BIGINT AS c
+        FROM b GROUP BY doc_id, CAST((pos * 16) // n AS INT)
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(n AS BIGINT) AS n_bytes, bucket,
+           CAST(s // c AS BIGINT) AS pooled, c AS n_in_bucket
+    FROM g
+    """,
+)
+def i_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize/downsample plumbing: Arrow-batched
+    mapInPandas average-pool of each payload into 16 buckets with the
+    closed-form integer bucket map — decode stubbed deterministically,
+    pooling math exact, hash-checked end-to-end
+    (operators/multimodal.py resize_media)."""
+    from sparkclif.operators import multimodal as M
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return M.resize_media(M.attach_fake_media(docs), target=16)

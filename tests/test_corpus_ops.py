@@ -417,3 +417,32 @@ def test_pq_encode_numpy_model(spark):
         for r in pq_encode(emb).collect()
     }
     assert got == want
+
+
+def test_resize_media_short_and_model(spark):
+    """resize_media == numpy model; payloads shorter than target hit
+    only the buckets the closed-form map produces; empty payloads
+    emit nothing."""
+    import numpy as np
+
+    from sparkclif.operators.multimodal import resize_media
+
+    rows = [(0, "abcdef"), (1, "xy"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from sparkclif.operators.multimodal import attach_fake_media
+
+    out = {}
+    for r in resize_media(attach_fake_media(docs), target=4).collect():
+        out[(r["doc_id"], r["bucket"])] = (r["pooled"], r["n_in_bucket"], r["n_bytes"])
+    want = {}
+    for doc_id, text in rows:
+        arr = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        n = len(arr)
+        if n == 0:
+            continue
+        b = (np.arange(n) * 4) // n
+        for bb in sorted(set(b)):
+            seg = arr[b == bb]
+            want[(doc_id, int(bb))] = (int(seg.sum() // len(seg)), len(seg), n)
+    assert out == want
+    assert not any(k[0] == 2 for k in out)
