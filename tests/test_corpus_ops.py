@@ -446,3 +446,19 @@ def test_resize_media_short_and_model(spark):
             want[(doc_id, int(bb))] = (int(seg.sum() // len(seg)), len(seg), n)
     assert out == want
     assert not any(k[0] == 2 for k in out)
+
+
+def test_bpe_and_sparse_partition_invariance(spark, sf_dir):
+    """Integer aggregations must be partition-order-proof: the BPE
+    top-20 and the sparse-cosine pair set are identical at 1 and 13
+    partitions."""
+    from sparkclif.operators.similarity import sparse_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for op in (
+        lambda d: C.bpe_pair_counts(d, top_k=20),
+        lambda d: sparse_cosine_pairs(d, tau=0.5, df_cap_pct=20),
+    ):
+        a = sorted(tuple(r) for r in op(docs.coalesce(1)).collect())
+        b = sorted(tuple(r) for r in op(docs.repartition(13)).collect())
+        assert a == b
