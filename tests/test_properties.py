@@ -255,3 +255,72 @@ def test_pps_selection_matches_python_model(spark, weights):
     want = [i for _, i in model]
     got = [r["doc_id"] for r in pps_sample_topk(df, "doc_id", "w", k=k).collect()]
     assert got == want
+
+
+_trans_event = st.tuples(
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=7200),
+    st.sampled_from(["a", "b", "c"]),
+)
+
+
+@given(log=st.lists(_trans_event, min_size=0, max_size=14))
+@_settings
+def test_session_transitions_matches_python_model(spark, log):
+    """Gaps-and-islands + lag == a plain Python pass over the sorted
+    stream, for random logs with 30-min session gaps and equal-ts
+    ties broken by event_id."""
+    from sparkclif.operators.sequence import session_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), ty, i)
+        for i, (u, s, ty) in enumerate(log)
+    ]
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    model: dict[tuple[str, str], int] = {}
+    by_user: dict[int, list] = {}
+    for u, ts, ty, eid in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        by_user.setdefault(u, []).append((ts, ty))
+    for evs in by_user.values():
+        prev_ts, prev_ty = None, None
+        for ts, ty in evs:
+            if prev_ts is not None and (ts - prev_ts).total_seconds() < 1800:
+                k = (prev_ty, ty)
+                model[k] = model.get(k, 0) + 1
+            prev_ts, prev_ty = ts, ty
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in session_transitions(df, gap_minutes=30).collect()
+    }
+    assert got == model
+
+
+@given(
+    vals=st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=0, max_size=20)
+)
+@_settings
+def test_countmin_weighted_equals_occurrences(spark, vals):
+    """count_min over raw occurrences == count_min over the
+    pre-aggregated (value, count) table via weight_col — the identity
+    d_agg_countmin_topk's single-pass rewrite relies on."""
+    from pyspark.sql import functions as F
+
+    from sparkclif.operators.sketch import count_min
+
+    raw = (
+        spark.createDataFrame([(v,) for v in vals], "item string")
+        if vals
+        else spark.createDataFrame([], "item string")
+    )
+    counted = raw.groupBy("item").agg(F.count("*").cast("long").alias("w"))
+    a = sorted(tuple(r) for r in count_min(raw).collect())
+    b = sorted(
+        tuple(r) for r in count_min(counted, weight_col="w").collect()
+    )
+    assert a == b
