@@ -163,6 +163,13 @@ def i_sim_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect + two update-aggregation jobs); a cached final-assignment
     # DataFrame would time only the last pass.
     cache_plan=False,
+    # oracle_in_bench=False: same rule as i_dedup_keep_best — the
+    # engine runs ~7 scheduled jobs (seeds + per-update assign/agg +
+    # final pass) whose per-job floor amortizes on a cluster, while
+    # the oracle's one-shot unrolled-CTE chain pays none of it; not a
+    # comparable plan shape for baseline timing. The oracle still
+    # gates CORRECTNESS at sf0.01 every round.
+    oracle_in_bench=False,
     # Exact restatement of two integer Lloyd updates + final assign:
     # portable md5 seeds, integer squared distances, TRUNCATING
     # integer centroid means (DuckDB's integer // truncates toward
