@@ -148,6 +148,39 @@ WINDOW_ORDER = [
     # before; c_join_salted, displaced last, keeps its r3 row).
 ]
 
+# Round-5 rotation plan (NOT active — swap into WINDOW_ORDER at the
+# start of round 5): lead with the 19 round-4 late-session queries
+# that have no driver CORRECTNESS row yet, then re-confirm the r2-era
+# set isn't stale again. Keeping the list here means next round's
+# first edit is mechanical.
+ROUND5_WINDOW_CANDIDATES = [
+    # never driver-verified (registered after the round-4 window)
+    "i_dedup_paragraph",
+    "i_text_lm_score",
+    "i_embed_dim_stats",
+    "i_dedup_incremental",
+    "i_tokenizer_pair_counts",
+    "i_sample_pps",
+    "i_sim_sparse_pairs",
+    "i_cluster_kmeans",
+    "e_funnel_steps",
+    "d_agg_retention",
+    "e_session_transitions",
+    "h_stream_late",
+    "i_embed_pq",
+    "d_agg_countmin",
+    "d_agg_hll_registers",
+    "d_agg_hll_estimate",
+    "d_agg_bloom",
+    "d_agg_countmin_topk",
+    "i_multimodal_resize",
+    # plus: rotate back the round-3-green queries displaced in round 4
+    # (a_scan_*, a_sink_roundtrip/partitioned, d_agg_global/groupby,
+    # h_tumbling/sliding/session/stateful_sessions, j_udtf,
+    # c_join_salted) and any round-5 edits.
+]
+assert all(n in REGISTRY for n in ROUND5_WINDOW_CANDIDATES)
+
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
 _missing = [n for n in WINDOW_ORDER if n not in REGISTRY]
 assert not _missing, f"WINDOW_ORDER names not registered: {_missing}"
