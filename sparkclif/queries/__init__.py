@@ -30,7 +30,7 @@ i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
 a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
 e_win_distribution, d_agg_histogram, d_agg_mode,
 i_dedup_substring, h_stream_join, e_win_gapfill — and with the
-late-session batches below, 116 registered vs 73 in round 3) take
+late-session batches below, 118 registered vs 73 in round 3) take
 window slots from round-3-green, untouched
 queries — new queries must get a first driver CORRECTNESS row
 (VERDICT r3 finding 1); the displaced keep their r3 rows.
@@ -53,7 +53,8 @@ e_funnel_steps / d_agg_retention / e_session_transitions
 (group_events), h_stream_late (watermark late-data drop), i_embed_pq
 (PQ encode), and the portable-md5 sketch family d_agg_countmin /
 d_agg_hll_registers / d_agg_hll_estimate / d_agg_bloom /
-d_agg_countmin_topk (group_d_sketches), and i_multimodal_resize —
+d_agg_countmin_topk / d_agg_cube (group_d_sketches), and
+i_multimodal_resize —
 exact-oracle, locally hash-green, first driver row due round 5.
 """
 
@@ -149,7 +150,7 @@ WINDOW_ORDER = [
 ]
 
 # Round-5 rotation plan (NOT active — swap into WINDOW_ORDER at the
-# start of round 5): lead with the 19 round-4 late-session queries
+# start of round 5): lead with the 20 round-4 late-session queries
 # that have no driver CORRECTNESS row yet, then re-confirm the r2-era
 # set isn't stale again. Keeping the list here means next round's
 # first edit is mechanical.
@@ -173,6 +174,7 @@ ROUND5_WINDOW_CANDIDATES = [
     "d_agg_hll_estimate",
     "d_agg_bloom",
     "d_agg_countmin_topk",
+    "d_agg_cube",
     "i_multimodal_resize",
     # plus: rotate back the round-3-green queries displaced in round 4
     # (a_scan_*, a_sink_roundtrip/partitioned, d_agg_global/groupby,

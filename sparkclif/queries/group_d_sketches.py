@@ -247,3 +247,36 @@ def d_agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("long").alias("cms_est"))
         .select("tok", "true_cnt", "cms_est", "rank")
     )
+
+
+@register(
+    "d_agg_cube",
+    # CUBE over two independent dims (lineitem flag x status) with a
+    # grouping_id disambiguator so subtotal NULLs hash apart from any
+    # (hypothetical) NULL group values; exact integer sum basis.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def d_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass via Expand — the subtotal lattice ROLLUP cannot express
+    (column-independent margins). grouping_id disambiguates subtotal
+    NULLs; the quantity sum uses the exact centi-integer basis."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping_id() is only resolvable INSIDE the cube agg
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum((F.col("l_quantity") * 100).cast("long")).cast("long").alias("qty_c"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty_c")
+    )
