@@ -462,3 +462,23 @@ def test_bpe_and_sparse_partition_invariance(spark, sf_dir):
         a = sorted(tuple(r) for r in op(docs.coalesce(1)).collect())
         b = sorted(tuple(r) for r in op(docs.repartition(13)).collect())
         assert a == b
+
+
+def test_cube_lattice_shape(spark, sf_dir):
+    """d_agg_cube: the four grouping levels exist with consistent
+    totals — gid 0 = detail cells, gid 1/2 = one-dim margins whose
+    counts each sum to the gid-3 grand total."""
+    from sparkclif.registry import all_queries
+
+    rows = all_queries()["d_agg_cube"].fn(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]["n"]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r["n"] for r in by_gid[gid]) == total
+    # margin rows carry NULL on exactly the grouped-out column
+    assert all(r["l_linestatus"] is None for r in by_gid[1])
+    assert all(r["l_returnflag"] is None for r in by_gid[2])
