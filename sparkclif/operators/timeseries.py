@@ -61,3 +61,58 @@ def resample_gapfill(
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.last("__lastv", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+def ewma_last(
+    events,
+    alpha: float = 0.5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    val_col: str = "value",
+):
+    """Per-key exponentially-weighted moving average (final smoothed
+    value after the last observation): EWMA_t = α·x_t + (1-α)·EWMA_{t-1},
+    seeded with the first observation — the standard online smoother
+    for metric streams. Returns ``(key, n_events, ewma)``.
+
+    A recurrence is inherently sequential, so the plan is the funnel
+    shape: ONE groupBy(key) shuffle collecting the time-ordered value
+    array, then a whole-stage-codegen F.aggregate fold — no window
+    recursion, no Python. Determinism: both engines fold the SAME
+    sequence with the SAME IEEE doubles, so the result is bit-identical
+    before the output rounding (α = 0.5 makes every coefficient an
+    exact power of two, but any α folds identically — the parsed
+    double literal is shared). Per-key arrays are bounded by activity
+    skew (see sequence.funnel_stages).
+    """
+    from pyspark.sql import functions as F
+
+    from sparkclif.operators.expr import bind
+
+    a = float(alpha)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t"),
+                F.col(seq_col).alias("q"),
+                F.col(val_col).cast("double").alias("v"),
+            )
+        )
+    )
+    grouped = events.groupBy(user_col).agg(arr.alias("__a"))
+
+    def fold(vals):
+        return F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+        )
+
+    return grouped.select(
+        user_col,
+        F.size("__a").cast("long").alias("n_events"),
+        F.round(
+            bind(F.transform("__a", lambda e: e["v"]), fold), 4
+        ).alias("ewma"),
+    )

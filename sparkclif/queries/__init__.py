@@ -54,7 +54,7 @@ e_funnel_steps / d_agg_retention / e_session_transitions
 (PQ encode), and the portable-md5 sketch family d_agg_countmin /
 d_agg_hll_registers / d_agg_hll_estimate / d_agg_bloom /
 d_agg_countmin_topk / d_agg_cube (group_d_sketches), and
-i_multimodal_resize —
+i_multimodal_resize / e_win_ewma —
 exact-oracle, locally hash-green, first driver row due round 5.
 """
 
@@ -150,7 +150,7 @@ WINDOW_ORDER = [
 ]
 
 # Round-5 rotation plan (NOT active — swap into WINDOW_ORDER at the
-# start of round 5): lead with the 20 round-4 late-session queries
+# start of round 5): lead with the 21 round-4 late-session queries
 # that have no driver CORRECTNESS row yet, then re-confirm the r2-era
 # set isn't stale again. Keeping the list here means next round's
 # first edit is mechanical.
@@ -176,6 +176,7 @@ ROUND5_WINDOW_CANDIDATES = [
     "d_agg_countmin_topk",
     "d_agg_cube",
     "i_multimodal_resize",
+    "e_win_ewma",
     # plus: rotate back the round-3-green queries displaced in round 4
     # (a_scan_*, a_sink_roundtrip/partitioned, d_agg_global/groupby,
     # h_tumbling/sliding/session/stateful_sessions, j_udtf,

@@ -154,3 +154,27 @@ def e_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return session_transitions(ev, gap_minutes=30)
+
+
+@register(
+    "e_win_ewma",
+    # Exact restatement: DuckDB's list_reduce folds the SAME
+    # time-ordered sequence with the SAME IEEE doubles (alpha = 0.5:
+    # every coefficient an exact power of two); seeded with the first
+    # observation on both sides.
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           round(list_reduce(list(value::DOUBLE ORDER BY ts, event_id),
+                             (acc, x) -> 0.5::DOUBLE * x + 0.5::DOUBLE * acc),
+                 4) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def e_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha 0.5) of the value stream — the online
+    smoothing recurrence as a single-shuffle codegen fold (no window
+    recursion, no Python; operators/timeseries.py ewma_last)."""
+    from sparkclif.operators.timeseries import ewma_last
+
+    ev = table(spark, sf_dir, "events")
+    return ewma_last(ev, alpha=0.5)

@@ -122,3 +122,28 @@ def test_randomized_against_pandas_model(spark):
                 filled = max(bucket, key=lambda e: (e[2], e[3]))[4]
             want.append((uid, base + h * HOUR_US, len(bucket), filled))
     assert got == want
+
+
+def test_ewma_matches_python_recurrence(spark):
+    """The fold == the plain Python recurrence, including equal-ts
+    ordering by event_id and the first-observation seed."""
+    import datetime as dt
+
+    from sparkclif.operators.timeseries import ewma_last
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, 4.0),
+        (1, t0 + dt.timedelta(seconds=5), 11, 8.0),
+        (1, t0 + dt.timedelta(seconds=5), 12, 2.0),   # tie -> after 11
+        (2, t0, 13, 7.0),                              # single obs
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last(ev, alpha=0.5).collect()
+    }
+    # user 1: seed 4.0 -> 0.5*8+0.5*4=6.0 -> 0.5*2+0.5*6=4.0
+    assert got == {1: (3, 4.0), 2: (1, 7.0)}
