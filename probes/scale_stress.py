@@ -262,6 +262,21 @@ def main() -> None:
         ).count(),
     )
 
+    # --- EWMA at kx (users shifted: per-key fold length constant; ------
+    # wall must track the scan + the one key shuffle, like the funnel)
+    from sparkclif.operators.timeseries import ewma_last
+
+    ev_ek = (
+        ev_f.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+            "value",
+        )
+    )
+    timed(f"ewma_{k}x_users", lambda: ewma_last(ev_ek).count())
+
     # --- bucketized range join at kx (users shifted: pair density ------
     # per (user, bucket) constant, so wall isolates engine scaling,
     # not the k^2 pair blowup identical timestamps would inflict)
