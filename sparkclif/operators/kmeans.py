@@ -62,15 +62,16 @@ def _assign(q_df: DataFrame, centroids: dict[int, list[int]], id_col: str):
     """(id, qv) -> (id, qv, cluster, dist_sq): argmin over the literal
     centroids via least(struct(dist, cluster)) — lexicographic struct
     ordering IS the (min dist, then min index) tiebreak."""
-    best = F.least(
-        *[
-            F.struct(
-                _dist_sq(F.col("qv"), centroids[c]).alias("d"),
-                F.lit(c).cast("int").alias("c"),
-            )
-            for c in sorted(centroids)
-        ]
-    )
+    structs = [
+        F.struct(
+            _dist_sq(F.col("qv"), centroids[c]).alias("d"),
+            F.lit(c).cast("int").alias("c"),
+        )
+        for c in sorted(centroids)
+    ]
+    # F.least needs >= 2 args; with a single centroid (k=1, or a
+    # 1-row input yielding one seed) the argmin is that centroid.
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
     return q_df.select(
         id_col,
         "qv",

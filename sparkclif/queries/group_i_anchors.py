@@ -332,3 +332,148 @@ def i_sim_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, cluster long, score long"
     )
+
+
+@register(
+    "i_dedup_embedding_verify",
+    cache_plan=False,  # builds the plane broadcast at plan time
+    # Exact restatement of the VERIFY stage of the at-scale embedding
+    # dedup (cosine_threshold_pairs_lsh): bucket by the md5-Rademacher
+    # integer-sign machinery of i_sim_lsh_bucket_stats (one table, 8
+    # planes), then within each bucket emit every (vec_a < vec_b) pair
+    # whose exact quantized cosine clears tau. All sums are integers
+    # <= 2^53, so even a double-typed sum is order-independent and
+    # bit-identical across engines; the final dot/sqrt(na*nb) is one
+    # deterministic IEEE expression on identical integer inputs.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS d),
+    q AS (
+        SELECT e.vec_id,
+               [CAST(floor(e.v[d] * 10000) AS BIGINT)
+                for d in range(1, 65)] AS qv
+        FROM e
+    ),
+    qd AS (
+        SELECT q.vec_id, d.d, q.qv[d.d] AS c FROM q CROSS JOIN dims d
+    ),
+    signs AS (
+        SELECT p.b, d.d,
+               CASE WHEN ('0x' || substr(md5('plane' || CAST(p.b AS VARCHAR) || ':'
+                                             || CAST(d.d - 1 AS VARCHAR)), 32, 1))
+                         ::INT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range(8)) AS b) p
+        CROSS JOIN dims d
+    ),
+    dots AS (
+        SELECT qd.vec_id, s.b, sum(s.s * qd.c) AS dot
+        FROM qd JOIN signs s ON s.d = qd.d
+        GROUP BY qd.vec_id, s.b
+    ),
+    bk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id
+    ),
+    nrm AS (
+        SELECT vec_id,
+               CAST(list_sum([qv[i] * qv[i] for i in range(1, 65)]) AS BIGINT)
+                   AS nq
+        FROM q
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+               CAST(list_sum([qa.qv[i] * qb.qv[i] for i in range(1, 65)])
+                    AS BIGINT) AS dot
+        FROM bk a
+        JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN q qa ON qa.vec_id = a.vec_id
+        JOIN q qb ON qb.vec_id = b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b, p.bucket,
+           CAST(p.dot AS DOUBLE)
+               / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) AS cos_q
+    FROM pairs p
+    JOIN nrm na ON na.vec_id = p.vec_a
+    JOIN nrm nb ON nb.vec_id = p.vec_b
+    WHERE CAST(p.dot AS DOUBLE)
+              / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) >= 0.2
+    """,
+)
+def i_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable anchor for ``i_dedup_embedding_at_scale``'s
+    verify stage (VERDICT r4 item 8): the SAME two-phase distributed
+    shape as ``cosine_threshold_pairs_lsh`` — an Arrow-batched scan
+    tags every vector into a hyperplane bucket, a bucket groupBy
+    shuffles (id, bucket, vector), and a per-bucket members x members
+    BLAS matmul emits only the (vec_a < vec_b, cos >= tau) pairs —
+    but with the engine-portable ingredients of
+    ``i_sim_lsh_bucket_stats`` (md5-parity Rademacher planes, vectors
+    floor-quantized to integer basis points) instead of seeded numpy
+    Gaussians, so every emitted pair and its cosine is bit-identical
+    to the SQL restatement. Integer Gram matrix stays under 2^53
+    (|qv| <= 1e4, 64 dims => |dot| <= 6.4e9), so the float division
+    is one exact-input IEEE op on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    signs = np.array(
+        [[_rademacher_sign(b, d) for d in range(N_DIM)] for b in range(N_PLANES)],
+        dtype=np.int64,
+    )
+    powers = (1 << np.arange(N_PLANES)).astype(np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((signs, powers))
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sg, pw = bc.value
+        for batch in batches:
+            qm = np.floor(
+                np.vstack(batch["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            bits = (qm @ sg.T) >= 0  # integer dots: exact sign
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "bucket": bits.astype(np.int64) @ pw,
+                    "qv": list(qm),
+                }
+            )
+
+    tagged = emb.select("vec_id", "embedding").mapInPandas(
+        tag, "vec_id long, bucket long, qv array<long>"
+    )
+
+    out_schema = "vec_a long, vec_b long, bucket long, cos_q double"
+
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "cos_q": pd.Series(dtype="float64"),
+                }
+            )
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        qm = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)[order]
+        gram = qm @ qm.T  # exact int64, |dot| <= 6.4e9 < 2^53
+        nq = np.diag(gram).astype(np.float64)
+        cos = gram / np.sqrt(nq[:, None] * nq[None, :])
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= 0.2
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "bucket": np.full(int(keep.sum()), key[0], dtype=np.int64),
+                "cos_q": cos[ia, ib][keep],
+            }
+        )
+
+    return tagged.groupBy("bucket").applyInPandas(verify, out_schema)

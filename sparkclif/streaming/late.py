@@ -25,6 +25,7 @@ stream has seen.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,4 +69,13 @@ def stream_window_counts(
         q = stream.writeStream.foreachBatch(append_batch).outputMode("append").start()
         q.processAllAvailable()
         q.stop()
+    # If every window was still open at stream end, append-mode emits
+    # nothing and out_dir never materializes — return an empty frame
+    # with the contract schema instead of letting the read raise.
+    if not os.path.isdir(out_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n long"
+        )
     return spark.read.parquet(out_dir)

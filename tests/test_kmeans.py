@@ -102,3 +102,14 @@ def test_kmeans_partition_invariance(spark):
         for r in kmeans_exact(emb.repartition(7), k=4, n_updates=1).collect()
     )
     assert a == b
+
+
+def test_kmeans_single_centroid(spark):
+    """k=1 (a single centroid struct — F.least needs two args, so
+    this exercises the 1-struct fast path): every row lands in
+    cluster 0 and the pass-2 centroid is the global mean."""
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_exact(emb, k=1, n_updates=1).collect()
+    assert len(out) == 5
+    assert all(r["cluster"] == 0 for r in out)
