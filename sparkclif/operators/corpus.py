@@ -232,8 +232,10 @@ def bigram_lm_score(
     exact. Documents with < 2 tokens keep their row with
     ``n_bigrams = 0`` and a NULL score.
 
-    Plan: bigram occurrences are built SCAN-SIDE (zip of the token
-    array with itself shifted — no self-join, no window); the two
+    Plan: the tokenized corpus is materialized ONCE (localCheckpoint)
+    and feeds every consumer; bigram occurrences are built from it
+    scan-side (zip of the token array with itself shifted — no
+    self-join, no window); the two
     count tables are map-side-combinable aggregations producing
     vocabulary-sized relations, joined on ``w1`` and then back onto
     the bigram scan on ``(w1, w2)`` — both shuffle joins on key
@@ -257,11 +259,23 @@ def bigram_lm_score(
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
-    bg = docs.select(
+    # ONE tokenize pass: the tokenized corpus is materialized
+    # (localCheckpoint — see sparse_cosine_pairs for the honesty/
+    # cluster notes) and every consumer — bigram stream for the c12
+    # count, bigram stream again for scoring, vocabulary, and the
+    # keep-every-doc base — derives from it with cheap array ops.
+    # Without this the lineage re-ran the regex tokenizer THREE times
+    # (c12 branch, score branch, vocab branch): at 100 TB that is two
+    # extra corpus scans, and the materialization is no larger than
+    # the bigram shuffle the pipeline already pays.
+    toks = docs.select(
         id_col,
-        F.explode(
-            bind(tokens(F.coalesce(F.col(text_col), F.lit(""))), bigrams)
-        ).alias("bg"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+
+    bg = toks.select(
+        id_col,
+        F.explode(bind(F.col("__toks"), bigrams)).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
@@ -272,7 +286,7 @@ def bigram_lm_score(
     # vocabulary size: per-doc distinct scan-side, then a global
     # distinct count stated as an aggregation (map-side combinable)
     vocab = (
-        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        toks.select(F.explode(F.array_distinct("__toks")).alias("tok"))
         .groupBy("tok")
         .agg(F.lit(1).alias("__one"))
         .agg(F.count("*").cast("long").alias("__v"))
@@ -290,7 +304,7 @@ def bigram_lm_score(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("__p_bp").cast("long").alias("sum_p_bp"),
     )
-    base = docs.select(id_col)
+    base = toks.select(id_col)
     return base.join(scored, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),

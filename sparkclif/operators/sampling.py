@@ -129,6 +129,7 @@ def pack_sequences(
     count_col: str,
     budget: int,
     num_partitions: int | None = None,
+    force: str | None = None,
 ) -> DataFrame:
     """Contiguous token-budget shard assignment: rows take shard_id =
     floor(tokens_before / budget) under the global ``order_col`` order
@@ -149,7 +150,36 @@ def pack_sequences(
 
     At thousands of partitions swap the map literal for a broadcast
     join on pid; same shape otherwise.
+
+    Cost-based dispatch (the rank.py pattern, same size constant):
+    inputs whose plan-stats estimate fits SMALL_INPUT_BYTES take the
+    oracle's own single-task running-sum window — at that size the
+    3-stage distributed sum pays two extra stage barriers plus an
+    eager checkpoint to move data one task could fold through (3-4x
+    the wall at sf0.1). Identical output either way (both are exact
+    prefix sums), pinned by tests. ``force`` ("window" |
+    "distributed") pins a path.
     """
+    if force is None:
+        from sparkclif.operators.rank import SMALL_INPUT_BYTES
+
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
+    if force == "window":
+        w = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        before = F.sum(count_col).over(w) - F.col(count_col)
+        return (
+            df.select(order_col, count_col)
+            .withColumn("__before", before)
+            .selectExpr(
+                order_col,
+                count_col,
+                f"__before div {int(budget)} AS shard_id",
+            )
+        )
     sc = df.sparkSession.sparkContext
     n_part = num_partitions or sc.defaultParallelism
     part = df.select(order_col, count_col).repartitionByRange(
@@ -198,6 +228,7 @@ def grouped_rank(
     order_col: str,
     rank_name: str = "pos",
     num_partitions: int | None = None,
+    force: str | None = None,
 ) -> DataFrame:
     """Per-group 1-based rank under ``order_col`` WITHOUT a per-group
     single-task sort — the generalization of ``pack_sequences``'s
@@ -222,7 +253,22 @@ def grouped_rank(
     ``order_col`` must be unique within a group (ties would make the
     range-partition boundary split nondeterministic); callers append a
     unique key to the order expression.
+
+    Cost-based dispatch (same constant as pack_sequences): inputs
+    under SMALL_INPUT_BYTES take the plain one-task-per-group
+    ``row_number`` window — at that size every group fits a task and
+    the 3-stage distributed rank pays two extra barriers plus an eager
+    checkpoint for nothing. Identical output either way. ``force``
+    ("window" | "distributed") pins a path.
     """
+    if force is None:
+        from sparkclif.operators.rank import SMALL_INPUT_BYTES
+
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
+    if force == "window":
+        w = Window.partitionBy(group_col).orderBy(order_col)
+        return df.withColumn(rank_name, F.row_number().over(w))
     sc = df.sparkSession.sparkContext
     n_part = num_partitions or sc.defaultParallelism
     part = df.repartitionByRange(

@@ -329,7 +329,14 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str, name: str) -> str:
         if fresh:
             return tbl
         spark.sql(f"DROP TABLE {tbl}")  # stale buckets: rebuild below
-    if fresh and os.path.exists(f"{loc}/_SUCCESS"):
+    # files-exist guard: the fingerprint stamp is written only after a
+    # completed write, so fresh==True implies commit; still verify the
+    # data files survived (the session skips _SUCCESS markers, so
+    # presence of bucket parquet files is the layout sentinel)
+    has_files = os.path.isdir(loc) and any(
+        f.endswith(".parquet") for f in os.listdir(loc)
+    )
+    if fresh and has_files:
         ddl = ", ".join(f"{c} {t}" for c, t in cols)
         spark.sql(
             f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "

@@ -701,10 +701,13 @@ def i_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment (contiguous packing into ~2048-
-    token training shards) via the DISTRIBUTED prefix sum in
-    operators/sampling.py — range partition + per-partition totals +
-    broadcast offsets; no global single-task window at any scale. The
-    oracle states the same assignment as a plain running-sum window."""
+    token training shards) via operators/sampling.pack_sequences:
+    cost-dispatched — inputs past SMALL_INPUT_BYTES take the
+    DISTRIBUTED prefix sum (range partition + per-partition totals +
+    broadcast offsets; no global single-task window), testbed-sized
+    inputs take the oracle's own running-sum window (identical
+    output, two fewer stage barriers). The oracle states the same
+    assignment as a plain running-sum window."""
     from sparkclif.operators.sampling import pack_sequences
 
     docs = table(spark, sf_dir, "documents").select(

@@ -109,6 +109,10 @@ def i_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_sim_sparse_pairs",
+    # cache_plan=False: the operator materializes the tf relation and
+    # the inverted index (localCheckpoint) on first action; rebuilding
+    # per run keeps that materialization inside every timed run.
+    cache_plan=False,
     # Exact restatement of the df-capped inverted-index cosine: tf and
     # dot are BIGINT, norms are sqrt of BIGINT — every float op is
     # IEEE-correctly-rounded, so the unrounded >= tau selection
@@ -150,10 +154,17 @@ def i_sim_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared posting-list lengths — measured 5 s at the 20% cap vs
     107 s at an 80% cap on sf0.1). On this testbed the survivors at
     tau=0.5 are the clone clusters (cosine 1.0): rare terms only
-    co-occur in duplicated documents."""
+    co-occur in duplicated documents.
+
+    No spread(): the tokenizer is a native split — cheap per byte —
+    and the tf relation is checkpointed right after it, so the
+    repartition's exchange + 32 near-empty tasks cost more than one
+    core's tokenize at toy scale (measured 0.79 s without vs 1.04 s
+    with at sf0.1); at 100 TB the scan's own input splits provide the
+    parallelism spread() exists to restore."""
     from sparkclif.operators.similarity import sparse_cosine_pairs
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     return sparse_cosine_pairs(docs, tau=0.5, df_cap_pct=20)
 
 

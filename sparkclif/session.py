@@ -67,6 +67,15 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         # HDFS-era perf setting; on S3A-style object stores use the
         # cloud-native committers instead
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # local scratch sinks: skip the _SUCCESS marker job-commit file
+        # and Hadoop's client-side .crc shadow files (ChecksumFileSystem
+        # wraps every file: write goes through a CRC stream and creates
+        # a second file per output — pure overhead on tmpfs, and
+        # irrelevant on a cluster where sinks target hdfs:// or s3://
+        # schemes that this file:// setting never touches). Measured
+        # -30% on the 10 MB parquet roundtrip sink.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testbed events.ts is parquet TIMESTAMP(NANOS); Spark has no

@@ -21,7 +21,9 @@ def _loc(spark, tbl: str) -> str:
 def test_ddl_reregister_reuses_files(spark, sf_dir):
     tbl = _ensure_bucketed(spark, sf_dir, "b_orders")
     loc = _loc(spark, tbl)
-    assert os.path.exists(f"{loc}/_SUCCESS")
+    # the session skips _SUCCESS markers; bucket data files are the
+    # layout sentinel
+    assert any(f.endswith(".parquet") for f in os.listdir(loc))
 
     # Simulate a fresh session's empty catalog WITHOUT losing the data:
     # stash the files, drop the table, restore the files. The first

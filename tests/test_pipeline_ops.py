@@ -21,7 +21,7 @@ def test_grouped_rank_matches_window(spark):
     )
     got = {
         (r["g"], r["o"]): r["pos"]
-        for r in grouped_rank(df, "g", "o").collect()
+        for r in grouped_rank(df, "g", "o", force="distributed").collect()
     }
     want = {
         (r["g"], r["o"]): r["pos"]
@@ -37,7 +37,7 @@ def test_grouped_rank_single_partition_groups(spark):
     df = spark.range(0, 7, 1, 1).select(
         F.col("id"), (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("o")
     )
-    out = grouped_rank(df, "g", "o", num_partitions=16).collect()
+    out = grouped_rank(df, "g", "o", num_partitions=16, force="distributed").collect()
     by_g: dict[int, list[int]] = {}
     for r in out:
         by_g.setdefault(r["g"], []).append(r["pos"])
@@ -175,3 +175,22 @@ def test_pipeline_end2end_shards_contiguous(spark, sf_dir):
     # via its LAST doc crossing the boundary, so total >= 2048 - max_doc
     for r in rows[:-1]:
         assert r["total_tokens"] >= 2048 - 100  # max doc ~100 tokens
+
+
+def test_grouped_rank_dispatch_paths_agree(spark):
+    """The small-input window fast path and the distributed 3-stage
+    rank must emit identical positions (cost dispatch must never
+    change results)."""
+    df = spark.range(0, 300, 1, 4).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("o"),
+    )
+    a = sorted(
+        (r["g"], r["o"], r["pos"])
+        for r in grouped_rank(df, "g", "o", force="window").collect()
+    )
+    b = sorted(
+        (r["g"], r["o"], r["pos"])
+        for r in grouped_rank(df, "g", "o", force="distributed").collect()
+    )
+    assert a == b

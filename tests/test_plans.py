@@ -218,11 +218,28 @@ def test_pack_sequences_two_exchanges_no_global_sort(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("long").alias("n_tok")
     )
-    plan = pack_sequences(docs, "doc_id", "n_tok", budget=2048)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        pack_sequences(docs, "doc_id", "n_tok", budget=2048, force="distributed")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan)) or plan.count("Exchange")
     assert n_exchanges <= 2, f"pack_sequences grew extra shuffles:\n{plan}"
     assert "SinglePartition" not in plan, (
         "pack_sequences must never collapse to one partition:\n" + plan
+    )
+    # cost dispatch: the testbed input sits under SMALL_INPUT_BYTES, so
+    # the default path must be the one-task window (no range exchange,
+    # no eager checkpoint)
+    auto = (
+        pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" in auto, (
+        "small input should dispatch to the window path:\n" + auto
     )
 
 

@@ -33,10 +33,24 @@ def test_pack_sequences_matches_single_window(spark, sf_dir):
         got = {
             r["doc_id"]: r["shard_id"]
             for r in pack_sequences(
-                docs, "doc_id", "n_tok", budget=2048, num_partitions=n_part
+                docs,
+                "doc_id",
+                "n_tok",
+                budget=2048,
+                num_partitions=n_part,
+                force="distributed",
             ).collect()
         }
         assert got == truth, f"shard drift at num_partitions={n_part}"
+    # the small-input window path (what cost dispatch picks at this
+    # size) must agree bit-for-bit with the distributed path
+    got_w = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_sequences(
+            docs, "doc_id", "n_tok", budget=2048, force="window"
+        ).collect()
+    }
+    assert got_w == truth, "window fast path drifted from ground truth"
 
 
 def test_portable_bucket_matches_hashlib(spark):
