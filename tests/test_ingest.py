@@ -204,3 +204,61 @@ def test_block_actions_without_any_ts_rejected(spark):
     # with an arrival timestamp the same payload ingests fine
     out = slack_payloads_to_command_log(spark, [(1700000005.0, bare)])
     assert out.collect()[0]["ts"].year >= 2023
+
+
+def test_issue_sink_status_branching(spark):
+    """R35 (app.py:222-258): the issue REST sink, driven by a canned
+    transport — 201 success, non-201 failure text, raised transport
+    error, all in event order with the reference's exact messages."""
+    from sparkclif.clif.issues import ISSUES_URL, post_issues
+
+    issues = spark.createDataFrame(
+        [
+            (1, "U1", "bug A", "details A"),
+            (2, "U2", "bug B", None),  # missing description posts as ""
+            (3, "U3", "bug C", "details C"),
+        ],
+        "event_id long, user_id string, title string, description string",
+    )
+    calls = []
+
+    def post(url, headers, payload):
+        calls.append((url, headers["Authorization"], payload))
+        if payload["title"] == "bug B":
+            return 422, '{"message":"Validation Failed"}'
+        if payload["title"] == "bug C":
+            raise OSError("connection reset")
+        return 201, '{"html_url":"https://github.com/x/y/issues/7"}'
+
+    out = {
+        r["event_id"]: (r["ok"], r["message"])
+        for r in post_issues(spark, issues, post, token="tkn").collect()
+    }
+    assert out[1] == (True, "Issue created: https://github.com/x/y/issues/7")
+    assert out[2] == (False, 'Failed to create issue: {"message":"Validation Failed"}')
+    assert out[3] == (False, "Error creating issue: connection reset")
+    # transport saw the reference's URL, bearer header, and "" body
+    assert [c[0] for c in calls] == [ISSUES_URL] * 3
+    assert calls[0][1] == "Bearer tkn"
+    assert calls[1][2] == {"title": "bug B", "body": ""}
+    # event order: bug A attempted before bug B before bug C
+    assert [c[2]["title"] for c in calls] == ["bug A", "bug B", "bug C"]
+
+
+def test_issue_sink_without_token_posts_nothing(spark):
+    """The no-token branch mirrors app.py:236-238: no transport call,
+    every row reports the not-set message."""
+    from sparkclif.clif.issues import post_issues
+
+    issues = spark.createDataFrame(
+        [(1, "U1", "t", "d")],
+        "event_id long, user_id string, title string, description string",
+    )
+
+    def post(url, headers, payload):  # pragma: no cover - must not run
+        raise AssertionError("transport must not be called without a token")
+
+    rows = post_issues(spark, issues, post, token=None).collect()
+    assert [(r["ok"], r["message"]) for r in rows] == [
+        (False, "GITHUB_TOKEN is not set.")
+    ]
