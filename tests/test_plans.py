@@ -316,15 +316,35 @@ def test_dim_stats_partial_agg_no_python(spark, sf_dir):
 
 
 def test_segment_dedup_winner_agg_is_partial(spark, sf_dir):
-    """Span dedup: the keep-first winner must come from a partial+final
-    min(struct) aggregation (map-side combinable — a mass-duplicated
-    segment contributes one row per map task), never from a window
-    rank over the raw occurrence relation, and never via Expand."""
-    plan = formatted_plan(spark, "i_dedup_paragraph", sf_dir)
+    """Span dedup at scale (force='join'): the keep-first winner must
+    come from a partial+final min(struct) aggregation (map-side
+    combinable — a mass-duplicated segment contributes one row per map
+    task), never from a window rank over the raw occurrence relation
+    (a window partition cannot be skew-split by AQE), never Expand."""
+    from sparkclif.io import spread, table
+    from sparkclif.operators.corpus import segment_dedup
+    from sparkclif.plans import formatted_plan as _fp
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    plan = _fp(segment_dedup(docs, width=3, force="join"))
     assert "CartesianProduct" not in plan
     assert "Expand" not in plan
     assert "Window" not in plan, "winner must be an aggregation, not a window rank"
     assert re.search(r"(Sort|ObjectHash|Hash)Aggregate", plan)
+
+
+def test_segment_dedup_small_input_takes_window_path(spark, sf_dir):
+    """Below SMALL_INPUT_BYTES the dispatcher takes the single-scan
+    window formulation (one explode instead of the join path's two);
+    the registered query at the test SF is small enough to dispatch
+    there. The join path stays the above-bound default — that is
+    pinned by test_segment_dedup_winner_agg_is_partial above."""
+    plan = formatted_plan(spark, "i_dedup_paragraph", sf_dir)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly one scan of documents (one numbered detail block in the
+    # formatted plan): the window path's whole point
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
 def test_lm_score_no_expand_vocab_broadcast(spark, sf_dir):
