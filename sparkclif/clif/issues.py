@@ -73,7 +73,11 @@ def post_issues(
         "Accept": "application/vnd.github+json",
     }
     for r in rows:
-        if token is None:
+        # falsy check, not an is-None check: the reference branches on
+        # `if not token:` (app.py:234), so an empty-string token (the
+        # os.environ.get('GITHUB_TOKEN', '') shape) must also post
+        # nothing and report the not-set message
+        if not token:
             out.append((r["event_id"], r["user_id"], False, "GITHUB_TOKEN is not set."))
             continue
         payload = {"title": r["title"], "body": r["description"] or ""}

@@ -42,6 +42,19 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _CACHE_ATTR = "_sparkclif_table_cache"
 
 
+def has_data_files(path: str, suffix: str = ".parquet") -> bool:
+    """Commit sentinel for local sinks: the session disables _SUCCESS
+    markers (committer tuning), so "directory exists and holds at least
+    one data file" is THE rule for a completed write. Keep the rule
+    here — streaming/late.py, queries/group_c.py and the layout tests
+    all consult it."""
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(suffix) for f in os.listdir(path)
+    )
+
+
 def _session_cache(spark: SparkSession) -> "dict[tuple[str, str], DataFrame]":
     cache = getattr(spark, _CACHE_ATTR, None)
     if cache is None:

@@ -194,9 +194,10 @@ def segment_dedup(
     Precondition: one row per ``id_col``. ``force`` ("join" |
     "window") pins a path for tests.
     """
-    if force is None:
-        from sparkclif.operators.rank import SMALL_INPUT_BYTES
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, validate_force
 
+    validate_force(force, {"join", "window"})
+    if force is None:
         size = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         force = "window" if size <= SMALL_INPUT_BYTES else "join"
     segs = docs.select(

@@ -44,6 +44,16 @@ SMALL_INPUT_BYTES = 8 * 1024 * 1024
 LARGE_INPUT_BYTES = 8 * 1024 * 1024 * 1024
 
 
+def validate_force(force: str | None, allowed: frozenset[str] | set[str]) -> None:
+    """Reject a mistyped ``force`` instead of silently falling through
+    to whichever path the if-chain treats as the default — a typo such
+    as ``'widnow'`` must be an error, never a silent plan pin."""
+    if force is not None and force not in allowed:
+        raise ValueError(
+            f"force must be one of {sorted(allowed)} or None, got {force!r}"
+        )
+
+
 def exact_percentiles(
     df: DataFrame,
     group_col: str,
@@ -62,6 +72,7 @@ def exact_percentiles(
     light scans, no full sort); the largest take the two-phase
     distributed rank. ``force`` ("kernel" | "window" | "bracket" |
     "distributed") pins a path for tests."""
+    validate_force(force, {"kernel", "window", "bracket", "distributed"})
     if force is None:
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         if size <= SMALL_INPUT_BYTES:

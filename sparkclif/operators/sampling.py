@@ -158,13 +158,19 @@ def pack_sequences(
     eager checkpoint to move data one task could fold through (3-4x
     the wall at sf0.1). Identical output either way (both are exact
     prefix sums), pinned by tests. ``force`` ("window" |
-    "distributed") pins a path.
+    "distributed") pins a path; an explicit ``num_partitions`` also
+    pins the distributed path — a partitioning request is a contract
+    the single-task window cannot honor.
     """
-    if force is None:
-        from sparkclif.operators.rank import SMALL_INPUT_BYTES
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, validate_force
 
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
+    validate_force(force, {"window", "distributed"})
+    if force is None:
+        if num_partitions is not None:
+            force = "distributed"
+        else:
+            size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
     if force == "window":
         w = (
             Window.orderBy(order_col)
@@ -259,13 +265,19 @@ def grouped_rank(
     ``row_number`` window — at that size every group fits a task and
     the 3-stage distributed rank pays two extra barriers plus an eager
     checkpoint for nothing. Identical output either way. ``force``
-    ("window" | "distributed") pins a path.
+    ("window" | "distributed") pins a path; an explicit
+    ``num_partitions`` also pins the distributed path (the
+    single-task-per-group window cannot honor a partitioning request).
     """
-    if force is None:
-        from sparkclif.operators.rank import SMALL_INPUT_BYTES
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, validate_force
 
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
+    validate_force(force, {"window", "distributed"})
+    if force is None:
+        if num_partitions is not None:
+            force = "distributed"
+        else:
+            size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
     if force == "window":
         w = Window.partitionBy(group_col).orderBy(order_col)
         return df.withColumn(rank_name, F.row_number().over(w))

@@ -12,12 +12,14 @@ that never got a driver CORRECTNESS row (VERDICT r4 finding 1 — the
 entire remaining correctness debt), then the brand-new
 ``i_dedup_embedding_verify`` (the hash-checkable anchor for the
 at-scale embedding dedup's verify stage, VERDICT r4 item 8), then
-the queries whose implementations were touched by this round's
-performance work (the prefix-sum family, corpus mix, the sink
-quartet — hashes must not move when plans do), then the OLDEST
-driver rows: the round-3-green A-scans, C-joins, H-windowed-aggs,
-J-udtf, D-aggregates and group-I text/dedup queries displaced by the
-round-4 rotation (B/E/F/G were all re-verified green in round 4 and
+the queries whose implementations or executed plans were touched by
+this round's performance work (the prefix-sum family, corpus mix,
+the sink quartet, ``c_join_bucketed``'s new write-path/sentinel, and
+``i_pipeline_end2end`` whose pack stage now cost-dispatches — hashes
+must not move when plans do), then the OLDEST driver rows: the
+round-3-green A-scans, C-joins, H-windowed-aggs, J-udtf and group-I
+text/dedup queries displaced by the round-4 rotation (B/E/F/G and
+the trivial D-aggregates were all re-verified green in round 4/3 and
 sit this round out).
 
 Outside the window: every remaining query was driver-green in round
@@ -81,6 +83,8 @@ WINDOW_ORDER = [
     "a_sink_partitioned",
     "a_sink_csv_roundtrip",
     "a_sink_orc_roundtrip",
+    "c_join_bucketed",
+    "i_pipeline_end2end",
     "a_scan_parquet",
     "a_scan_text_lines",
     "a_scan_json_string",
@@ -94,8 +98,6 @@ WINDOW_ORDER = [
     "h_session",
     "h_stateful_sessions",
     "j_udtf",
-    "d_agg_global",
-    "d_agg_groupby",
     "i_text_tokenize",
     "i_text_stats",
     "i_text_quality",

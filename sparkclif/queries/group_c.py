@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkclif.numeric import fixed_sum
-from sparkclif.io import table
+from sparkclif.io import has_data_files, table
 from sparkclif.operators.asof import asof_join
 from sparkclif.registry import register
 
@@ -331,11 +331,9 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str, name: str) -> str:
         spark.sql(f"DROP TABLE {tbl}")  # stale buckets: rebuild below
     # files-exist guard: the fingerprint stamp is written only after a
     # completed write, so fresh==True implies commit; still verify the
-    # data files survived (the session skips _SUCCESS markers, so
-    # presence of bucket parquet files is the layout sentinel)
-    has_files = os.path.isdir(loc) and any(
-        f.endswith(".parquet") for f in os.listdir(loc)
-    )
+    # data files survived (io.has_data_files is the shared sentinel
+    # rule — the session skips _SUCCESS markers)
+    has_files = has_data_files(loc)
     if fresh and has_files:
         ddl = ", ".join(f"{c} {t}" for c, t in cols)
         spark.sql(

@@ -436,9 +436,13 @@ def i_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: quality + fingerprint are scan-side; dedup shuffles
     once on the content hash; the eval-gram set broadcasts; packing is
-    the distributed prefix sum (operators/sampling.pack_sequences) —
-    the oracle's global running-sum window never appears in the plan.
-    cache_plan=False: pack_sequences pins its partitioning (impure)."""
+    ``operators/sampling.pack_sequences``, which cost-dispatches — at
+    scale it takes the 3-stage distributed prefix sum (no global
+    window); at testbed size the survivors' plan-stats sit under
+    SMALL_INPUT_BYTES so the executed plan here IS the single-task
+    running-sum window (identical output, pinned by the operator's
+    dual-path tests). cache_plan=False: the distributed path pins its
+    partitioning (impure)."""
     import re as _re
 
     import pandas as pd

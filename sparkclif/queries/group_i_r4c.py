@@ -71,9 +71,12 @@ from sparkclif.registry import register
 def i_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span dedup: remove every occurrence of a repeated
     3-word segment except the globally first (by (doc_id, pos));
-    rebuild each document from its surviving segments. Map-side-
-    combinable min(struct) winner agg + shuffle join on segment —
-    the winner table is vocabulary-sized and never broadcasts."""
+    rebuild each document from its surviving segments. The operator
+    cost-dispatches: at scale, a map-side-combinable min(struct)
+    winner agg + shuffle join on segment (the winner table is
+    vocabulary-sized and never broadcasts); at testbed size the same
+    min(struct) runs as a window over ``seg`` — one scan instead of
+    two (identical output, both paths pinned by tests)."""
     docs = spread(table(spark, sf_dir, "documents"))
     return C.segment_dedup(docs, width=3)
 

@@ -31,6 +31,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkclif.io import has_data_files
 from sparkclif.streaming.source import stream_shuffle
 
 
@@ -72,9 +73,7 @@ def stream_window_counts(
     # If every window was still open at stream end, append-mode emits
     # nothing and out_dir never materializes — return an empty frame
     # with the contract schema instead of letting the read raise.
-    if not os.path.isdir(out_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(out_dir)
-    ):
+    if not has_data_files(out_dir):
         return spark.createDataFrame(
             [], "window_start timestamp, event_type string, n long"
         )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 import shutil
 
+from sparkclif.io import has_data_files
 from sparkclif.queries.group_c import _ensure_bucketed
 
 
@@ -22,8 +23,8 @@ def test_ddl_reregister_reuses_files(spark, sf_dir):
     tbl = _ensure_bucketed(spark, sf_dir, "b_orders")
     loc = _loc(spark, tbl)
     # the session skips _SUCCESS markers; bucket data files are the
-    # layout sentinel
-    assert any(f.endswith(".parquet") for f in os.listdir(loc))
+    # layout sentinel (shared rule: io.has_data_files)
+    assert has_data_files(loc)
 
     # Simulate a fresh session's empty catalog WITHOUT losing the data:
     # stash the files, drop the table, restore the files. The first

@@ -262,3 +262,10 @@ def test_issue_sink_without_token_posts_nothing(spark):
     assert [(r["ok"], r["message"]) for r in rows] == [
         (False, "GITHUB_TOKEN is not set.")
     ]
+    # the reference branches on falsy `if not token:` (app.py:234), so
+    # the empty-string shape os.environ.get('GITHUB_TOKEN', '') must
+    # take the same branch — not fire requests with 'Bearer '
+    rows = post_issues(spark, issues, post, token="").collect()
+    assert [(r["ok"], r["message"]) for r in rows] == [
+        (False, "GITHUB_TOKEN is not set.")
+    ]

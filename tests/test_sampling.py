@@ -53,6 +53,40 @@ def test_pack_sequences_matches_single_window(spark, sf_dir):
     assert got_w == truth, "window fast path drifted from ground truth"
 
 
+def test_dispatch_contract(spark, sf_dir):
+    """Cost-dispatch contract: an explicit ``num_partitions`` pins the
+    distributed path even on a small input (the single-task window
+    cannot honor a partitioning request), and a mistyped ``force``
+    raises instead of silently pinning whichever path the if-chain
+    falls through to."""
+    import pytest
+
+    from sparkclif.operators.corpus import segment_dedup
+    from sparkclif.operators.rank import exact_percentiles
+    from sparkclif.operators.sampling import grouped_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tok")
+    )
+    # sf0.001 docs sit well under SMALL_INPUT_BYTES: without the
+    # explicit num_partitions this would auto-pick the window path
+    out = pack_sequences(docs, "doc_id", "n_tok", budget=2048, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "num_partitions was ignored"
+
+    tiny = spark.range(4).selectExpr(
+        "cast(id as string) AS doc_id", "'a b c d e' AS text"
+    )
+    for call in (
+        lambda: pack_sequences(docs, "doc_id", "n_tok", budget=2048, force="widnow"),
+        lambda: grouped_rank(docs, "doc_id", "n_tok", force="auto"),
+        lambda: segment_dedup(tiny, force="distributed"),  # not a segment_dedup path
+        lambda: exact_percentiles(docs, "doc_id", [("n_tok", 0.5, "p50")], force="Window"),
+    ):
+        with pytest.raises(ValueError, match="force must be one of"):
+            call()
+
+
 def test_portable_bucket_matches_hashlib(spark):
     """The engine-portable bucket is pinned to md5 semantics — guards
     against conv/md5/cast drift across Spark versions."""
