@@ -308,9 +308,10 @@ def i_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (8 subspaces × 16 codes, exact
     integer basis, deterministic md5 codebook): 64 floats become 8
-    code bytes + exact residuals — the IVF-PQ compression step. Scan
-    + broadcast codebook + one map-side-combined argmin agg
-    (operators/quantize.py)."""
+    code bytes + exact residuals — the IVF-PQ compression step. The
+    codebook rides the plan as a map literal and the argmin is an
+    in-row array_min over per-codeword (dist, code) structs: pure
+    scan-side, zero joins/shuffles (operators/quantize.py)."""
     from sparkclif.operators.quantize import pq_encode
 
     emb = spread(table(spark, sf_dir, "embeddings"))
