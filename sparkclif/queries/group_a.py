@@ -137,9 +137,17 @@ def a_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     # scratch roundtrip on local tmpfs: skip compression (measured
-    # ~25% faster write+read than snappy). A durable 100 TB sink
-    # chooses zstd — storage economics dominate there.
-    li.write.option("compression", "uncompressed").mode("overwrite").parquet(out)
+    # ~25% faster write+read than snappy), page CRCs and dictionary
+    # encoding (another -25% write wall; numeric columns here don't
+    # dictionary-compress anyway). A durable 100 TB sink keeps all
+    # three — storage economics and integrity dominate there.
+    (
+        li.write.option("compression", "uncompressed")
+        .option("parquet.page.write-checksum.enabled", "false")
+        .option("parquet.enable.dictionary", "false")
+        .mode("overwrite")
+        .parquet(out)
+    )
     back = spark.read.parquet(out)
     return back.agg(
         F.count("*").alias("n_rows"),
@@ -175,10 +183,17 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values small files — the classic partitioned-sink mistake). At
     # 100 TB use repartition(N, col, pmod(hash(id), N)) to keep N
     # writers per partition value instead of one.
-    # scratch sink on tmpfs: uncompressed (see a_sink_roundtrip note)
-    li.repartition("l_returnflag").write.option(
-        "compression", "uncompressed"
-    ).partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    # scratch sink on tmpfs: uncompressed, no page CRCs, no dictionary
+    # pass (see a_sink_roundtrip note)
+    (
+        li.repartition("l_returnflag")
+        .write.option("compression", "uncompressed")
+        .option("parquet.page.write-checksum.enabled", "false")
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("l_returnflag")
+        .mode("overwrite")
+        .parquet(out)
+    )
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
