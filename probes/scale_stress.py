@@ -130,6 +130,11 @@ def main() -> None:
     from sparkclif.operators import similarity as S
 
     timed(f"lsh_ann_{k}x", lambda: S.lsh_ann(emb_k, k=3).count())
+    # PQ encode is a pure scan (codebook is a plan literal, argmin is
+    # in-row) — wall must track the scan, i.e. ~linear in k
+    from sparkclif.operators.quantize import pq_encode
+
+    timed(f"pq_encode_{k}x", lambda: pq_encode(emb_k).count())
     # fixed cluster count = postings lists grow with N = O(N²) search
     # (the documented failure); auto sqrt(N) clusters restore ~N^1.5
     timed(f"ivf_{k}x_fixed16", lambda: S.ivf_ann(emb_k, k=3, n_clusters=16).count())
