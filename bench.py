@@ -73,8 +73,13 @@ def main() -> None:
     # the VM itself has multi-minute slow phases; min-of-N measures
     # the engine, not the weather. Budget gates trim passes when the
     # weather is bad. The DuckDB baseline below gets the same protocol.
+    # Gates sized so the suite lands at best-of-2/3 in practice: the
+    # cold pass + first warm pass take ~45-50% of budget, and the old
+    # 0.4 first gate cut every run to best-of-1 — exactly when the
+    # VM's slow phases (observed 1.6x-2.2x aggregate swings between
+    # back-to-back runs) need min-of-N the most.
     n_passes = 0
-    _gates = {1: 0.4, 2: 0.55, 3: 0.7}
+    _gates = {1: 0.52, 2: 0.66, 3: 0.78}
     for _pass in range(4):
         if _pass > 0 and time.perf_counter() - bench_t0 > budget * _gates[_pass]:
             break

@@ -234,20 +234,21 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF with an
     integer IDF surrogate (idf_bp = n_docs*10⁴ div df — monotone in
     1/df, so rankings match log-IDF, and the arithmetic is exact
-    cross-engine). Plan: tf agg (map-side combined) + vocabulary-sized
-    idf table broadcast back + per-doc top-3 window with deterministic
-    ties. The same two-pass + broadcast shape as rarity_score."""
+    cross-engine). Plan: ONE tokenize pass — tf agg (map-side
+    combined), then df derived FROM the tf relation (tf already holds
+    one row per (doc, tok), so df is a plain count over it; the
+    sparse-pairs df-from-tf move) — vocabulary-sized idf table
+    broadcast back + per-doc top-3 window with deterministic ties.
+    AQE's ReusedExchange dedupes tf's exchange between the idf branch
+    and the scored branch at runtime."""
     docs = spread(table(spark, sf_dir, "documents"))
     from sparkclif.operators.text import tokens as _tokens
 
     w = docs.select("doc_id", F.explode(_tokens("text")).alias("tok"))
     tf = w.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     n_docs = docs.agg(F.count("*").cast("long").alias("__n"))
-    # df via scan-side per-doc distinct + plain count — no
-    # countDistinct expand (see corpus.rarity_score)
     idf = (
-        docs.select(F.explode(F.array_distinct(_tokens("text"))).alias("tok"))
-        .groupBy("tok")
+        tf.groupBy("tok")
         .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .select("tok", F.expr("(__n * 10000) div __df").alias("idf_bp"))
