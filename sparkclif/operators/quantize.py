@@ -186,11 +186,11 @@ def pq_encode(
         ).alias("sub", "sv"),
     ).select(id_col, F.col("sub").cast("int").alias("sub"), "sv")
 
-    # seed selection carries the RAW vectors and quantizes the 16
-    # winners driver-side: int_basis over every candidate row in the
-    # TakeOrdered scan was ~40% of warm build time, and
-    # math.floor(float64(x) * QUANT) is bit-identical to the column
-    # form (the collected float32 widens to the same double)
+    # seed selection carries the RAW vectors through the sort and
+    # projects int_basis AFTER the limit: the projection then compiles
+    # into TakeOrderedAndProject, so the basis (one definition, the
+    # shared helper) runs on only the n_codes survivors instead of
+    # every candidate row (~40% of warm build time before)
     seeds = (
         emb.select(
             F.col(vec_col).alias("__v"),
@@ -201,13 +201,20 @@ def pq_encode(
         )
         .orderBy("__h", "__sid")
         .limit(n_codes)
+        .select(int_basis(F.col("__v")).alias("qv"))
         .collect()
     )
-    import math
-
-    seed_qvs = [
-        [math.floor(float(x) * QUANT) for x in r["__v"]] for r in seeds
-    ]
+    seed_qvs = [[int(x) for x in r["qv"]] for r in seeds]
+    if not seeds:
+        # empty input: preserve the broadcast-join version's graceful
+        # empty result — an all-literal empty codebook would type as
+        # array<void> and fail analysis in the lambda field accesses
+        return subs.select(
+            id_col,
+            "sub",
+            F.lit(None).cast("int").alias("code"),
+            F.lit(None).cast("long").alias("dist_sq"),
+        ).where(F.lit(False))
     # codebook as a plan literal: map<sub, array<struct<code, cv>>>
     cb_by_sub = {
         sub: [

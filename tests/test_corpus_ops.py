@@ -419,6 +419,20 @@ def test_pq_encode_numpy_model(spark):
     assert got == want
 
 
+def test_pq_encode_empty_input(spark):
+    """Zero input rows must yield an empty typed result, not an
+    analysis error (the all-literal empty codebook would type as
+    array<void> without the guard)."""
+    from sparkclif.operators.quantize import pq_encode
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = pq_encode(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "sub", "code", "dist_sq",
+    ]
+
+
 def test_resize_media_short_and_model(spark):
     """resize_media == numpy model; payloads shorter than target hit
     only the buckets the closed-form map produces; empty payloads
