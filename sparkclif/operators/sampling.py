@@ -209,8 +209,15 @@ def pack_sequences(
     for pid in sorted(pid_totals):
         offsets[pid] = acc
         acc += int(pid_totals[pid])
-    mapping = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    # empty input: an argless create_map() types as map<void,void>
+    # and the [__pid] lookup fails analysis — zero is the identity
+    # offset for the zero rows it would stamp
+    offset_of_pid = (
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])[
+            F.col("__pid")
+        ]
+        if offsets
+        else F.lit(0).cast("long")
     )
 
     w = (
@@ -218,7 +225,7 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    before = F.sum(count_col).over(w) - F.col(count_col) + mapping[F.col("__pid")]
+    before = F.sum(count_col).over(w) - F.col(count_col) + offset_of_pid
     # integer `div`, not floor(a/b): double division rounds once the
     # cumulative count passes 2^53 (same hazard io.py avoids for nanos)
     return part.withColumn("__before", before).selectExpr(
@@ -303,20 +310,26 @@ def grouped_rank(
         offsets[(r["__pid"], g)] = acc_by_group.get(g, 0)
         acc_by_group[g] = acc_by_group.get(g, 0) + int(r["__c"])
 
-    mapping = F.create_map(
-        *[
-            c
-            for (pid, g), off in sorted(offsets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))
-            for c in (
-                F.concat_ws("|", F.lit(str(pid)), F.lit(str(g))),
-                F.lit(off),
-            )
-        ]
+    key = F.concat_ws("|", F.col("__pid").cast("string"), F.col(group_col).cast("string"))
+    # empty input: an argless create_map() types as map<void,void>
+    # and the [key] lookup fails analysis — zero offset for zero rows
+    offset_of_key = (
+        F.create_map(
+            *[
+                c
+                for (pid, g), off in sorted(offsets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))
+                for c in (
+                    F.concat_ws("|", F.lit(str(pid)), F.lit(str(g))),
+                    F.lit(off),
+                )
+            ]
+        )[key]
+        if offsets
+        else F.lit(0)
     )
     w = Window.partitionBy("__pid", group_col).orderBy(order_col)
-    key = F.concat_ws("|", F.col("__pid").cast("string"), F.col(group_col).cast("string"))
     return (
-        part.withColumn(rank_name, F.row_number().over(w) + mapping[key])
+        part.withColumn(rank_name, F.row_number().over(w) + offset_of_key)
         .drop("__pid")
     )
 

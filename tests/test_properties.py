@@ -324,3 +324,104 @@ def test_countmin_weighted_equals_occurrences(spark, vals):
         tuple(r) for r in count_min(counted, weight_col="w").collect()
     )
     assert a == b
+
+
+pack_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), st.integers(0, 50)),
+    min_size=0,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=pack_rows, budget=st.integers(1, 64))
+@_settings
+def test_pack_sequences_paths_match_model(spark, rows, budget):
+    """Both cost-dispatch paths of pack_sequences == the plain Python
+    running sum, for random (order, count) inputs — the dual-path
+    guarantee beyond the fixed testbed corpus."""
+    from sparkclif.operators.sampling import pack_sequences
+
+    run, model = 0, {}
+    for k, c in sorted(rows):
+        model[k] = run // budget
+        run += c
+    schema = "k long, c long"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    for force, n_part in (("window", None), ("distributed", None), ("distributed", 3)):
+        got = {
+            r["k"]: r["shard_id"]
+            for r in pack_sequences(
+                df, "k", "c", budget=budget, num_partitions=n_part, force=force
+            ).collect()
+        }
+        assert got == model, (force, n_part)
+
+
+rank_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 1000)),
+    min_size=0,
+    max_size=24,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=rank_rows)
+@_settings
+def test_grouped_rank_paths_match_model(spark, rows):
+    """Both cost-dispatch paths of grouped_rank == per-group sorted
+    1-based positions, for random (group, order) inputs."""
+    from sparkclif.operators.sampling import grouped_rank
+
+    model = {}
+    for g in {g for g, _ in rows}:
+        for i, o in enumerate(sorted(o for gg, o in rows if gg == g)):
+            model[(g, o)] = i + 1
+    schema = "g string, o long"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    for force, n_part in (("window", None), ("distributed", None), ("distributed", 2)):
+        got = {
+            (r["g"], r["o"]): r["pos"]
+            for r in grouped_rank(
+                df, "g", "o", num_partitions=n_part, force=force
+            ).collect()
+        }
+        assert got == model, (force, n_part)
+
+
+seg_docs = st.lists(
+    st.tuples(
+        st.integers(0, 100),
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=9).map(" ".join),
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=seg_docs)
+@_settings
+def test_segment_dedup_paths_agree(spark, docs):
+    """The window and join paths of segment_dedup must emit identical
+    rows for random tiny corpora — repeated segments across and
+    within documents, empty docs, remnant tails."""
+    from sparkclif.operators.corpus import segment_dedup
+
+    schema = "doc_id long, text string"
+    df = (
+        spark.createDataFrame(docs, schema)
+        if docs
+        else spark.createDataFrame([], schema)
+    )
+    a = sorted(tuple(r) for r in segment_dedup(df, width=2, force="window").collect())
+    b = sorted(tuple(r) for r in segment_dedup(df, width=2, force="join").collect())
+    assert a == b
