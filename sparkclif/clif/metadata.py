@@ -50,11 +50,10 @@ def github_raw_url(repo_url: Column, path: Column | str) -> Column:
     )
 
 
-@F.udf(META_SCHEMA)
-def _parse_yaml_udf(body: str):
-    """YAML scalar parse (reference's yaml.safe_load, metadata.py:38).
-    PyYAML if present; else a minimal key/value+list subset parser
-    sufficient for project.yaml shapes."""
+def _parse_yaml_one(body):
+    """YAML parse of ONE document (reference's yaml.safe_load,
+    metadata.py:38). PyYAML if present; else a minimal key/value+list
+    subset parser sufficient for project.yaml shapes."""
     try:
         try:
             import yaml  # type: ignore
@@ -75,6 +74,21 @@ def _parse_yaml_udf(body: str):
         )
     except Exception:
         return (None, None, None, None)
+
+
+@F.pandas_udf(META_SCHEMA)
+def _parse_yaml_udf(bodies):
+    """Arrow-batched YAML parse: one Python call per batch instead of
+    per row (the parse itself is per-document either way — the batch
+    form removes only the per-row invocation overhead, which is the
+    whole cost at metadata-file sizes)."""
+    import pandas as pd
+
+    rows = [_parse_yaml_one(b) for b in bodies]
+    return pd.DataFrame(
+        rows,
+        columns=["project_name", "name", "description", "tables_required"],
+    )
 
 
 def _mini_yaml(body: str) -> dict:

@@ -48,6 +48,10 @@ def funnel_stages(
     equal-timestamp events tie-sort; ``seq_col`` in the sort keys
     makes the array itself deterministic anyway.
     """
+    if not steps:
+        # argless create_map()/isin() would fail analysis with a
+        # cryptic type error — make the precondition explicit
+        raise ValueError("funnel_stages requires at least one step type")
     n = len(steps)
     type_to_idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
