@@ -64,30 +64,33 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_t0 = time.perf_counter()
 
+    # Pass 0 doubles as the COLD measurement (a cold pass IS a first
+    # run — the old separate cold loop burned ~25% of budget on an
+    # extra warm-up sweep); passes 1..3 are the warm best-of-N
+    # candidates. Per-query noise on this shared VM is ±2-5x on
+    # Python-worker-heavy kernels (worker pool churn, GC) and the VM
+    # itself has multi-minute slow phases; min-of-N measures the
+    # engine, not the weather. Budget gates trim passes when the
+    # weather is bad. The DuckDB baseline below gets the same protocol.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name in sorted(specs):
-        cold[name] = run_spark(name)
-    # best-of-4 timed passes: per-query noise on this shared VM is
-    # ±2-5x on Python-worker-heavy kernels (worker pool churn, GC) and
-    # the VM itself has multi-minute slow phases; min-of-N measures
-    # the engine, not the weather. Budget gates trim passes when the
-    # weather is bad. The DuckDB baseline below gets the same protocol.
-    # Gates sized so the suite lands at best-of-2/3 in practice: the
-    # cold pass + first warm pass take ~45-50% of budget, and the old
-    # 0.4 first gate cut every run to best-of-1 — exactly when the
-    # VM's slow phases (observed 1.6x-2.2x aggregate swings between
-    # back-to-back runs) need min-of-N the most.
     n_passes = 0
-    _gates = {1: 0.52, 2: 0.66, 3: 0.78}
+    _gates = {1: 0.35, 2: 0.5, 3: 0.62}
     for _pass in range(4):
         if _pass > 0 and time.perf_counter() - bench_t0 > budget * _gates[_pass]:
             break
-        n_passes += 1
         for name in sorted(specs):
             t = run_spark(name)
-            if name not in timings or t < timings[name]:
+            if _pass == 0:
+                cold[name] = t
+            elif name not in timings or t < timings[name]:
                 timings[name] = t
+        if _pass > 0:
+            n_passes += 1
+    if not timings:
+        # budget exhausted after the cold pass alone: report the cold
+        # numbers rather than an empty suite
+        timings = dict(cold)
 
     # Fixed per-query floors of local-mode Spark, reported so total
     # wall-clock decomposes into engine work vs harness floor (the
