@@ -126,39 +126,37 @@ def cohort_retention(
     round-trips as datetime.date vs datetime64 across engines and
     breaks a stringifying hash compare; the ISO string is portable).
 
-    Plan: the (user -> first ts) relation is one map-side-combined
-    min() agg; it joins back onto the event scan on the unique user
-    key; the (user, cohort, k) distinct collapses per-user activity
-    BEFORE the counting agg — stated as dropDuplicates so the
-    aggregation is a plain count (partial-combinable), not a
-    count(distinct) expand. The k arithmetic is integer day-diffs
-    div 7 — exact cross-engine.
+    Plan: collapse the stream to DISTINCT (user, week) FIRST — one
+    map-side-combinable dedup over the raw scan; date_trunc is
+    monotone, so week(min ts) = min(week ts) and the cohort week is a
+    plain min() over that already-tiny relation, which then
+    self-joins on the unique user key. Everything after the first
+    dedup is (users × active-weeks)-sized, never event-stream-sized
+    — the dedupe-before-join shape that matters at 100 TB (the
+    earlier formulation joined the full event scan and deduped
+    after). The counting agg is a plain count (partial-combinable):
+    rows are already distinct per (user, cohort, k). The k arithmetic
+    is integer day-diffs div 7 — exact cross-engine.
     """
-    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
     # NOTE: callers pass the event stream to cohort on — e.g. a
     # deterministic hash-sampled slice when the raw stream is so dense
     # that every user's first event lands in week 0 (see
     # queries/group_events.py).
-    cohorted = events.select(user_col, F.col(ts_col)).join(first, user_col)
-    marked = cohorted.select(
-        user_col,
-        F.date_format(F.date_trunc("week", "__first_ts"), "yyyy-MM-dd").alias(
-            "cohort_week"
-        ),
-        (
-            F.datediff(
-                F.date_trunc("week", ts_col).cast("date"),
-                F.date_trunc("week", "__first_ts").cast("date"),
-            )
-            / 7
+    weeks = events.select(
+        user_col, F.date_trunc("week", ts_col).cast("date").alias("__wk")
+    ).dropDuplicates([user_col, "__wk"])
+    first = weeks.groupBy(user_col).agg(F.min("__wk").alias("__first_wk"))
+    marked = (
+        weeks.join(first, user_col)
+        .select(
+            user_col,
+            F.date_format("__first_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("__wk", "__first_wk") / 7).cast("long").alias("week_k"),
         )
-        .cast("long")
-        .alias("week_k"),
-    ).where(F.col("week_k") <= max_weeks)
-    return (
-        marked.dropDuplicates([user_col, "cohort_week", "week_k"])
-        .groupBy("cohort_week", "week_k")
-        .agg(F.count("*").cast("long").alias("n_active"))
+        .where(F.col("week_k") <= max_weeks)
+    )
+    return marked.groupBy("cohort_week", "week_k").agg(
+        F.count("*").cast("long").alias("n_active")
     )
 
 
