@@ -64,33 +64,32 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_t0 = time.perf_counter()
 
-    # Pass 0 doubles as the COLD measurement (a cold pass IS a first
-    # run — the old separate cold loop burned ~25% of budget on an
-    # extra warm-up sweep); passes 1..3 are the warm best-of-N
-    # candidates. Per-query noise on this shared VM is ±2-5x on
-    # Python-worker-heavy kernels (worker pool churn, GC) and the VM
-    # itself has multi-minute slow phases; min-of-N measures the
-    # engine, not the weather. Budget gates trim passes when the
-    # weather is bad. The DuckDB baseline below gets the same protocol.
+    # Pass 0 runs each query COLD then immediately WARM (back-to-back:
+    # the second run reuses the cached plan + hot codegen/worker pool
+    # for that exact query shape), so one warm measurement per query is
+    # GUARANTEED before any budget gate fires — the round-5 driver run
+    # tripped the old gate after the cold sweep alone and published
+    # cold numbers as "warm, best-of-0" (VERDICT r5 item 1). Passes
+    # 1..2 add warm best-of-N candidates when budget allows. Per-query
+    # noise on this shared VM is ±2-5x on Python-worker-heavy kernels
+    # (worker pool churn, GC) and the VM itself has multi-minute slow
+    # phases; min-of-N measures the engine, not the weather. The
+    # DuckDB baseline below gets the same warm-then-timed protocol.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     n_passes = 0
-    _gates = {1: 0.35, 2: 0.5, 3: 0.62}
-    for _pass in range(4):
+    _gates = {1: 0.5, 2: 0.62}
+    for _pass in range(3):
         if _pass > 0 and time.perf_counter() - bench_t0 > budget * _gates[_pass]:
             break
         for name in sorted(specs):
             t = run_spark(name)
             if _pass == 0:
                 cold[name] = t
-            elif name not in timings or t < timings[name]:
+                t = run_spark(name)  # guaranteed warm run, same shape
+            if name not in timings or t < timings[name]:
                 timings[name] = t
-        if _pass > 0:
-            n_passes += 1
-    if not timings:
-        # budget exhausted after the cold pass alone: report the cold
-        # numbers rather than an empty suite
-        timings = dict(cold)
+        n_passes += 1
 
     # Fixed per-query floors of local-mode Spark, reported so total
     # wall-clock decomposes into engine work vs harness floor (the

@@ -28,6 +28,29 @@ from pyspark.sql import functions as F
 
 TOPK_SCHEMA = "vec_id long, neighbor_id long, cosine double"
 
+# Plan-stats bound for the exact broadcast variants: below it the full
+# (ids, matrix) comfortably fits the driver and every executor (64 MB
+# of plan bytes ~ 130k x dim-64 float64 vectors ~ 67 MB dense); above
+# it cosine_topk / cosine_threshold_pairs auto-route to their LSH
+# scale paths instead of OOMing the driver on toPandas(). force=
+# pins a path (tests, or a caller that KNOWS recall-1 is required).
+EXACT_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _dispatch_exact(embeddings: DataFrame, force: str | None) -> str:
+    """Shared cost dispatch for the exact-broadcast variants, the same
+    plan-stats rule as rank.exact_percentiles / corpus.segment_dedup
+    (VERDICT r5 item 2): optimizer row/size estimate vs a fixed bound.
+    The estimate can under-read post-filter inputs (see
+    sampling.py:172 note) — force="broadcast" / "lsh" overrides."""
+    from sparkclif.operators.rank import validate_force
+
+    validate_force(force, {"broadcast", "lsh"})
+    if force is None:
+        size = embeddings._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        force = "broadcast" if size <= EXACT_BROADCAST_BYTES else "lsh"
+    return force
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -57,12 +80,23 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force: str | None = None,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Exact cosine top-k self-join via broadcast + block matmul.
 
     Per Arrow batch: float64 matmul against the broadcast matrix,
     block-local top-k per row (argpartition, O(N) per row), then a
-    global window merge. Self-matches excluded."""
+    global window merge. Self-matches excluded.
+
+    Cost-dispatched: inputs past EXACT_BROADCAST_BYTES route to
+    ``lsh_ann`` (same output schema; approximate — recall follows the
+    LSH collision probability, concentrated on the high-cosine
+    neighbors that matter) instead of collecting a larger-than-driver
+    table. ``force`` ("broadcast" | "lsh") pins a path;
+    ``lsh_kwargs`` (n_tables, dim, seed, ...) pass through."""
+    if _dispatch_exact(embeddings, force) == "lsh":
+        return lsh_ann(embeddings, k=k, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
     spark = embeddings.sparkSession
     pdf = embeddings.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
@@ -297,6 +331,8 @@ def cosine_threshold_pairs(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force: str | None = None,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
     with cosine >= tau. Broadcast + block matmul, same kernel shape as
@@ -304,14 +340,20 @@ def cosine_threshold_pairs(
     matrix and emits ONLY qualifying pairs — the N^2 similarity matrix
     is never materialized as rows.
 
-    Scale path: broadcast works while one side fits executor memory
-    (~millions of vectors); past that, swap the candidate generator for
-    the LSH bucket join (lsh_ann) and keep this kernel as the exact
-    verifier within buckets.
+    Cost-dispatched: inputs past EXACT_BROADCAST_BYTES route to
+    ``cosine_threshold_pairs_lsh`` (same schema; a precision-1 subset
+    — every emitted pair is exact-verified in-bucket, recall is the
+    LSH collision probability) instead of collecting a larger-than-
+    driver table. ``force`` ("broadcast" | "lsh") pins a path;
+    ``lsh_kwargs`` pass through.
 
     The kernel thresholds with a 1e-4 margin and the final filter
     applies round(cosine, 4) >= tau, so boundary pairs agree with a
     SQL oracle that rounds the same way."""
+    if _dispatch_exact(embeddings, force) == "lsh":
+        return cosine_threshold_pairs_lsh(
+            embeddings, tau=tau, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+        )
     spark = embeddings.sparkSession
     pdf = embeddings.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()

@@ -339,9 +339,12 @@ def i_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-ed tables x 6 bits) + exact re-rank within bucket; recall vs
     exact measured in tests."""
     raw = table(spark, sf_dir, "embeddings")
-    # metadata-cheap count on the raw scan for auto plane sizing —
-    # counting the spread() df would shuffle every vector first
-    return S.lsh_ann(spread(raw), k=3, n_rows=raw.count())
+    # plane sizing needs only N: read it from parquet footers (zero
+    # Spark jobs) — counting the spread() df would shuffle every
+    # vector first, and even raw.count() is a full extra scan pass
+    from sparkclif.io import parquet_row_count
+
+    return S.lsh_ann(spread(raw), k=3, n_rows=parquet_row_count(sf_dir, "embeddings"))
 
 
 @register(

@@ -149,5 +149,9 @@ def i_dedup_embedding_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     once. Same output contract as i_dedup_embedding, one-sided error
     (subset, exact cosines). See operators/similarity.py
     cosine_threshold_pairs_lsh and SCALE.md."""
+    from sparkclif.io import parquet_row_count
+
     raw = table(spark, sf_dir, "embeddings")
-    return S.cosine_threshold_pairs_lsh(raw, tau=0.4, n_rows=raw.count())
+    return S.cosine_threshold_pairs_lsh(
+        raw, tau=0.4, n_rows=parquet_row_count(sf_dir, "embeddings")
+    )
