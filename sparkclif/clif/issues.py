@@ -66,7 +66,9 @@ def post_issues(
     order); one attempt per row, no retry — retry policy belongs to
     the transport, as in ``ingest.fetch_catalog_payloads``."""
     rows = issues.select("event_id", "user_id", "title", "description").collect()
-    rows.sort(key=lambda r: r["event_id"])
+    # None-safe key: a NULL event_id must sort (first) instead of
+    # raising TypeError on None < int
+    rows.sort(key=lambda r: (r["event_id"] is not None, r["event_id"]))
     out = []
     headers = {
         "Authorization": f"Bearer {token}",

@@ -47,11 +47,13 @@ def has_data_files(path: str, suffix: str = ".parquet") -> bool:
     markers (committer tuning), so "directory exists and holds at least
     one data file" is THE rule for a completed write. Keep the rule
     here — streaming/late.py, queries/group_c.py and the layout tests
-    all consult it."""
+    all consult it. Recursive: a partitionBy() sink puts its data
+    files in value subdirectories, so a top-level-only listing would
+    report a completed partitioned write as absent."""
     import os
 
     return os.path.isdir(path) and any(
-        f.endswith(suffix) for f in os.listdir(path)
+        f.endswith(suffix) for _, _, files in os.walk(path) for f in files
     )
 
 
@@ -138,7 +140,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: "list[str] | None" = None,
+) -> DataFrame:
     """Repartition up to the session's default parallelism before
     compute-heavy per-row work (hashing, shingling, UDF kernels).
 
@@ -147,11 +153,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     one core. At 100 TB the scan already yields thousands of
     partitions, so this is a no-op there — only the tiny-file case
     pays the extra (cheap) shuffle.
-    """
+
+    ``by``: hash-partition on these columns instead of round-robin —
+    free exchange reuse when we're shuffling anyway: a downstream
+    groupBy/window whose keys start with (or equal) ``by`` satisfies
+    its ClusteredDistribution from this exchange and plans NO new one
+    (EnsureRequirements). At scale, where spread() is a no-op, the
+    downstream ops keep their own map-side-combined exchanges — the
+    right plan there; ``by`` only piggybacks keys onto a shuffle the
+    tiny-file case already pays."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if _num_partitions(df) < target:
-        return df.repartition(target)
+        return df.repartition(target, *by) if by else df.repartition(target)
     return df
 
 

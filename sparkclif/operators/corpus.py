@@ -115,36 +115,49 @@ def rarity_score(
     (``rare_bp`` is basis points by integer division), so the SQL
     restatement is exact.
 
-    Plan: token explode -> (token -> df) aggregation (vocabulary-sized
-    output, map-side combined) -> the COMMON set joins back by
-    broadcast and rare = not-common. Broadcasting the common side, not
-    the rare side, is what scales: under a Zipfian vocabulary the
-    tokens ABOVE a df threshold are a few hundred stopword-like types
-    no matter the corpus size, while the rare tail IS the vocabulary —
-    broadcasting it would ship billions of rows to every executor.
-    The corpus size scalar is a 1-row broadcast cross join, not a
-    driver-side ``.count()`` — the plan stays pure/cacheable and the
-    oracle's scalar subquery matches.
+    Plan: ONE tokenize pass into a per-doc term-frequency relation;
+    df derives FROM tf (tf holds one row per (doc, tok), so a plain
+    row count per tok IS document frequency — the sparse_cosine_pairs
+    / bigram_lm_score one-fewer-pass move; the old formulation
+    re-scanned + re-tokenized the corpus just for df). The COMMON set
+    (df above threshold) joins back onto tf by broadcast and rare =
+    not-common. Broadcasting the common side, not the rare side, is
+    what scales: under a Zipfian vocabulary the tokens ABOVE a df
+    threshold are a few hundred stopword-like types no matter the
+    corpus size, while the rare tail IS the vocabulary — broadcasting
+    it would ship billions of rows to every executor. The corpus size
+    scalar is a 1-row broadcast cross join, not a driver-side
+    ``.count()`` — the plan stays pure/cacheable and the oracle's
+    scalar subquery matches. When the caller pre-partitions docs on
+    ``id_col`` (spread by=), the tf agg and the final per-doc agg
+    both reuse that exchange — only the vocabulary-sized df agg
+    shuffles.
 
     Precondition: one row per ``id_col`` (see boilerplate_removal —
-    df counts rows after scan-side per-row token dedup).
+    df counts one tf row per (doc, tok)).
     """
-    toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    tf = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("__tf"))
+    )
+    # tf feeds TWO consumers (the df branch and the marked join);
+    # materialize so tokenize runs once (see sparse_cosine_pairs for
+    # the localCheckpoint honesty/cluster notes) — callers register
+    # with cache_plan=False so timed runs re-pay the materialization
+    tf = tf.localCheckpoint(eager=False)
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
-    # df via scan-side per-doc distinct + plain count (map-side
-    # combinable) — not a countDistinct expand; see boilerplate_removal
     common = (
-        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-        .groupBy("tok")
+        tf.groupBy("tok")
         .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("__df") * 100 > F.col("__n_docs") * rare_df_pct)
         .select("tok", F.lit(1).alias("__common"))
     )
-    marked = toks.join(F.broadcast(common), "tok", "left")
+    marked = tf.join(F.broadcast(common), "tok", "left")
     counted = marked.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_toks"),
-        F.sum(F.when(F.col("__common").isNull(), 1).otherwise(0))
+        F.sum("__tf").cast("long").alias("n_toks"),
+        F.sum(F.when(F.col("__common").isNull(), F.col("__tf")).otherwise(0))
         .cast("long")
         .alias("n_rare"),
     )
@@ -194,11 +207,11 @@ def segment_dedup(
     Precondition: one row per ``id_col``. ``force`` ("join" |
     "window") pins a path for tests.
     """
-    from sparkclif.operators.rank import SMALL_INPUT_BYTES, validate_force
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, plan_size_bytes, validate_force
 
     validate_force(force, {"join", "window"})
     if force is None:
-        size = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = plan_size_bytes(docs)
         force = "window" if size <= SMALL_INPUT_BYTES else "join"
     segs = docs.select(
         id_col, F.posexplode_outer(word_segments(text_col, width)).alias("pos", "seg")
@@ -303,6 +316,15 @@ def bigram_lm_score(
         id_col,
         F.explode(bind(F.col("__toks"), bigrams)).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # ONE bigram-stream exchange, shared: the probe join below must
+    # shuffle raw bg rows on (w1, w2) no matter what, and hash-
+    # partitioned-on-(w1, w2) input ALSO satisfies the c12 agg's
+    # ClusteredDistribution — so pre-partitioning here lets both
+    # consumers reuse a single exchange (ReusedExchange: identical
+    # subtrees over the checkpointed toks). The old plan shuffled the
+    # stream twice: once partial-agg'd for c12, once raw for the
+    # probe; total bytes moved were raw + combined, now just raw.
+    bg = bg.repartition("w1", "w2")
 
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
     # c1 derives FROM c12 (c1(w1) = Σ_w2 c12(w1, w2)) — a vocabulary²-

@@ -44,6 +44,24 @@ SMALL_INPUT_BYTES = 8 * 1024 * 1024
 LARGE_INPUT_BYTES = 8 * 1024 * 1024 * 1024
 
 
+def plan_size_bytes(df: "DataFrame") -> int:
+    """Optimizer size estimate used by every cost dispatch in the
+    repo (percentiles, prefix sums, segment dedup, exact cosine).
+    The estimate can UNDER-read compressed or post-filter inputs; if
+    that proves unreliable fleet-wide, set the session conf
+    ``spark.sparkclif.forceDistributed=true`` and every dispatcher
+    takes its distributed/scale path regardless of estimates (the
+    per-call ``force=`` argument still pins individual calls)."""
+    if (
+        df.sparkSession.conf.get("spark.sparkclif.forceDistributed", "false")
+        == "true"
+    ):
+        return 1 << 62
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+
+
 def validate_force(force: str | None, allowed: frozenset[str] | set[str]) -> None:
     """Reject a mistyped ``force`` instead of silently falling through
     to whichever path the if-chain treats as the default — a typo such
@@ -78,7 +96,7 @@ def exact_percentiles(
     "distributed") pins a path for tests."""
     validate_force(force, {"kernel", "window", "bracket", "distributed"})
     if force is None:
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = plan_size_bytes(df)
         if size <= SMALL_INPUT_BYTES:
             force = "kernel"
         elif size <= LARGE_INPUT_BYTES:

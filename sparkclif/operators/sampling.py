@@ -162,14 +162,14 @@ def pack_sequences(
     pins the distributed path — a partitioning request is a contract
     the single-task window cannot honor.
     """
-    from sparkclif.operators.rank import SMALL_INPUT_BYTES, validate_force
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, plan_size_bytes, validate_force
 
     validate_force(force, {"window", "distributed"})
     if force is None:
         if num_partitions is not None:
             force = "distributed"
         else:
-            size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            size = plan_size_bytes(df)
             force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
     if force == "window":
         w = (
@@ -276,14 +276,14 @@ def grouped_rank(
     ``num_partitions`` also pins the distributed path (the
     single-task-per-group window cannot honor a partitioning request).
     """
-    from sparkclif.operators.rank import SMALL_INPUT_BYTES, validate_force
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, plan_size_bytes, validate_force
 
     validate_force(force, {"window", "distributed"})
     if force is None:
         if num_partitions is not None:
             force = "distributed"
         else:
-            size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            size = plan_size_bytes(df)
             force = "window" if size <= SMALL_INPUT_BYTES else "distributed"
     if force == "window":
         w = Window.partitionBy(group_col).orderBy(order_col)

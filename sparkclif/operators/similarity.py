@@ -43,11 +43,19 @@ def _dispatch_exact(embeddings: DataFrame, force: str | None) -> str:
     (VERDICT r5 item 2): optimizer row/size estimate vs a fixed bound.
     The estimate can under-read post-filter inputs (see
     sampling.py:172 note) — force="broadcast" / "lsh" overrides."""
-    from sparkclif.operators.rank import validate_force
+    from sparkclif.operators.rank import plan_size_bytes, validate_force
 
     validate_force(force, {"broadcast", "lsh"})
     if force is None:
-        size = embeddings._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = plan_size_bytes(embeddings)
+        # Long.MaxValue = Catalyst's no-stats sentinel (in-memory
+        # local relations, some non-file sources). UNKNOWN stays on
+        # the exact path: auto-routing to LSH would silently change
+        # semantics (approximate subset) on a toy input, the worse
+        # failure mode — file/catalog sources always carry real stats,
+        # so the 100 TB case still dispatches.
+        if size >= (1 << 63) - 1:
+            size = 0
         force = "broadcast" if size <= EXACT_BROADCAST_BYTES else "lsh"
     return force
 

@@ -1,29 +1,30 @@
 """Driver-checked query surface (SURVEY.md §2.2).
 
 Importing this package registers every query group into
-``sparkclif.registry.REGISTRY`` (120 queries as of round 5), then
+``sparkclif.registry.REGISTRY`` (121 queries as of round 6), then
 reorders the registry so the external driver's correctness runner —
 which verifies the FIRST 50 entries of ``queries()`` in registration
-order (all four CORRECTNESS_r* files cut off exactly there) — covers
+order (all five CORRECTNESS_r* files cut off exactly there) — covers
 this round's must-verify set.
 
-Round-5 window (50): leads with the 21 round-4 late-session queries
-that never got a driver CORRECTNESS row (VERDICT r4 finding 1 — the
-entire remaining correctness debt), then the brand-new
-``i_dedup_embedding_verify`` (the hash-checkable anchor for the
-at-scale embedding dedup's verify stage, VERDICT r4 item 8), then
-the queries whose implementations or executed plans were touched by
-this round's performance work (the prefix-sum family, corpus mix,
-the sink quartet, ``c_join_bucketed``'s new write-path/sentinel, and
-``i_pipeline_end2end`` whose pack stage now cost-dispatches — hashes
-must not move when plans do), then the OLDEST driver rows: the
-round-3-green A-scans, C-joins, H-windowed-aggs, J-udtf and group-I
-text/dedup queries displaced by the round-4 rotation (B/E/F/G and
-the trivial D-aggregates were all re-verified green in round 4/3 and
-sit this round out).
+Round-6 window (50), per VERDICT r5 item 4 (stalest-first rotation):
+leads with everything TOUCHED this round — the brand-new
+``i_sim_ivf_probe_stats`` (the SEARCH-phase anchor completing the
+IVF pair, VERDICT item 8), the three rewritten text-corpus queries
+(``i_text_tfidf``/``i_text_rarity``/``i_text_lm_score``, exchange-
+reuse rewrites whose hashes must not move), ``a_sink_partitioned``
+(salted writer fan-out), the two queries whose count() pre-jobs were
+replaced by parquet-footer metadata (``i_sim_lsh_ann``,
+``i_dedup_embedding_at_scale``), and the two exact-cosine queries
+now behind the broadcast/LSH cost dispatcher (``i_sim_cosine_topk``,
+``i_dedup_embedding``) — then the STALEST driver rows: all 22
+remaining round-3-green queries (C-joins, trivial D-aggs, group-I
+dedup/multimodal/text, J-UDFs), ``d_agg_approx`` (round 2, the
+oldest row), and 18 of the round-4 set (B-predicates, as-of/range
+joins, D-agg shapes, E-windows, F-set-ops).
 
 Outside the window: every remaining query was driver-green in round
-3 or round 4 and is untouched since; all of them are still
+4 or round 5 and is untouched since; all of them are still
 oracle-checked locally each round by tests/test_oracle_parity.py
 under the driver's own row-count+schema+hash comparison, and a
 fresh-process driver simulation (.claude/skills/verify) runs the
@@ -54,56 +55,60 @@ from sparkclif.registry import REGISTRY
 
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
-    "i_dedup_paragraph",
+    # -- touched this round (hashes must not move when plans do) --
+    "i_sim_ivf_probe_stats",
+    "i_text_tfidf",
+    "i_text_rarity",
     "i_text_lm_score",
-    "i_embed_dim_stats",
-    "i_dedup_incremental",
-    "i_tokenizer_pair_counts",
-    "i_sample_pps",
-    "i_sim_sparse_pairs",
-    "i_cluster_kmeans",
-    "e_funnel_steps",
-    "d_agg_retention",
-    "e_session_transitions",
-    "h_stream_late",
-    "i_embed_pq",
-    "d_agg_countmin",
-    "d_agg_hll_registers",
-    "d_agg_hll_estimate",
-    "d_agg_bloom",
-    "d_agg_countmin_topk",
-    "d_agg_cube",
-    "i_multimodal_resize",
-    "e_win_ewma",
-    "i_dedup_embedding_verify",
-    "i_pack_sequences",
-    "i_shard_interleave",
-    "i_corpus_mix",
-    "a_sink_roundtrip",
     "a_sink_partitioned",
-    "a_sink_csv_roundtrip",
-    "a_sink_orc_roundtrip",
-    "c_join_bucketed",
-    "i_pipeline_end2end",
-    "a_scan_parquet",
-    "a_scan_text_lines",
-    "a_scan_json_string",
-    "c_join_inner",
-    "c_join_outer",
-    "c_join_cross",
-    "c_join_theta",
-    "c_join_salted",
-    "h_tumbling",
-    "h_sliding",
-    "h_session",
-    "h_stateful_sessions",
-    "j_udtf",
-    "i_text_tokenize",
-    "i_text_stats",
-    "i_text_quality",
-    "i_text_langid",
-    "i_fingerprint",
-    "i_dedup_exact",
+    "i_sim_lsh_ann",
+    "i_dedup_embedding_at_scale",
+    "i_sim_cosine_topk",
+    "i_dedup_embedding",
+    # -- stalest: round-3 driver rows --
+    "c_join_broadcast_chain",
+    "c_join_full_outer",
+    "c_join_semi_anti",
+    "d_agg_collect_ordered",
+    "d_agg_distinct",
+    "d_agg_global",
+    "d_agg_groupby",
+    "d_agg_pivot",
+    "i_dedup_cluster",
+    "i_dedup_minhash",
+    "i_dedup_ngram_jaccard",
+    "i_dedup_simhash",
+    "i_fingerprint_rolling",
+    "i_multimodal_features",
+    "i_multimodal_frames",
+    "i_multimodal_join",
+    "i_sim_ivf",
+    "i_text_bpe_count",
+    "i_text_pii_scrub",
+    "j_pandas_udf_agg",
+    "j_udf_scalar",
+    # -- oldest row of all (round 2) --
+    "d_agg_approx",
+    # -- next-stalest: round-4 driver rows --
+    "b_conditional",
+    "b_filter_project",
+    "b_predicates",
+    "c_join_asof",
+    "c_join_range_bucketed",
+    "d_agg_grouping_sets",
+    "d_agg_histogram",
+    "d_agg_mode",
+    "d_agg_percentile",
+    "d_agg_unpivot",
+    "e_topk_per_group",
+    "e_win_analytic",
+    "e_win_distribution",
+    "e_win_frame_range",
+    "e_win_frame_rows",
+    "e_win_gapfill",
+    "e_win_rank",
+    "f_distinct",
+    "f_set_ops",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -178,15 +178,19 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey"
     )
-    # Cluster rows by the partition column before the write: without
-    # this every task emits one file per partition value (tasks x
-    # values small files — the classic partitioned-sink mistake). At
-    # 100 TB use repartition(N, col, pmod(hash(id), N)) to keep N
-    # writers per partition value instead of one.
+    # Cluster rows by the partition column WITH a small salt before
+    # the write: repartition(col) alone serializes each partition
+    # value onto ONE writer task (3 tasks here; a straggler at scale),
+    # while no repartition at all emits tasks x values small files —
+    # the classic partitioned-sink mistake. The salt keeps a bounded
+    # k writers per partition value: files stay O(k * values), writers
+    # parallelize (measured 0.61 -> 0.51 s at sf0.1; at 100 TB size k
+    # to the per-value volume).
     # scratch sink on tmpfs: uncompressed, no page CRCs, no dictionary
     # pass (see a_sink_roundtrip note)
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(4))
     (
-        li.repartition("l_returnflag")
+        li.repartition(12, F.col("l_returnflag"), salt)
         .write.option("compression", "uncompressed")
         .option("parquet.page.write-checksum.enabled", "false")
         .option("parquet.enable.dictionary", "false")

@@ -447,33 +447,209 @@ def i_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_schema = "vec_a long, vec_b long, bucket long, cos_q double"
+    _empty = {
+        "vec_a": pd.Series(dtype="int64"),
+        "vec_b": pd.Series(dtype="int64"),
+        "bucket": pd.Series(dtype="int64"),
+        "cos_q": pd.Series(dtype="float64"),
+    }
 
     def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series(dtype="int64"),
-                    "vec_b": pd.Series(dtype="int64"),
-                    "bucket": pd.Series(dtype="int64"),
-                    "cos_q": pd.Series(dtype="float64"),
-                }
+        # the group key is a COARSENED bucket hash (the lsh_ann trick:
+        # grouped-map UDFs pay a fixed per-invocation cost; 2^planes
+        # tiny buckets would each pay it) — iterate real buckets here
+        frames = []
+        for b, grp in pdf.groupby("bucket", sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            order = grp["vec_id"].to_numpy().argsort()
+            ids = grp["vec_id"].to_numpy()[order]
+            qm = np.vstack(grp["qv"].to_numpy()).astype(np.int64)[order]
+            gram = qm @ qm.T  # exact int64, |dot| <= 6.4e9 < 2^53
+            nq = np.diag(gram).astype(np.float64)
+            cos = gram / np.sqrt(nq[:, None] * nq[None, :])
+            ia, ib = np.triu_indices(n, k=1)
+            keep = cos[ia, ib] >= 0.2
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[ia[keep]],
+                        "vec_b": ids[ib[keep]],
+                        "bucket": np.full(int(keep.sum()), b, dtype=np.int64),
+                        "cos_q": cos[ia, ib][keep],
+                    }
+                )
             )
-        order = pdf["vec_id"].to_numpy().argsort()
-        ids = pdf["vec_id"].to_numpy()[order]
-        qm = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)[order]
-        gram = qm @ qm.T  # exact int64, |dot| <= 6.4e9 < 2^53
-        nq = np.diag(gram).astype(np.float64)
-        cos = gram / np.sqrt(nq[:, None] * nq[None, :])
-        ia, ib = np.triu_indices(n, k=1)
-        keep = cos[ia, ib] >= 0.2
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "bucket": np.full(int(keep.sum()), key[0], dtype=np.int64),
-                "cos_q": cos[ia, ib][keep],
-            }
-        )
+        if not frames:
+            return pd.DataFrame(_empty)
+        return pd.concat(frames, ignore_index=True)
 
-    return tagged.groupBy("bucket").applyInPandas(verify, out_schema)
+    coarse = F.pmod(F.xxhash64("bucket"), F.lit(64)).alias("__coarse")
+    return (
+        tagged.withColumn("__coarse", coarse)
+        .groupBy("__coarse")
+        .applyInPandas(verify, out_schema)
+    )
+
+
+@register(
+    "i_sim_ivf_probe_stats",
+    cache_plan=False,  # builds the centroid broadcast at plan time
+    # the candidate-dot CTE expands probe x posting x 64 dims; exact
+    # but heavy as a TIMED baseline at sf0.1 — correctness-only
+    oracle_in_bench=False,
+    # Exact restatement of the SEARCH phase: each vector probes its 2
+    # nearest of 8 deterministic centroids (integer-quantized scores,
+    # ties to the lowest centroid id); candidates are the postings of
+    # the probed clusters (every vector posts to its argmax cluster);
+    # top-3 candidates per query by exact integer dot, ties to the
+    # lowest neighbor id. A (query, neighbor) pair meets at most once
+    # (a posting lives in exactly one cluster), so no dedup stage.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    scores AS (
+        SELECT e.vec_id, c.c_id,
+               CAST(sum(CAST(floor(e.v[d.d] * 10000) AS BIGINT)
+                        * CAST(floor(c.cv[d.d] * 10000) AS BIGINT))
+                    AS BIGINT) AS score
+        FROM e
+        CROSS JOIN cent c
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY e.vec_id, c.c_id
+    ),
+    ranked AS (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, c_id) AS pr
+        FROM scores
+    ),
+    posting AS (SELECT vec_id, c_id AS cluster FROM ranked WHERE pr = 1),
+    probe AS (SELECT vec_id, c_id AS cluster FROM ranked WHERE pr <= 2),
+    cand AS (
+        SELECT pr.vec_id, po.vec_id AS neighbor_id,
+               CAST(sum(CAST(floor(eq.v[d.d] * 10000) AS BIGINT)
+                        * CAST(floor(en.v[d.d] * 10000) AS BIGINT))
+                    AS BIGINT) AS dot
+        FROM probe pr
+        JOIN posting po ON po.cluster = pr.cluster AND po.vec_id <> pr.vec_id
+        JOIN e eq ON eq.vec_id = pr.vec_id
+        JOIN e en ON en.vec_id = po.vec_id
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY pr.vec_id, po.vec_id
+    )
+    SELECT vec_id, neighbor_id, dot, CAST(rn AS INT) AS rank
+    FROM (SELECT vec_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    """,
+)
+def i_sim_ivf_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF SEARCH anchor (VERDICT r5 item 8): the cogrouped
+    per-cluster probe machinery of ivf_ann — postings.groupBy(cluster)
+    cogrouped with probes.groupBy(cluster), per-cluster BLAS top-k,
+    single-shuffle global merge — driven on deterministic centroids
+    (the 8 lowest vec_ids) with integer-quantized dot products, so the
+    whole phase is exact-SQL-checkable. Completes the anchor set:
+    i_sim_ivf_assign_stats covers ASSIGN, this covers PROBE+SEARCH+
+    MERGE. int64 matmuls are exact (|component| <= 10^4, 64 dims =>
+    |dot| <= 6.4e9); all ties break to the lowest id on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    n_probe, k = 2, 3
+    emb = table(spark, sf_dir, "embeddings")
+    cent_pdf = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    c_ids = cent_pdf["vec_id"].to_numpy()
+    c_mat = np.floor(
+        np.vstack(cent_pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+    ).astype(np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+
+    def assign(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ids, cmat = bc.value
+        for batch in batches:
+            v_ids = batch["vec_id"].to_numpy()
+            q = np.floor(
+                np.vstack(batch["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            scores = q @ cmat.T  # exact int64
+            # stable argsort of -scores: equal scores keep matrix
+            # order = ascending centroid id (the oracle's tiebreak)
+            order = np.argsort(-scores, axis=1, kind="stable")
+            frames = [
+                pd.DataFrame(
+                    {
+                        "cluster": ids[order[:, 0]],
+                        "vec_id": v_ids,
+                        "qv": list(q),
+                        "is_query": np.zeros(len(v_ids), dtype=bool),
+                    }
+                )
+            ]
+            for p in range(n_probe):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": ids[order[:, p]],
+                            "vec_id": v_ids,
+                            "qv": list(q),
+                            "is_query": np.ones(len(v_ids), dtype=bool),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    tagged = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "cluster long, vec_id long, qv array<long>, is_query boolean"
+    )
+    postings = tagged.filter(~F.col("is_query")).drop("is_query")
+    probes = tagged.filter(F.col("is_query")).drop("is_query")
+
+    def search(key, probe_pdf: "pd.DataFrame", post_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if probe_pdf.empty or post_pdf.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "dot"])
+        q_ids = probe_pdf["vec_id"].to_numpy()
+        q = np.vstack(probe_pdf["qv"].to_numpy())
+        p_ids = post_pdf["vec_id"].to_numpy()
+        p = np.vstack(post_pdf["qv"].to_numpy())
+        dots = q @ p.T  # exact int64
+        rows = []
+        for i, qid in enumerate(q_ids):
+            row = dots[i]
+            cand = np.nonzero(p_ids != qid)[0]
+            if len(cand) == 0:
+                continue
+            top = cand[np.lexsort((p_ids[cand], -row[cand]))][: min(k, len(cand))]
+            for j in top:
+                rows.append((qid, p_ids[j], int(row[j])))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "dot"])
+
+    local = (
+        probes.groupBy("cluster")
+        .cogroup(postings.groupBy("cluster"))
+        .applyInPandas(search, "vec_id long, neighbor_id long, dot long")
+    )
+    # single-shuffle global merge (ivf_ann's shape): per query, order +
+    # top-k inside array expressions over the <= k * n_probe candidates
+    cand = F.struct((-F.col("dot")).alias("negd"), F.col("neighbor_id").alias("nid"))
+    merged = local.groupBy("vec_id").agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__top")
+    )
+    return merged.select(
+        "vec_id", F.posexplode("__top").alias("__pos", "__s")
+    ).select(
+        "vec_id",
+        F.col("__s.nid").alias("neighbor_id"),
+        (-F.col("__s.negd")).cast("long").alias("dot"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )

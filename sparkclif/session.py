@@ -75,6 +75,11 @@ def get_spark(app_name: str = "sparkclif", cpus: int | None = None) -> SparkSess
         # schemes that this file:// setting never touches). Measured
         # -30% on the 10 MB parquet roundtrip sink.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        # NOTE: session-global — disables client-side CRC generation
+        # AND verification for EVERY file:// read/write (warehouse,
+        # checkpoints, testdata), not just scratch sinks. Right for
+        # the tmpfs testbed; a durable local sink would want this
+        # gated or a checksummed write scheme (ADVICE r5).
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
