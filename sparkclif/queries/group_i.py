@@ -613,8 +613,10 @@ def i_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails, phones, IPs) with per-doc counts and an
     md5 of the redacted text — the standard pre-training privacy
     filter, as a pure JVM regexp_replace chain (operators/text.py
-    PII_PATTERNS; no Python in the scrub path)."""
-    docs = table(spark, sf_dir, "documents")
+    PII_PATTERNS; no Python in the scrub path). spread(): five java
+    regex passes per doc are compute-heavy per-row work — a one-file
+    scan would run them all on one core."""
+    docs = spread(table(spark, sf_dir, "documents"))
     enriched = docs.select(
         "doc_id",
         F.concat(
