@@ -142,10 +142,14 @@ def rarity_score(
         .agg(F.count("*").cast("long").alias("__tf"))
     )
     # tf feeds TWO consumers (the df branch and the marked join);
-    # materialize so tokenize runs once (see sparse_cosine_pairs for
-    # the localCheckpoint honesty/cluster notes) — callers register
-    # with cache_plan=False so timed runs re-pay the materialization
-    tf = tf.localCheckpoint(eager=False)
+    # materialize so tokenize runs once at corpus scale (see
+    # sparse_cosine_pairs for the localCheckpoint honesty/cluster
+    # notes). Cost-dispatched: below MATERIALIZE_INPUT_BYTES the tf
+    # exchange is ReusedExchange-deduped anyway and the checkpoint
+    # write+read is pure overhead (measured -0.3 s at sf0.1).
+    from sparkclif.operators.rank import maybe_local_checkpoint
+
+    tf = maybe_local_checkpoint(tf, size_of=docs)
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
     common = (
         tf.groupBy("tok")
@@ -306,16 +310,33 @@ def bigram_lm_score(
     # Without this the lineage re-ran the regex tokenizer THREE times
     # (c12 branch, score branch, vocab branch): at 100 TB that is two
     # extra corpus scans, and the materialization is no larger than
-    # the bigram shuffle the pipeline already pays.
-    toks = docs.select(
-        id_col,
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
-    ).localCheckpoint(eager=False)
+    # the bigram shuffle the pipeline already pays. Cost-dispatched
+    # (maybe_local_checkpoint): below MATERIALIZE_INPUT_BYTES the
+    # shared bg exchange is ReusedExchange-deduped and only the cheap
+    # vocab branch re-tokenizes — the checkpoint costs more than it
+    # saves (measured -0.33 s at sf0.1, identical output).
+    from sparkclif.operators.rank import maybe_local_checkpoint
+
+    toks = maybe_local_checkpoint(
+        docs.select(
+            id_col,
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+        ),
+        size_of=docs,
+    )
 
     bg = toks.select(
         id_col,
         F.explode(bind(F.col("__toks"), bigrams)).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # No-op null filter (exploded tokens are never NULL), placed BELOW
+    # the shared exchange on purpose: the probe join pushes
+    # isNotNull(w1) && isNotNull(w2) onto ITS copy of this subtree,
+    # which de-canonicalizes the two consumers and defeats exchange
+    # reuse when the checkpoint is dispatched away. With the filter
+    # pre-applied both subtrees are identical and the executed plan
+    # carries one ReusedExchange (verified; -0.13 s warm at sf0.1).
+    bg = bg.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     # ONE bigram-stream exchange, shared: the probe join below must
     # shuffle raw bg rows on (w1, w2) no matter what, and hash-
     # partitioned-on-(w1, w2) input ALSO satisfies the c12 agg's

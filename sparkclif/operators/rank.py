@@ -43,6 +43,15 @@ from pyspark.sql import functions as F
 SMALL_INPUT_BYTES = 8 * 1024 * 1024
 LARGE_INPUT_BYTES = 8 * 1024 * 1024 * 1024
 
+# Threshold for materializing a multi-consumer intermediate relation
+# (tokenized corpus / tf table). Below it, letting each consumer
+# recompute the shared subtree costs one extra in-memory scan branch
+# that Spark's ReusedExchange mostly dedups anyway; above it, the
+# duplicate corpus pass dwarfs the write+read of the materialized
+# relation. Distinct from SMALL_INPUT_BYTES because the trade is
+# recompute-vs-IO, not task-granularity.
+MATERIALIZE_INPUT_BYTES = 1 * 1024 * 1024 * 1024
+
 
 def plan_size_bytes(df: "DataFrame") -> int:
     """Optimizer size estimate used by every cost dispatch in the
@@ -60,6 +69,19 @@ def plan_size_bytes(df: "DataFrame") -> int:
     return int(
         str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
+
+
+def maybe_local_checkpoint(df: "DataFrame", size_of: "DataFrame | None" = None) -> "DataFrame":
+    """Cost-dispatched ``localCheckpoint(eager=False)`` for shared
+    intermediate relations: materialize only when the SOURCE input
+    (``size_of``, typically the scanned corpus — its parquet stats are
+    reliable where post-aggregation estimates are not) exceeds
+    MATERIALIZE_INPUT_BYTES. ``spark.sparkclif.forceDistributed=true``
+    forces the checkpoint path fleet-wide via plan_size_bytes."""
+    src = df if size_of is None else size_of
+    if plan_size_bytes(src) <= MATERIALIZE_INPUT_BYTES:
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def validate_force(force: str | None, allowed: frozenset[str] | set[str]) -> None:

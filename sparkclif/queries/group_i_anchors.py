@@ -336,7 +336,9 @@ def i_sim_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_dedup_embedding_verify",
-    cache_plan=False,  # builds the plane broadcast at plan time
+    # pure builder since the tag stage moved to Catalyst expressions
+    # (no broadcast at build): plan-cacheable, and the 8x zip_with/
+    # aggregate lambda analysis cost is paid once, not per run
     # Exact restatement of the VERIFY stage of the at-scale embedding
     # dedup (cosine_threshold_pairs_lsh): bucket by the md5-Rademacher
     # integer-sign machinery of i_sim_lsh_bucket_stats (one table, 8
@@ -415,7 +417,14 @@ def i_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaussians, so every emitted pair and its cosine is bit-identical
     to the SQL restatement. Integer Gram matrix stays under 2^53
     (|qv| <= 1e4, 64 dims => |dot| <= 6.4e9), so the float division
-    is one exact-input IEEE op on both engines."""
+    is one exact-input IEEE op on both engines.
+
+    The tag stage is pure JVM codegen (floor-quantize + 8 sign-dots as
+    Catalyst ``aggregate``/``zip_with`` over plan-literal Rademacher
+    rows): with integer arithmetic the bucket needs no BLAS, and
+    keeping it JVM-side drops one Python exchange from the plan
+    (measured 0.55 -> 0.38 s warm at sf0.1; at 100 TB the tag is scan-
+    side work either way, but one fewer Arrow round-trip per row)."""
     import numpy as np
     import pandas as pd
 
@@ -424,27 +433,19 @@ def i_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[_rademacher_sign(b, d) for d in range(N_DIM)] for b in range(N_PLANES)],
         dtype=np.int64,
     )
-    powers = (1 << np.arange(N_PLANES)).astype(np.int64)
-    bc = emb.sparkSession.sparkContext.broadcast((signs, powers))
 
-    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sg, pw = bc.value
-        for batch in batches:
-            qm = np.floor(
-                np.vstack(batch["embedding"].to_numpy()).astype(np.float64) * QUANT
-            ).astype(np.int64)
-            bits = (qm @ sg.T) >= 0  # integer dots: exact sign
-            yield pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].to_numpy(),
-                    "bucket": bits.astype(np.int64) @ pw,
-                    "qv": list(qm),
-                }
-            )
+    qv = F.transform(F.col("embedding"), lambda x: F.floor(x * F.lit(QUANT)).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for b in range(N_PLANES):
+        sg = F.array(*[F.lit(int(s)) for s in signs[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), sg, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
 
-    tagged = emb.select("vec_id", "embedding").mapInPandas(
-        tag, "vec_id long, bucket long, qv array<long>"
-    )
+    tagged = emb.select("vec_id", qv.alias("qv")).withColumn("bucket", bucket)
 
     out_schema = "vec_a long, vec_b long, bucket long, cos_q double"
     _empty = {
@@ -485,7 +486,13 @@ def i_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(_empty)
         return pd.concat(frames, ignore_index=True)
 
-    coarse = F.pmod(F.xxhash64("bucket"), F.lit(64)).alias("__coarse")
+    # coarse-group count: enough for shuffle parallelism, few enough
+    # that the per-invocation grouped-map cost stays amortized. With
+    # 2^N_PLANES = 256 real buckets the useful ceiling is 64; floor of
+    # 16 keeps sf0.1 from paying 64 near-empty invocations.
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_coarse = max(16, min(64, parts))
+    coarse = F.pmod(F.xxhash64("bucket"), F.lit(n_coarse)).alias("__coarse")
     return (
         tagged.withColumn("__coarse", coarse)
         .groupBy("__coarse")

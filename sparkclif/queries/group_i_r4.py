@@ -256,10 +256,10 @@ def i_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_corpus_mix",
-    # cache_plan=False: materializes the (source, bucket) histogram
-    # (localCheckpoint) on first action; rebuilt per run so timed runs
-    # include it.
-    cache_plan=False,
+    # plan-cacheable: below MATERIALIZE_INPUT_BYTES (any bench sf) the
+    # histogram is not checkpointed, so the builder is a pure lazy
+    # plan; above it, flip back to False so timed runs re-pay the
+    # materialization.
     oracle="""
     WITH d AS (
         SELECT source, doc_id,
@@ -324,12 +324,17 @@ def i_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).cast("long").alias("toks"),
     )
     # the one corpus pass: per-(source, membership-bucket) histogram,
-    # materialized (it is <= 10000 x n_sources rows) so its two
-    # consumers don't re-run the scan
-    hist = (
-        docs.groupBy("source", "__b")
-        .agg(F.count("*").alias("__n"), F.sum("toks").alias("__t"))
-        .localCheckpoint(eager=False)
+    # materialized at corpus scale (it is <= 10000 x n_sources rows)
+    # so its two consumers don't re-run the scan. Cost-dispatched:
+    # below MATERIALIZE_INPUT_BYTES the identical agg subtrees are
+    # ReusedExchange-deduped and the checkpoint is pure overhead.
+    from sparkclif.operators.rank import maybe_local_checkpoint
+
+    hist = maybe_local_checkpoint(
+        docs.groupBy("source", "__b").agg(
+            F.count("*").alias("__n"), F.sum("toks").alias("__t")
+        ),
+        size_of=docs,
     )
     st = hist.groupBy("source").agg(
         F.sum("__n").alias("n_docs"), F.sum("__t").alias("tokens_total")

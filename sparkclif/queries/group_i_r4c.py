@@ -83,10 +83,11 @@ def i_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_text_lm_score",
-    # cache_plan=False: the operator materializes the tokenized corpus
-    # (localCheckpoint) on first action; rebuilding per run keeps that
-    # materialization inside every timed run.
-    cache_plan=False,
+    # plan-cacheable: below MATERIALIZE_INPUT_BYTES (any bench sf) the
+    # operator skips the corpus checkpoint, so the builder is a pure
+    # lazy plan. Above it the build attaches a localCheckpoint — if
+    # bench ever runs at that scale, flip back to False so timed runs
+    # re-pay the materialization.
     # Exact restatement: p_bp = ((c12+1)*10000) // (c1+V) — all
     # counts non-negative, so DuckDB's flooring // and Spark's
     # truncating div agree; docs with < 2 tokens keep a row with
