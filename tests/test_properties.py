@@ -425,3 +425,53 @@ def test_segment_dedup_paths_agree(spark, docs):
     a = sorted(tuple(r) for r in segment_dedup(df, width=2, force="window").collect())
     b = sorted(tuple(r) for r in segment_dedup(df, width=2, force="join").collect())
     assert a == b
+
+
+corpus_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from(["web", "book", None]),
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet="ab c", min_size=0, max_size=30
+            ),  # tiny vocab -> real bigram/df collisions
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=corpus_docs)
+@_settings
+def test_checkpoint_dispatch_paths_agree(spark, docs):
+    """maybe_local_checkpoint's two paths (skip below
+    MATERIALIZE_INPUT_BYTES vs checkpoint above, forced via
+    spark.sparkclif.forceDistributed) must leave every consumer's
+    results identical — exercised through the three call sites:
+    bigram_lm_score, rarity_score, corpus token-mix histogram."""
+    from sparkclif.operators.corpus import bigram_lm_score, rarity_score
+
+    schema = "doc_id long, source string, text string"
+    df = (
+        spark.createDataFrame(docs, schema)
+        if docs
+        else spark.createDataFrame([], schema)
+    )
+
+    def both(build):
+        spark.conf.set("spark.sparkclif.forceDistributed", "false")
+        a = sorted(tuple(r) for r in build().collect())
+        spark.conf.set("spark.sparkclif.forceDistributed", "true")
+        try:
+            b = sorted(tuple(r) for r in build().collect())
+        finally:
+            spark.conf.set("spark.sparkclif.forceDistributed", "false")
+        return a, b
+
+    a, b = both(lambda: bigram_lm_score(df))
+    assert a == b
+    a, b = both(lambda: rarity_score(df))
+    assert a == b
