@@ -305,6 +305,26 @@ def main() -> None:
         ).count(),
     )
 
+    # --- gap-run gapfill at kx (users shifted: per-user span and gap ---
+    # structure constant, so the occupied-bucket relation and the
+    # exploded grid both scale linearly in k; wall must track the scan
+    # + the two exchanges (bucket agg, per-key window) — the design
+    # claim of the r6 gap-run rewrite, which never shuffles the grid)
+    from sparkclif.operators.timeseries import resample_gapfill
+
+    ev_g = table(spark, sf_dir, "events")
+    ev_gk = (
+        ev_g.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+            "value",
+        )
+    )
+    timed(f"gapfill_1x", lambda: resample_gapfill(ev_g).count())
+    timed(f"gapfill_{k}x_users", lambda: resample_gapfill(ev_gk).count())
+
     # --- sequence packing: distributed prefix sum vs global window -----
     # Probed on 5M synthetic rows, not the 40k-doc table. With the
     # window genuinely materialized (see the pruning note below) the
