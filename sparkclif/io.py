@@ -49,12 +49,20 @@ def has_data_files(path: str, suffix: str = ".parquet") -> bool:
     here — streaming/late.py, queries/group_c.py and the layout tests
     all consult it. Recursive: a partitionBy() sink puts its data
     files in value subdirectories, so a top-level-only listing would
-    report a completed partitioned write as absent."""
+    report a completed partitioned write as absent. Hidden dirs
+    (``_temporary``, ``.staging``-style) are pruned: a write killed
+    mid-job leaves part files only under ``_temporary``, which Spark's
+    own listing ignores — counting them would declare an uncommitted
+    write complete."""
     import os
 
-    return os.path.isdir(path) and any(
-        f.endswith(suffix) for _, _, files in os.walk(path) for f in files
-    )
+    if not os.path.isdir(path):
+        return False
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(suffix) and not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
 
 
 def parquet_row_count(sf_dir: str, name: str) -> int:
@@ -72,11 +80,16 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
+        # same listing rule as has_data_files: recurse (partitioned
+        # layouts keep data files in value subdirectories) and prune
+        # hidden/_temporary dirs and files
+        total = 0
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
     return pq.ParquetFile(path).metadata.num_rows
 
 

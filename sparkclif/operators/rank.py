@@ -60,7 +60,12 @@ def plan_size_bytes(df: "DataFrame") -> int:
     that proves unreliable fleet-wide, set the session conf
     ``spark.sparkclif.forceDistributed=true`` and every dispatcher
     takes its distributed/scale path regardless of estimates (the
-    per-call ``force=`` argument still pins individual calls)."""
+    per-call ``force=`` argument still pins individual calls).
+    CAVEAT: for the exact-cosine variants the scale path is LSH —
+    APPROXIMATE, so under forceDistributed their results change
+    (documented at similarity._dispatch_exact); every other
+    dispatcher's paths are result-identical. A caller that needs
+    recall-1 under the fleet-wide override pins force="broadcast"."""
     if (
         df.sparkSession.conf.get("spark.sparkclif.forceDistributed", "false")
         == "true"
@@ -77,7 +82,11 @@ def maybe_local_checkpoint(df: "DataFrame", size_of: "DataFrame | None" = None) 
     (``size_of``, typically the scanned corpus — its parquet stats are
     reliable where post-aggregation estimates are not) exceeds
     MATERIALIZE_INPUT_BYTES. ``spark.sparkclif.forceDistributed=true``
-    forces the checkpoint path fleet-wide via plan_size_bytes."""
+    forces the checkpoint path fleet-wide via plan_size_bytes. A
+    stats-less source (Catalyst's Long.MaxValue sentinel) also takes
+    the checkpoint path — the conservative default: a needless
+    checkpoint costs one small write+read, a skipped one at corpus
+    scale costs full extra passes."""
     src = df if size_of is None else size_of
     if plan_size_bytes(src) <= MATERIALIZE_INPUT_BYTES:
         return df

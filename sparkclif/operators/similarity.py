@@ -42,7 +42,15 @@ def _dispatch_exact(embeddings: DataFrame, force: str | None) -> str:
     plan-stats rule as rank.exact_percentiles / corpus.segment_dedup
     (VERDICT r5 item 2): optimizer row/size estimate vs a fixed bound.
     The estimate can under-read post-filter inputs (see
-    sampling.py:172 note) — force="broadcast" / "lsh" overrides."""
+    sampling.py:172 note) — force="broadcast" / "lsh" overrides.
+
+    UNLIKE the other dispatchers, the two paths here are NOT
+    result-identical: "lsh" is approximate (bucketed recall < 1).
+    That applies to spark.sparkclif.forceDistributed too — the
+    fleet-wide override routes these variants to LSH, trading exact
+    results for not OOMing the driver; a caller that requires
+    recall-1 regardless pins force="broadcast" (and owns the
+    broadcast-bound memory implications)."""
     from sparkclif.operators.rank import plan_size_bytes, validate_force
 
     validate_force(force, {"broadcast", "lsh"})

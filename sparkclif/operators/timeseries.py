@@ -61,10 +61,17 @@ def resample_gapfill(
     )
     # run covers [this entry, next entry): the entry bucket itself,
     # then its trailing gap buckets (count 0, value forward-filled);
-    # the last entry per key has no next and emits just itself.
+    # the last entry per key has no next and emits just itself. The
+    # greatest() guard keeps the sequence bounds ordered when ``step``
+    # exceeds the spacing of adjacent occupied buckets (e.g. step='2
+    # hours' over hour buckets 01:00, 02:00): the run then degenerates
+    # to the entry bucket alone instead of a negative-range error.
     grid_run = F.sequence(
         F.col("__h"),
-        F.coalesce(F.col("__next") - F.expr(f"interval {step}"), F.col("__h")),
+        F.greatest(
+            F.coalesce(F.col("__next") - F.expr(f"interval {step}"), F.col("__h")),
+            F.col("__h"),
+        ),
         F.expr(f"interval {step}"),
     )
     r = run.select(key_col, "__n", "__fv", "__h", F.explode(grid_run).alias("__gh"))

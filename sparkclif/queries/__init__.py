@@ -19,9 +19,12 @@ replaced by parquet-footer metadata (``i_sim_lsh_ann``,
 now behind the broadcast/LSH cost dispatcher (``i_sim_cosine_topk``,
 ``i_dedup_embedding``) — then the STALEST driver rows: all 22
 remaining round-3-green queries (C-joins, trivial D-aggs, group-I
-dedup/multimodal/text, J-UDFs), ``d_agg_approx`` (round 2, the
-oldest row), and 18 of the round-4 set (B-predicates, as-of/range
-joins, D-agg shapes, E-windows, F-set-ops).
+dedup/multimodal/text/sampling, J-UDFs — verified against the union
+of CORRECTNESS_r01..r05: no r<=3 row is outside this window), then
+``d_agg_approx`` (round 2, the oldest row), and 18 of the round-4
+set, prioritizing the queries whose plans this round rewrote
+(``e_win_gapfill``, ``d_agg_percentile``) plus B-predicates,
+as-of/range joins, D-agg shapes, E-windows.
 
 Outside the window: every remaining query was driver-green in round
 4 or round 5 and is untouched since; all of them are still
@@ -82,6 +85,7 @@ WINDOW_ORDER = [
     "i_multimodal_features",
     "i_multimodal_frames",
     "i_multimodal_join",
+    "i_sample_stratified",
     "i_sim_ivf",
     "i_text_bpe_count",
     "i_text_pii_scrub",
@@ -108,7 +112,6 @@ WINDOW_ORDER = [
     "e_win_gapfill",
     "e_win_rank",
     "f_distinct",
-    "f_set_ops",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

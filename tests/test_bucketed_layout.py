@@ -112,3 +112,39 @@ def test_stale_source_triggers_rebuild(spark, tmp_path):
     write_orders(8)
     tbl3 = _ensure_bucketed(spark, sf, "b_orders")
     assert spark.table(tbl3).count() == 8, "re-register path served stale buckets"
+
+
+def test_has_data_files_ignores_uncommitted_temporary(tmp_path):
+    """A write killed mid-job leaves part files only under
+    _temporary/ — the commit sentinel must not count them (Spark's
+    own listing ignores _-prefixed dirs)."""
+    from sparkclif.io import has_data_files
+
+    staging = tmp_path / "_temporary" / "0" / "attempt_0"
+    staging.mkdir(parents=True)
+    (staging / "part-0000.parquet").write_bytes(b"x")
+    assert not has_data_files(str(tmp_path))
+    # a committed file in a partition subdirectory IS counted
+    part = tmp_path / "flag=R"
+    part.mkdir()
+    (part / "part-0001.parquet").write_bytes(b"x")
+    assert has_data_files(str(tmp_path))
+
+
+def test_parquet_row_count_recurses_partitioned_layout(tmp_path):
+    """Footer-based row counts must see data files in partition value
+    subdirectories and skip hidden/_temporary entries — the same
+    listing rule as has_data_files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.io import parquet_row_count
+
+    root = tmp_path / "t.parquet"
+    (root / "flag=A").mkdir(parents=True)
+    (root / "flag=B").mkdir()
+    (root / "_temporary").mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), root / "flag=A" / "part-0.parquet")
+    pq.write_table(pa.table({"x": [4]}), root / "flag=B" / "part-1.parquet")
+    pq.write_table(pa.table({"x": [9, 9]}), root / "_temporary" / "part-2.parquet")
+    assert parquet_row_count(str(tmp_path), "t") == 4

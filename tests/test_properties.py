@@ -450,8 +450,9 @@ def test_checkpoint_dispatch_paths_agree(spark, docs):
     """maybe_local_checkpoint's two paths (skip below
     MATERIALIZE_INPUT_BYTES vs checkpoint above, forced via
     spark.sparkclif.forceDistributed) must leave every consumer's
-    results identical — exercised through the three call sites:
-    bigram_lm_score, rarity_score, corpus token-mix histogram."""
+    results identical — exercised here through bigram_lm_score and
+    rarity_score on random corpora; the third call site (i_corpus_mix's
+    histogram) is covered by the companion test below."""
     from sparkclif.operators.corpus import bigram_lm_score, rarity_score
 
     schema = "doc_id long, source string, text string"
@@ -475,3 +476,20 @@ def test_checkpoint_dispatch_paths_agree(spark, docs):
     assert a == b
     a, b = both(lambda: rarity_score(df))
     assert a == b
+
+
+def test_checkpoint_dispatch_corpus_mix_paths_agree(spark):
+    """The third maybe_local_checkpoint call site — i_corpus_mix's
+    (source, bucket) histogram — must also be path-invariant; driven
+    through the registered query at the smallest testdata sf."""
+    from sparkclif.registry import all_queries
+
+    fn = all_queries()["i_corpus_mix"].fn
+    spark.conf.set("spark.sparkclif.forceDistributed", "false")
+    a = sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect())
+    spark.conf.set("spark.sparkclif.forceDistributed", "true")
+    try:
+        b = sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect())
+    finally:
+        spark.conf.set("spark.sparkclif.forceDistributed", "false")
+    assert a == b and a
