@@ -178,20 +178,30 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey"
     )
-    # Cluster rows by the partition column WITH a small salt before
-    # the write: repartition(col) alone serializes each partition
-    # value onto ONE writer task (3 tasks here; a straggler at scale),
-    # while no repartition at all emits tasks x values small files —
-    # the classic partitioned-sink mistake. The salt keeps a bounded
-    # k writers per partition value: files stay O(k * values), writers
-    # parallelize (measured 0.61 -> 0.51 s at sf0.1; at 100 TB size k
-    # to the per-value volume).
+    # Writer-layout dispatch (VERDICT r5 item 6). Two regimes:
+    # - SMALL (below SMALL_INPUT_BYTES): write straight from the scan
+    #   tasks. Each task's dynamic-partition writer emits one file per
+    #   value it holds (tasks x values files — bounded here). Measured
+    #   wall at sf0.1 is parity with the salted shuffle (~0.75 s
+    #   interleaved A/B both ways: the job-commit + encode constants
+    #   dominate); the dispatch is about layout semantics, not local
+    #   wall — fewer files and zero shuffle below the bound.
+    # - LARGE: cluster by the partition column WITH a small salt.
+    #   repartition(col) alone serializes each partition value onto
+    #   ONE writer task (a straggler at scale); no repartition emits
+    #   tasks x values small files — the classic partitioned-sink
+    #   mistake. The salt keeps a bounded k writers per value: files
+    #   stay O(k * values) and writers parallelize; at 100 TB size k
+    #   to the per-value volume.
     # scratch sink on tmpfs: uncompressed, no page CRCs, no dictionary
     # pass (see a_sink_roundtrip note)
-    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(4))
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, plan_size_bytes
+
+    if plan_size_bytes(li) > SMALL_INPUT_BYTES:
+        salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(4))
+        li = li.repartition(12, F.col("l_returnflag"), salt)
     (
-        li.repartition(12, F.col("l_returnflag"), salt)
-        .write.option("compression", "uncompressed")
+        li.write.option("compression", "uncompressed")
         .option("parquet.page.write-checksum.enabled", "false")
         .option("parquet.enable.dictionary", "false")
         .partitionBy("l_returnflag")
