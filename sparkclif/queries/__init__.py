@@ -1,16 +1,18 @@
 """Driver-checked query surface (SURVEY.md §2.2).
 
 Importing this package registers every query group into
-``sparkclif.registry.REGISTRY`` (121 queries as of round 6), then
+``sparkclif.registry.REGISTRY`` (127 queries as of round 6), then
 reorders the registry so the external driver's correctness runner —
 which verifies the FIRST 50 entries of ``queries()`` in registration
 order (all five CORRECTNESS_r* files cut off exactly there) — covers
 this round's must-verify set.
 
 Round-6 window (50), per VERDICT r5 item 4 (stalest-first rotation):
-leads with everything TOUCHED this round — the brand-new
-``i_sim_ivf_probe_stats`` (the SEARCH-phase anchor completing the
-IVF pair, VERDICT item 8), the three rewritten text-corpus queries
+leads with the six brand-new growth-set queries (group_r6.py —
+never driver-checked anywhere), then everything TOUCHED this round —
+the brand-new ``i_sim_ivf_probe_stats`` (the SEARCH-phase anchor
+completing the IVF pair, VERDICT item 8), the three rewritten
+text-corpus queries
 (``i_text_tfidf``/``i_text_rarity``/``i_text_lm_score``, exchange-
 reuse rewrites whose hashes must not move), ``a_sink_partitioned``
 (salted writer fan-out), the two queries whose count() pre-jobs were
@@ -21,10 +23,13 @@ now behind the broadcast/LSH cost dispatcher (``i_sim_cosine_topk``,
 remaining round-3-green queries (C-joins, trivial D-aggs, group-I
 dedup/multimodal/text/sampling, J-UDFs — verified against the union
 of CORRECTNESS_r01..r05: no r<=3 row is outside this window), then
-``d_agg_approx`` (round 2, the oldest row), and 18 of the round-4
+``d_agg_approx`` (round 2, the oldest row), and 12 of the round-4
 set, prioritizing the queries whose plans this round rewrote
 (``e_win_gapfill``, ``d_agg_percentile``) plus B-predicates,
-as-of/range joins, D-agg shapes, E-windows.
+as-of/range joins, D-agg shapes and ``e_win_distribution`` (the
+plain E-window/F rows last checked in r4 — rank/analytic/frames/
+topk/f_distinct — yielded their slots to the growth set; all stay
+locally oracle-checked every round).
 
 Outside the window: every remaining query was driver-green in round
 4 or round 5 and is untouched since; all of them are still
@@ -53,11 +58,20 @@ from sparkclif.queries import (  # noqa: F401
     group_i_r4d,
     group_events,
     group_d_sketches,
+    group_r6,
 )
 from sparkclif.registry import REGISTRY
 
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
+    # -- brand-new this round (never driver-checked): the round-6
+    # growth set (group_r6.py) --
+    "i_sample_hash_split",
+    "i_text_hash_features",
+    "g_bitwise_funcs",
+    "e_win_running_distinct",
+    "c_join_interval_grid",
+    "d_agg_moments",
     # -- touched this round (hashes must not move when plans do) --
     "i_sim_ivf_probe_stats",
     "i_text_tfidf",
@@ -104,14 +118,8 @@ WINDOW_ORDER = [
     "d_agg_mode",
     "d_agg_percentile",
     "d_agg_unpivot",
-    "e_topk_per_group",
-    "e_win_analytic",
     "e_win_distribution",
-    "e_win_frame_range",
-    "e_win_frame_rows",
     "e_win_gapfill",
-    "e_win_rank",
-    "f_distinct",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

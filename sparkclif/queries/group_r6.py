@@ -1,0 +1,382 @@
+"""Round-6 surface additions (SURVEY.md §2.2 growth set): the
+training-pipeline mechanics and scalar/window coverage the earlier
+groups didn't yet exercise.
+
+- ``i_sample_hash_split``   — deterministic train/valid/test split via
+  the portable md5 basis (the canonical "hash the id, bucket mod 100"
+  corpus split every training pipeline ships).
+- ``i_text_hash_features``  — hashing-trick featurization (Weinberger
+  et al. 2009): vocabulary-free token -> bucket counting.
+- ``g_bitwise_funcs``       — the bitwise scalar surface (&, |, xor,
+  not, shifts, popcount).
+- ``e_win_running_distinct``— running COUNT(DISTINCT) per key over an
+  ordered frame (collect_set window formulation).
+- ``c_join_interval_grid``  — interval-to-grid overlap as bounded
+  explode + equi-agg: the scalable restatement of the "events active
+  during period" non-equi join.
+- ``d_agg_moments``         — exact higher central moments (skewness /
+  kurtosis) from integer power sums.
+
+Reference ties: the reference's only sampling/splitting is the R23
+catalog batching (app.py:154-168, fixed-size chunks); these queries
+generalize it to content-hash bucketing per SURVEY §2.2's declared
+LLM-pipeline scope. All six are exact-oracle (hash-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkclif.io import table
+from sparkclif.numeric import fixed_sum
+from sparkclif.operators.hashing import md5_bits
+from sparkclif.operators.text import tokens
+from sparkclif.registry import register
+
+
+@register(
+    "i_sample_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::UBIGINT
+                    % 100 AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM b
+    GROUP BY 1
+    """,
+)
+def i_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split by content-stable
+    hash bucket (md5 of the document id, low 4 bytes, mod 100) — the
+    split assignment is a pure function of the id, so it is stable
+    across reruns, reshards and cluster sizes, and a late-arriving
+    document lands in the same split forever (the property random()
+    splits lack). Plan: pure scan -> map-side-combined agg over 3
+    groups; zero joins, zero Python. The same md5-bits basis as the
+    sketch family (operators/hashing.py) keeps it engine-portable."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_bits(F.col("doc_id").cast("string"), 25, 8), F.lit(100))
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "i_text_hash_features",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, tok,
+               CAST(('0x' || substr(md5(tok), 25, 8))::UBIGINT % 64 AS BIGINT)
+                   AS bucket
+        FROM t
+    )
+    SELECT bucket,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def i_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, the
+    vocabulary-free bag-of-words every large-scale text classifier
+    uses): token -> md5 bucket mod 64, with per-bucket mass, distinct
+    token (collision) and document-frequency counts. Plan: scan-side
+    tokenize + explode, then ONE aggregation whose output is bounded
+    by the bucket count (64 rows at any corpus size) — the two
+    distinct aggs expand the stream 2x but partial aggregation
+    collapses to (bucket, tok)/(bucket, doc) cardinality before the
+    shuffle. Portable md5 basis shared with the sketch family."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    b = toks.withColumn("bucket", F.pmod(md5_bits(F.col("tok"), 25, 8), F.lit(64)))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "g_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS key_and,
+           o_orderkey | 4096 AS key_or,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           ~o_orderkey AS key_not,
+           CAST(bit_count(o_orderkey) AS INT) AS key_popcount,
+           o_orderkey << 3 AS key_shl,
+           o_orderkey >> 2 AS key_shr
+    FROM orders
+    """,
+)
+def g_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor/not, popcount, shifts — the
+    bit-packing toolkit the sketch family (simhash packing, bloom
+    words, HLL registers) builds on, exposed as first-class scalars.
+    All operands non-negative and far below 2^60, so Spark and DuckDB
+    64-bit signed semantics agree exactly. Pure projection: one scan,
+    whole-stage codegen, no exchange."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.bitwise_not(k).alias("key_not"),
+        F.bit_count(k).alias("key_popcount"),
+        F.shiftleft(k, 3).alias("key_shl"),
+        F.shiftright(k, 2).alias("key_shr"),
+    )
+
+
+@register(
+    "e_win_running_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS n_distinct_types
+    FROM events
+    """,
+)
+def e_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user over the event stream — "how
+    many distinct behaviors has this user shown so far". Spark has no
+    DISTINCT window aggregate; the engine states it as
+    size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING)) — one
+    hash exchange on user_id + one sort, set state bounded by the
+    event-type cardinality (tiny), NOT the frame length, so the
+    running frame is safe at any per-user history length. Ordering is
+    total (ts, event_id) so both engines see identical frames."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
+
+
+@register(
+    "c_join_interval_grid",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               date_trunc('month', least(o.o_orderdate, min(l.l_shipdate)))
+                   AS m0,
+               date_trunc('month', greatest(o.o_orderdate, max(l.l_shipdate)))
+                   AS m1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+    ),
+    m AS (
+        SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS month,
+               o_totalprice
+        FROM span
+    )
+    SELECT month,
+           count(*) AS n_inflight,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS sum_inflight_price
+    FROM m
+    GROUP BY month
+    """,
+)
+def c_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap against a time grid: each order is "in flight"
+    from its order month to its last ship month; count open orders
+    (and their value) per calendar month. The naive form is a non-equi
+    range join (month BETWEEN start AND end — a BNLJ); the engine
+    restates it as a BOUNDED explode of the months each interval spans
+    followed by an equi-aggregation — shuffle keys become equi-join
+    keys, expansion factor is the interval length in grid units (small
+    and data-independent), and the plan scales linearly where the
+    BNLJ is quadratic. Same bucket-expansion move as
+    c_join_range_bucketed, here producing the grid rollup directly."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    span = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"), F.max("l_shipdate").alias("last_ship"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            # the synthetic testbed lets lines ship before the order
+            # month — normalize the interval with least/greatest
+            F.date_trunc(
+                "month", F.least(F.col("o_orderdate"), F.col("first_ship"))
+            ).alias("m0"),
+            F.date_trunc(
+                "month", F.greatest(F.col("o_orderdate"), F.col("last_ship"))
+            ).alias("m1"),
+            "o_totalprice",
+        )
+    )
+    # month stays a (month-truncated) timestamp: the driver compare
+    # goes through pandas, which has no date dtype — a DATE here and a
+    # DATE in the oracle would arrive as mismatched representations
+    months = span.select(
+        F.explode(
+            F.sequence(F.col("m0"), F.col("m1"), F.expr("interval 1 month"))
+        ).alias("month"),
+        "o_totalprice",
+    )
+    return months.groupBy("month").agg(
+        F.count("*").alias("n_inflight"),
+        fixed_sum("o_totalprice").alias("sum_inflight_price"),
+    )
+
+
+@register(
+    "d_agg_moments",
+    # Skewness/kurtosis are scale-invariant, so they are computed on
+    # integer "quantity cents" (exact BIGINT/decimal power sums), and
+    # the double-precision derivation is the IDENTICAL expression tree
+    # in both engines over identical exact integers — bit-equal
+    # doubles, then round(4). Built-in skewness()/kurtosis() are NOT
+    # used: Spark's are population moments, DuckDB's sample moments,
+    # and both accumulate in streaming double order (non-portable).
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(q) AS s1,
+               sum(q * q) AS s2,
+               sum(q * q * q) AS s3,
+               sum((q * q) * (q * q)) AS s4
+        FROM c
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           CAST(s1 AS BIGINT) AS sum_q_cents,
+           round(CAST(s1 AS DOUBLE) / n, 4) AS mean_cents,
+           round(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 4)
+               AS var_cents,
+           round(CASE WHEN CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                           > 0 THEN
+                 (CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * sqrt(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n))) END, 4)
+               AS skewness,
+           round(CASE WHEN CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                           > 0 THEN
+                 (CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 - 3 END, 4)
+               AS kurtosis
+    FROM s
+    """,
+)
+def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness and excess kurtosis per group from
+    integer power sums: quantity -> exact cents (BIGINT), one
+    map-side-combined aggregation producing Σq..Σq⁴, moments derived
+    in closed form. The power sums commute and merge exactly (integer
+    / decimal addition), so partial aggregation IS the sketch — the
+    same one-pass two-phase shape as the sketch family, with zero
+    accumulation-order sensitivity (contrast built-in skewness():
+    streaming double updates whose result depends on row order).
+    q⁴ sums exceed BIGINT at ~1e19, so s4 accumulates in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB), both exact."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    c = li.select("l_returnflag", q.alias("q"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(
+            (F.col("q") * F.col("q")).cast("decimal(38,0)")
+            * (F.col("q") * F.col("q")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    # zero-variance guard: ANSI mode makes /0 an ERROR, not inf/NaN —
+    # a constant group yields NULL moments in both engines instead
+    skew = F.when(
+        var > 0, (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    )
+    kurt = F.when(
+        var > 0,
+        (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / (var * var)
+        - 3,
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.col("s1").cast("long").alias("sum_q_cents"),
+        F.round(m1, 4).alias("mean_cents"),
+        F.round(var, 4).alias("var_cents"),
+        F.round(skew, 4).alias("skewness"),
+        F.round(kurt, 4).alias("kurtosis"),
+    )

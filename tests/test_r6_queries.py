@@ -1,0 +1,211 @@
+"""Crafted-input tests for the round-6 growth-set queries
+(sparkclif/queries/group_r6.py): each pins the semantics the fixed
+synthetic corpus can't distinguish — hashlib-model split assignment,
+set-state running distinct on ties, degenerate intervals, and the
+moment formulas against a brute-force Python model.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- split
+
+
+def _model_bucket(s: str) -> int:
+    """The pinned portable basis: md5 hex chars [25, 32] mod 100."""
+    return int(hashlib.md5(s.encode()).hexdigest()[24:32], 16) % 100
+
+
+def test_hash_split_matches_hashlib_model(spark):
+    from sparkclif.operators.hashing import md5_bits
+
+    ids = list(range(0, 500))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in df.select(
+            "doc_id",
+            F.pmod(md5_bits(F.col("doc_id").cast("string"), 25, 8), F.lit(100)).alias(
+                "bucket"
+            ),
+        ).collect()
+    }
+    want = {i: _model_bucket(str(i)) for i in ids}
+    assert got == want
+
+
+def test_hash_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    from sparkclif.registry import all_queries
+
+    rows = all_queries()["i_sample_hash_split"].fn(spark, sf_dir).collect()
+    by_split = {r["split"]: r for r in rows}
+    assert set(by_split) <= {"train", "valid", "test"}
+    import pyarrow.parquet as pq
+
+    n_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert sum(r["n_docs"] for r in rows) == n_total
+    # 90/5/5 within loose tolerance at any sf
+    assert by_split["train"]["n_docs"] > by_split["valid"]["n_docs"]
+
+
+# ------------------------------------------------------- running distinct
+
+
+def test_running_distinct_on_crafted_ties(spark):
+    """Two events at the SAME timestamp break ties by event_id; the
+    set state counts types, not rows."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=1, ts=t0, event_type="a"),
+        Row(user_id=1, event_id=2, ts=t0, event_type="b"),
+        Row(user_id=1, event_id=3, ts=t0 + datetime.timedelta(seconds=1), event_type="a"),
+        Row(user_id=1, event_id=4, ts=t0 + datetime.timedelta(seconds=2), event_type="c"),
+        Row(user_id=2, event_id=5, ts=t0, event_type="z"),
+    ]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in df.select(
+            "event_id", F.size(F.collect_set("event_type").over(w)).alias("n")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}
+
+
+# ----------------------------------------------------------- interval grid
+
+
+def test_interval_grid_degenerate_and_reversed_spans(spark):
+    """A same-month interval contributes exactly one grid row; a
+    ship-before-order interval is normalized, not dropped."""
+    o = spark.createDataFrame(
+        [
+            (1, 100.0, datetime.datetime(2024, 3, 15)),
+            (2, 50.0, datetime.datetime(2024, 5, 1)),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 3, 20)),  # same month
+            (2, datetime.datetime(2024, 4, 10)),  # ships BEFORE order month
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    span = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"), F.max("l_shipdate").alias("last_ship"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.date_trunc("month", F.least(F.col("o_orderdate"), F.col("first_ship"))).alias("m0"),
+            F.date_trunc("month", F.greatest(F.col("o_orderdate"), F.col("last_ship"))).alias("m1"),
+            "o_totalprice",
+        )
+    )
+    months = span.select(
+        F.explode(F.sequence("m0", "m1", F.expr("interval 1 month"))).alias("month"),
+        "o_totalprice",
+    )
+    got = {
+        (r["month"].year, r["month"].month): r["n"]
+        for r in months.groupBy("month").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {(2024, 3): 1, (2024, 4): 1, (2024, 5): 1}
+
+
+# ---------------------------------------------------------------- moments
+
+
+def test_moments_match_python_model(spark):
+    """Skew/kurtosis derived from exact power sums == a brute-force
+    float model, on a deliberately skewed crafted group."""
+    vals = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 10.0, 25.5]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "l_returnflag string, l_quantity double"
+    )
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    s = df.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(
+            (F.col("q") * F.col("q")).cast("decimal(38,0)")
+            * (F.col("q") * F.col("q")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / (var * var) - 3
+    row = s.select(skew.alias("sk"), kurt.alias("ku")).collect()[0]
+
+    cents = [round(v * 100) for v in vals]
+    nn = len(cents)
+    mu = sum(cents) / nn
+    c2 = sum((x - mu) ** 2 for x in cents) / nn
+    c3 = sum((x - mu) ** 3 for x in cents) / nn
+    c4 = sum((x - mu) ** 4 for x in cents) / nn
+    assert row["sk"] == pytest.approx(c3 / c2**1.5, rel=1e-9)
+    assert row["ku"] == pytest.approx(c4 / c2**2 - 3, rel=1e-9)
+    # scale invariance: cents == raw quantity
+    mu_r = sum(vals) / nn
+    c2r = sum((x - mu_r) ** 2 for x in vals) / nn
+    c3r = sum((x - mu_r) ** 3 for x in vals) / nn
+    assert row["sk"] == pytest.approx(c3r / c2r**1.5, rel=1e-9)
+
+
+def test_moments_constant_group_yields_null(spark):
+    """Zero variance => skew/kurt are NULL, never an ANSI /0 error
+    (the when(var > 0) guard in d_agg_moments)."""
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0)], "l_returnflag string, l_quantity double"
+    )
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    s = df.select(q.alias("q")).agg(
+        F.count("*").alias("n"), F.sum("q").alias("s1"), F.sum(F.col("q") * F.col("q")).alias("s2")
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") / n) - m1 * m1
+    guarded = F.when(var > 0, F.lit(1.0) / (var * F.sqrt(var)))
+    val = s.select(guarded.alias("x")).collect()[0]["x"]
+    assert val is None
+
+
+# ---------------------------------------------------------- hash features
+
+
+def test_hash_features_buckets_cover_and_sum(spark, sf_dir):
+    from sparkclif.registry import all_queries
+
+    rows = all_queries()["i_text_hash_features"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    # total token mass equals the tokenize query's total
+    from sparkclif.io import table
+    from sparkclif.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    n_toks = docs.select(
+        F.sum(F.size(tokens(F.coalesce(F.col("text"), F.lit(""))))).alias("n")
+    ).collect()[0]["n"]
+    assert sum(r["n_tokens"] for r in rows) == n_toks
+    assert all(r["n_distinct_tokens"] <= r["n_tokens"] for r in rows)
