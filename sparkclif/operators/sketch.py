@@ -200,3 +200,52 @@ def bloom_filter(
     return all_words.join(packed, "word", "left").select(
         "word", F.coalesce("bits_value", F.lit(0)).cast("long").alias("bits_value")
     )
+
+
+def bloom_words(
+    items: DataFrame,
+    col: str,
+    m_bits: int = 131072,
+    k: int = 4,
+) -> DataFrame:
+    """``bloom_filter`` packed into ONE row holding the whole filter as
+    ``words: array<long>`` (index i = word i) — the broadcastable form
+    a semi-join reduction needs. Size m_bits to the build side's
+    cardinality (~14 bits/key for ~0.1% fp at k=4); the array is
+    m_bits/32 longs, so even a 10M-key filter broadcasts ~5 MB."""
+    packed = bloom_filter(items, col, m_bits=m_bits, k=k)
+    return packed.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("word", "bits_value"))),
+            lambda s: s["bits_value"],
+        ).alias("words")
+    )
+
+
+def bloom_might_contain(
+    probe: Column,
+    words: Column,
+    m_bits: int = 131072,
+    k: int = 4,
+) -> Column:
+    """Membership test against ``bloom_words`` output, scan-side: true
+    iff all k bits for ``probe`` are set. Same hash family as the
+    build (``'bloom{j}|' || value`` over the portable md5 basis) — a
+    value present in the build can NEVER test false (no false
+    negatives); false positives are bounded by the m/n/k sizing and
+    must be dropped by an exact join downstream."""
+    tests = []
+    for j in range(k):
+        bit = (
+            md5_bits(F.concat(F.lit(f"bloom{j}|"), probe.cast("string")), 25, 8)
+            % m_bits
+        )
+        word = F.element_at(words, (bit / 32).cast("int") + 1)
+        # shiftright() takes only a literal shift; build the mask as
+        # 2^(bit%32) instead — double pow is exact through 2^31
+        mask = F.pow(F.lit(2.0), (bit % 32).cast("int")).cast("long")
+        tests.append(word.bitwiseAND(mask) != 0)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out

@@ -380,3 +380,60 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 4).alias("skewness"),
         F.round(kurt, 4).alias("kurtosis"),
     )
+
+
+@register(
+    "c_join_bloom_prefilter",
+    # Exact by construction: the bloom admits false POSITIVES only,
+    # and every survivor goes through the exact join — so the result
+    # equals the plain join, which IS the oracle.
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+    GROUP BY l_returnflag
+    """,
+)
+def c_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit broadcast Bloom filter —
+    the runtime-row-filter pattern (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter, DPP's hash cousin) made
+    portable and explicit: build a bloom over the SELECTIVE dim side's
+    join keys (one aggregation; partial agg IS the filter union),
+    broadcast the packed words (m_bits/32 longs — ~32 KB here, ~5 MB
+    even at 10M keys), drop non-matching probe rows INSIDE the probe
+    scan before the join shuffle, then let the exact join remove the
+    bounded false positives. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~2% that can
+    match. Filter sizing documented in operators/sketch.bloom_words;
+    no false negatives by construction (tests/test_r6_queries.py)."""
+    from sparkclif.operators.sketch import bloom_might_contain, bloom_words
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    ).select("o_orderkey")
+    words = bloom_words(dim, "o_orderkey")
+    survivors = (
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(words))
+        .filter(bloom_might_contain(F.col("l_orderkey"), F.col("words")))
+        .drop("words")
+    )
+    return (
+        survivors.join(
+            F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

@@ -191,6 +191,42 @@ def test_moments_constant_group_yields_null(spark):
     assert val is None
 
 
+# ------------------------------------------------------ bloom prefilter
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every key in the build side passes its own filter — the bloom
+    guarantee the exact-result claim of c_join_bloom_prefilter rests
+    on. Small m forces heavy saturation; still zero false negatives."""
+    from sparkclif.operators.sketch import bloom_might_contain, bloom_words
+
+    keys = spark.range(2000).select((F.col("id") * 7 + 3).alias("k"))
+    words = bloom_words(keys, "k", m_bits=1024, k=3)
+    missed = (
+        keys.crossJoin(F.broadcast(words))
+        .filter(~bloom_might_contain(F.col("k"), F.col("words"), m_bits=1024, k=3))
+        .count()
+    )
+    assert missed == 0
+
+
+def test_bloom_prefilter_filters_non_members(spark):
+    """With a well-sized filter, most non-members are dropped (the
+    semi-join reduction actually reduces)."""
+    from sparkclif.operators.sketch import bloom_might_contain, bloom_words
+
+    keys = spark.range(500).select(F.col("id").alias("k"))
+    words = bloom_words(keys, "k", m_bits=16384, k=4)
+    probe = spark.range(500, 10500).select(F.col("id").alias("k"))
+    passed = (
+        probe.crossJoin(F.broadcast(words))
+        .filter(bloom_might_contain(F.col("k"), F.col("words"), m_bits=16384, k=4))
+        .count()
+    )
+    # fp rate at n=500, m=16384, k=4 is ~2e-5; allow generous slack
+    assert passed < 100
+
+
 # ---------------------------------------------------------- hash features
 
 
