@@ -8,7 +8,7 @@ order (all five CORRECTNESS_r* files cut off exactly there) — covers
 this round's must-verify set.
 
 Round-6 window (50), per VERDICT r5 item 4 (stalest-first rotation):
-leads with the six brand-new growth-set queries (group_r6.py —
+leads with the seven brand-new growth-set queries (group_r6.py —
 never driver-checked anywhere), then everything TOUCHED this round —
 the brand-new ``i_sim_ivf_probe_stats`` (the SEARCH-phase anchor
 completing the IVF pair, VERDICT item 8), the three rewritten
@@ -65,7 +65,7 @@ from sparkclif.registry import REGISTRY
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
     # -- brand-new this round (never driver-checked): the round-6
-    # growth set (group_r6.py) --
+    # growth set (group_r6.py, seven queries) --
     "i_sample_hash_split",
     "i_text_hash_features",
     "g_bitwise_funcs",
