@@ -156,11 +156,34 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     )
 
 
+def _bloom_bit(value: Column, j: int, m_bits: int, fast: bool) -> Column:
+    """Bit index of hash j for ``value`` — the ONE definition of the
+    bloom hash family, shared by build and probe. Two families:
+
+    - portable (default): md5 bits, reproducible in the DuckDB oracle
+      — d_agg_bloom's hash-checked filter STATE depends on it.
+    - fast: xxhash64 (JVM-native, ~10× cheaper/row). For engine-
+      internal filters whose OUTPUT is never compared (the semi-join
+      reduction: only the post-exact-join result is oracle-checked),
+      paying 4 md5-of-string per probe row is pure waste — at 100 TB
+      the probe side IS the fact table.
+    """
+    if fast:
+        h = F.xxhash64(F.lit(j), value)
+        # xxhash64 spans the full signed range; pmod folds it positive
+        return F.pmod(h, F.lit(m_bits))
+    return (
+        md5_bits(F.concat(F.lit(f"bloom{j}|"), value.cast("string")), 25, 8)
+        % m_bits
+    )
+
+
 def bloom_filter(
     items: DataFrame,
     col: str = "item",
     m_bits: int = 512,
     k: int = 4,
+    fast: bool = False,
 ) -> DataFrame:
     """Bloom filter (Bloom 1970) over the distinct values of ``col``,
     packed into 32-bit words: one row per word ``(word, bits_value)``,
@@ -168,32 +191,24 @@ def bloom_filter(
     packing bit 63 of a 64-bit word as 2^63 would overflow/wrap signed
     BIGINT differently per engine; 2^31 stays exact everywhere.
 
-    Build: scan-side k-hash explode -> DISTINCT (word, bit) — the
-    dedup that makes the pack a plain sum — -> per-word sum of exact
-    powers of two. Both shuffles are over the tiny (word, bit) /
-    (word) key spaces with map-side combine; like the other sketches,
-    partial aggregation is the filter union.
+    Build: scan-side k-hash explode -> per-word ``bit_or`` of exact
+    powers of two — OR is idempotent, so duplicate (word, bit) rows
+    need NO distinct pass and the whole build is ONE exchange over the
+    tiny word key space with map-side combine; like the other
+    sketches, partial aggregation is the filter union. (The earlier
+    shape — dropDuplicates then sum — produced the identical state
+    through two exchanges; bit_or deletes one.)
     """
     n_words = m_bits // 32
-    bits = F.array(
-        *[
-            md5_bits(
-                F.concat(F.lit(f"bloom{j}|"), F.col(col).cast("string")), 25, 8
-            )
-            % m_bits
-            for j in range(k)
-        ]
-    )
-    wb = (
-        items.select(F.explode(bits).alias("bit"))
-        .select(
-            (F.col("bit") / 32).cast("long").alias("word"),
-            (F.col("bit") % 32).cast("int").alias("__b"),
-        )
-        .dropDuplicates(["word", "__b"])
+    bits = F.array(*[_bloom_bit(F.col(col), j, m_bits, fast) for j in range(k)])
+    wb = items.select(F.explode(bits).alias("bit")).select(
+        (F.col("bit") / 32).cast("long").alias("word"),
+        (F.col("bit") % 32).cast("int").alias("__b"),
     )
     packed = wb.groupBy("word").agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), __b)")).cast("long").alias("bits_value")
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __b)"))
+        .cast("long")
+        .alias("bits_value")
     )
     spark = items.sparkSession
     all_words = spark.range(n_words).select(F.col("id").cast("long").alias("word"))
@@ -207,13 +222,17 @@ def bloom_words(
     col: str,
     m_bits: int = 131072,
     k: int = 4,
+    fast: bool = True,
 ) -> DataFrame:
     """``bloom_filter`` packed into ONE row holding the whole filter as
     ``words: array<long>`` (index i = word i) — the broadcastable form
     a semi-join reduction needs. Size m_bits to the build side's
     cardinality (~14 bits/key for ~0.1% fp at k=4); the array is
-    m_bits/32 longs, so even a 10M-key filter broadcasts ~5 MB."""
-    packed = bloom_filter(items, col, m_bits=m_bits, k=k)
+    m_bits/32 longs, so even a 10M-key filter broadcasts ~5 MB.
+    Defaults to the fast xxhash64 family (engine-internal use; pass
+    fast=False for the oracle-portable md5 family — must match the
+    ``bloom_might_contain`` probe)."""
+    packed = bloom_filter(items, col, m_bits=m_bits, k=k, fast=fast)
     return packed.agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("word", "bits_value"))),
@@ -227,25 +246,42 @@ def bloom_might_contain(
     words: Column,
     m_bits: int = 131072,
     k: int = 4,
+    fast: bool = True,
 ) -> Column:
     """Membership test against ``bloom_words`` output, scan-side: true
-    iff all k bits for ``probe`` are set. Same hash family as the
-    build (``'bloom{j}|' || value`` over the portable md5 basis) — a
-    value present in the build can NEVER test false (no false
+    iff all k bits for ``probe`` are set. ``fast``/``m_bits``/``k``
+    MUST match the build's (one hash-family definition, ``_bloom_bit``)
+    — then a value present in the build can NEVER test false (no false
     negatives); false positives are bounded by the m/n/k sizing and
-    must be dropped by an exact join downstream."""
-    tests = []
-    for j in range(k):
-        bit = (
-            md5_bits(F.concat(F.lit(f"bloom{j}|"), probe.cast("string")), 25, 8)
-            % m_bits
+    must be dropped by an exact join downstream.
+
+    Feed ``words`` as a broadcast relation column — ideally as the
+    condition of a left-semi join, which never materializes the wide
+    joined row. A plan-LITERAL words array was prototyped and
+    rejected: analyzing a 4096-element CreateArray literal costs
+    seconds per plan build."""
+    # ONE reference to ``words`` in the whole expression tree: the k
+    # bit positions collect into an array and a single forall lambda
+    # tests them — the naive k-way AND embedded ``words`` k times,
+    # quadrupling plan/codegen size with a plan-literal filter. The
+    # words array is expr.bind-bound OUTSIDE the lambda: Spark does no
+    # CSE inside HOF lambdas, so a bare 4096-element literal referenced
+    # there is REBUILT per element per row (measured 6-38 s at sf0.1 vs
+    # ~0.4 s bound — the round-4 winnowing recompute class).
+    from sparkclif.operators.expr import bind
+
+    bits = F.array(*[_bloom_bit(probe, j, m_bits, fast) for j in range(k)])
+
+    def test_all(wv: Column) -> Column:
+        return F.forall(
+            bits,
+            lambda bit: (
+                F.element_at(wv, (bit / 32).cast("int") + 1)
+                # shiftright() takes only a literal shift; build the
+                # mask as 2^(bit%32) — double pow is exact through 2^31
+                .bitwiseAND(F.pow(F.lit(2.0), (bit % 32).cast("int")).cast("long"))
+                != 0
+            ),
         )
-        word = F.element_at(words, (bit / 32).cast("int") + 1)
-        # shiftright() takes only a literal shift; build the mask as
-        # 2^(bit%32) instead — double pow is exact through 2^31
-        mask = F.pow(F.lit(2.0), (bit % 32).cast("int")).cast("long")
-        tests.append(word.bitwiseAND(mask) != 0)
-    out = tests[0]
-    for t in tests[1:]:
-        out = out & t
-    return out
+
+    return bind(words, test_all)

@@ -403,14 +403,27 @@ def c_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the runtime-row-filter pattern (Spark's own
     spark.sql.optimizer.runtime.bloomFilter, DPP's hash cousin) made
     portable and explicit: build a bloom over the SELECTIVE dim side's
-    join keys (one aggregation; partial agg IS the filter union),
-    broadcast the packed words (m_bits/32 longs — ~32 KB here, ~5 MB
-    even at 10M keys), drop non-matching probe rows INSIDE the probe
-    scan before the join shuffle, then let the exact join remove the
-    bounded false positives. At 100 TB this is the difference between
+    join keys (one aggregation; partial agg IS the filter union), ship
+    the packed words to the probe scan (m_bits/32 longs — ~32 KB
+    here), drop non-matching probe rows INSIDE the probe scan before
+    the join shuffle, then let the exact join remove the bounded
+    false positives. At 100 TB this is the difference between
     shuffling the full fact table and shuffling the ~2% that can
-    match. Filter sizing documented in operators/sketch.bloom_words;
-    no false negatives by construction (tests/test_r6_queries.py)."""
+    match. The probe is a LEFT-SEMI join against the broadcast 1-row
+    words relation with the membership test as the join condition —
+    semi output carries only probe columns, so the 32 KB words array
+    is never copied into result rows (a crossJoin+filter materializes
+    it per joined row: measured +35% wall; a plan-literal array costs
+    seconds of analysis per build: rejected, see
+    sketch.bloom_might_contain). Probe hashes are the fast xxhash64
+    family — engine-internal, never compared (sketch._bloom_bit; only
+    d_agg_bloom's oracle-checked STATE needs portable md5). No false
+    negatives by construction (tests/test_r6_queries.py). NOTE on the
+    bench ratio: the oracle is the UNREDUCED join, and at sf0.1 the
+    dim broadcasts anyway — the bloom detour is pure premium here
+    (~0.7 s: build + probe hashing) and pays for itself only once the
+    dim side exceeds the broadcast threshold, which is exactly when a
+    production dispatcher would turn it on."""
     from sparkclif.operators.sketch import bloom_might_contain, bloom_words
 
     o = table(spark, sf_dir, "orders")
@@ -419,11 +432,12 @@ def c_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
     ).select("o_orderkey")
     words = bloom_words(dim, "o_orderkey")
-    survivors = (
-        li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
-        .crossJoin(F.broadcast(words))
-        .filter(bloom_might_contain(F.col("l_orderkey"), F.col("words")))
-        .drop("words")
+    survivors = li.select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    ).join(
+        F.broadcast(words),
+        bloom_might_contain(F.col("l_orderkey"), words["words"]),
+        "left_semi",
     )
     return (
         survivors.join(
