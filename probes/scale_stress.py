@@ -365,40 +365,30 @@ def main() -> None:
     )
 
     # --- r6 growth set --------------------------------------------------
+    # The probes run the SAME plan builders the registered queries use
+    # (queries/group_r6.py) — an inline re-declaration would silently
+    # keep measuring the old shape after a query fix. And every timed
+    # action aggregates ON the computed columns: a bare .count() lets
+    # Catalyst prune the window/aggregate under probe (the
+    # pack_sequences lesson below), so each probe's result must
+    # reference the expensive output.
+    from sparkclif.queries.group_r6 import (
+        hash_features_plan,
+        interval_grid_plan,
+        moment_power_sums,
+        running_distinct_plan,
+    )
+
+    def force_all(df):
+        """Aggregate over EVERY column so no probe work is prunable;
+        returns the row count (non-null count of the first column)."""
+        return int(df.agg(*[F.count(c) for c in df.columns]).collect()[0][0])
+
     # interval grid at kx (orderkeys shifted: span length per order
     # constant => month expansion factor constant => rows exploded
     # scale linearly in k; wall must track scan + the two exchanges)
     o_g = table(spark, sf_dir, "orders")
     li_g = table(spark, sf_dir, "lineitem")
-
-    def interval_grid(o, li):
-        span = (
-            li.groupBy("l_orderkey")
-            .agg(
-                F.min("l_shipdate").alias("first_ship"),
-                F.max("l_shipdate").alias("last_ship"),
-            )
-            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .select(
-                F.date_trunc(
-                    "month", F.least(F.col("o_orderdate"), F.col("first_ship"))
-                ).alias("m0"),
-                F.date_trunc(
-                    "month", F.greatest(F.col("o_orderdate"), F.col("last_ship"))
-                ).alias("m1"),
-                "o_totalprice",
-            )
-        )
-        return (
-            span.select(
-                F.explode(
-                    F.sequence(F.col("m0"), F.col("m1"), F.expr("interval 1 month"))
-                ).alias("month"),
-                "o_totalprice",
-            )
-            .groupBy("month")
-            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
-        )
 
     o_k = (
         o_g.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
@@ -415,49 +405,23 @@ def main() -> None:
             "l_shipdate",
         )
     )
-    timed("interval_grid_1x", lambda: interval_grid(o_g, li_g).count())
-    timed(f"interval_grid_{k}x", lambda: interval_grid(o_k, li_gk).count())
+    timed("interval_grid_1x", lambda: force_all(interval_grid_plan(o_g, li_g)))
+    timed(f"interval_grid_{k}x", lambda: force_all(interval_grid_plan(o_k, li_gk)))
 
     # hashing-trick features at kx (docs cloned: token mass kx, the
     # (bucket, tok)/(bucket, doc) partial-agg relations stay
     # vocabulary/doc-bounded — wall must track the tokenize scan)
-    from sparkclif.operators.hashing import md5_bits
-    from sparkclif.operators.text import tokens as _tokens
-
-    def hash_features(docs):
-        t = docs.select(
-            "doc_id",
-            F.explode(_tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
-        ).withColumn("bucket", F.pmod(md5_bits(F.col("tok"), 25, 8), F.lit(64)))
-        return t.groupBy("bucket").agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("tok").alias("n_distinct"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
-
     docs_h = spark.read.parquet(replicate("documents", "doc_id", k))
     timed(
         "hash_features_1x",
-        lambda: hash_features(table(spark, sf_dir, "documents")).count(),
+        lambda: force_all(hash_features_plan(table(spark, sf_dir, "documents"))),
     )
-    timed(f"hash_features_{k}x_cloned", lambda: hash_features(docs_h).count())
+    timed(f"hash_features_{k}x_cloned", lambda: force_all(hash_features_plan(docs_h)))
 
     # running COUNT(DISTINCT) at kx users (per-user history length and
     # type cardinality constant => set state constant; one exchange +
-    # one sort, wall must track the scan)
-    from pyspark.sql import Window as _W
-
-    def running_distinct(ev):
-        w = (
-            _W.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
-        )
-        return ev.select(
-            "user_id",
-            F.size(F.collect_set("event_type").over(w)).alias("n"),
-        )
-
+    # one sort, wall must track the scan). force_all counts the window
+    # output column, so the collect_set window cannot be pruned.
     ev_rk = (
         ev_f.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .select(
@@ -467,33 +431,17 @@ def main() -> None:
             "event_type",
         )
     )
-    timed("running_distinct_1x", lambda: running_distinct(ev_f).count())
+    timed("running_distinct_1x", lambda: force_all(running_distinct_plan(ev_f)))
     timed(
         f"running_distinct_{k}x_users",
-        lambda: running_distinct(ev_rk).count(),
+        lambda: force_all(running_distinct_plan(ev_rk)),
     )
 
     # exact moments at kx (pure two-phase agg over integer power sums —
-    # must stay scan-bound/flat like the flagship agg)
-    def moments(df):
-        q = F.round(F.col("l_quantity") * 100).cast("long")
-        return (
-            df.select("l_returnflag", q.alias("q"))
-            .groupBy("l_returnflag")
-            .agg(
-                F.count("*"),
-                F.sum("q"),
-                F.sum(F.col("q") * F.col("q")),
-                F.sum(F.col("q") * F.col("q") * F.col("q")),
-                F.sum(
-                    (F.col("q") * F.col("q")).cast("decimal(38,0)")
-                    * (F.col("q") * F.col("q")).cast("decimal(38,0)")
-                ),
-            )
-        )
-
-    timed("moments_1x", lambda: moments(li).count())
-    timed(f"moments_{k}x", lambda: moments(li_k).count())
+    # must stay scan-bound/flat like the flagship agg; force_all
+    # references every power sum, so none is prunable)
+    timed("moments_1x", lambda: force_all(moment_power_sums(li)))
+    timed(f"moments_{k}x", lambda: force_all(moment_power_sums(li_k)))
 
     shutil.rmtree(scratch, ignore_errors=True)
 

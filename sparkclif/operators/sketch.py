@@ -167,6 +167,13 @@ def _bloom_bit(value: Column, j: int, m_bits: int, fast: bool) -> Column:
       reduction: only the post-exact-join result is oracle-checked),
       paying 4 md5-of-string per probe row is pure waste — at 100 TB
       the probe side IS the fact table.
+
+    TYPE CONTRACT (fast family): xxhash64 is TYPE-sensitive — int 5
+    and bigint 5 hash differently — while the md5 family normalizes
+    through cast('string'). Build and probe columns must therefore
+    have the SAME data type under fast=True, or every true match can
+    silently test false (no false negatives holds only under the
+    contract). Cast one side if the join keys' types differ.
     """
     if fast:
         h = F.xxhash64(F.lit(j), value)
@@ -227,8 +234,9 @@ def bloom_words(
     """``bloom_filter`` packed into ONE row holding the whole filter as
     ``words: array<long>`` (index i = word i) — the broadcastable form
     a semi-join reduction needs. Size m_bits to the build side's
-    cardinality (~14 bits/key for ~0.1% fp at k=4); the array is
-    m_bits/32 longs, so even a 10M-key filter broadcasts ~5 MB.
+    cardinality: fp = (1 - e^(-k/b))^k at b bits/key, so at k=4,
+    b=14 gives ~0.4% and b=20 gives ~0.1%; the array is m_bits/32
+    longs, so even a 10M-key filter at b=20 broadcasts ~25 MB.
     Defaults to the fast xxhash64 family (engine-internal use; pass
     fast=False for the oracle-portable md5 family — must match the
     ``bloom_might_contain`` probe)."""
@@ -250,10 +258,12 @@ def bloom_might_contain(
 ) -> Column:
     """Membership test against ``bloom_words`` output, scan-side: true
     iff all k bits for ``probe`` are set. ``fast``/``m_bits``/``k``
-    MUST match the build's (one hash-family definition, ``_bloom_bit``)
-    — then a value present in the build can NEVER test false (no false
-    negatives); false positives are bounded by the m/n/k sizing and
-    must be dropped by an exact join downstream.
+    MUST match the build's, and under the fast family so must the
+    probe column's DATA TYPE (one hash-family definition,
+    ``_bloom_bit`` — see its type contract) — then a value present in
+    the build can NEVER test false (no false negatives); false
+    positives are bounded by the m/n/k sizing and must be dropped by
+    an exact join downstream.
 
     Feed ``words`` as a broadcast relation column — ideally as the
     condition of a left-semi join, which never materializes the wide

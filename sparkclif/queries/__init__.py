@@ -23,7 +23,7 @@ now behind the broadcast/LSH cost dispatcher (``i_sim_cosine_topk``,
 remaining round-3-green queries (C-joins, trivial D-aggs, group-I
 dedup/multimodal/text/sampling, J-UDFs — verified against the union
 of CORRECTNESS_r01..r05: no r<=3 row is outside this window), then
-``d_agg_approx`` (round 2, the oldest row), and 12 of the round-4
+``d_agg_approx`` (round 2, the oldest row), and 11 of the round-4
 set, prioritizing the queries whose plans this round rewrote
 (``e_win_gapfill``, ``d_agg_percentile``) plus B-predicates,
 as-of/range joins, D-agg shapes and ``e_win_distribution`` (the

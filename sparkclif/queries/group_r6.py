@@ -16,11 +16,13 @@ groups didn't yet exercise.
   during period" non-equi join.
 - ``d_agg_moments``         — exact higher central moments (skewness /
   kurtosis) from integer power sums.
+- ``c_join_bloom_prefilter``— semi-join reduction via an explicit
+  Bloom filter (Spark's runtime-row-filter pattern made explicit).
 
 Reference ties: the reference's only sampling/splitting is the R23
 catalog batching (app.py:154-168, fixed-size chunks); these queries
 generalize it to content-hash bucketing per SURVEY §2.2's declared
-LLM-pipeline scope. All six are exact-oracle (hash-checked).
+LLM-pipeline scope. All seven are exact-oracle (hash-checked).
 """
 
 from __future__ import annotations
@@ -33,6 +35,94 @@ from sparkclif.numeric import fixed_sum
 from sparkclif.operators.hashing import md5_bits
 from sparkclif.operators.text import tokens
 from sparkclif.registry import register
+
+# ---------------------------------------------------------------------
+# df-parametrized plan builders — the ONE definition of each growth-set
+# shape, shared by the registered queries below and by the scale probes
+# (probes/scale_stress.py). A probe that re-declared the plan inline
+# would silently keep measuring the old shape after a query fix.
+
+
+def hash_features_plan(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    b = toks.withColumn("bucket", F.pmod(md5_bits(F.col("tok"), 25, 8), F.lit(64)))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def running_distinct_plan(ev: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
+
+
+def interval_grid_plan(o: DataFrame, li: DataFrame) -> DataFrame:
+    span = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            # the synthetic testbed lets lines ship before the order
+            # month — normalize the interval with least/greatest
+            F.date_trunc(
+                "month", F.least(F.col("o_orderdate"), F.col("first_ship"))
+            ).alias("m0"),
+            F.date_trunc(
+                "month", F.greatest(F.col("o_orderdate"), F.col("last_ship"))
+            ).alias("m1"),
+            "o_totalprice",
+        )
+    )
+    # month stays a (month-truncated) timestamp: the driver compare
+    # goes through pandas, which has no date dtype — a DATE here and a
+    # DATE in the oracle would arrive as mismatched representations
+    months = span.select(
+        F.explode(
+            F.sequence(F.col("m0"), F.col("m1"), F.expr("interval 1 month"))
+        ).alias("month"),
+        "o_totalprice",
+    )
+    return months.groupBy("month").agg(
+        F.count("*").alias("n_inflight"),
+        fixed_sum("o_totalprice").alias("sum_inflight_price"),
+    )
+
+
+def moment_power_sums(df: DataFrame, group_col: str = "l_returnflag") -> DataFrame:
+    """Σq..Σq⁴ over quantity cents, exact. s2/s3/s4 accumulate in
+    decimal(38,0): per-element q² (≤ 2.5e7) and q³ (≤ 1.25e11) fit
+    BIGINT, but their SUMS cross 2^63 at ~3.7e11 / ~7.4e7
+    max-quantity rows per group — reachable at the 100 TB deployment
+    this query documents, and ANSI mode turns the wrap into an error.
+    The decimal partial agg stays map-side combinable (s1 stays
+    BIGINT: 2^63/5000 ≈ 1.8e15 rows/group, comfortably above any
+    single group)."""
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    c = df.select(group_col, q.alias("q"))
+    q2 = (F.col("q") * F.col("q")).cast("decimal(38,0)")
+    return c.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(q2).alias("s2"),
+        F.sum(q2 * F.col("q")).alias("s3"),
+        F.sum(q2 * q2).alias("s4"),
+    )
 
 
 @register(
@@ -118,17 +208,7 @@ def i_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct aggs expand the stream 2x but partial aggregation
     collapses to (bucket, tok)/(bucket, doc) cardinality before the
     shuffle. Portable md5 basis shared with the sketch family."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
-    )
-    b = toks.withColumn("bucket", F.pmod(md5_bits(F.col("tok"), 25, 8), F.lit(64)))
-    return b.groupBy("bucket").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("tok").alias("n_distinct_tokens"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    )
+    return hash_features_plan(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -186,17 +266,7 @@ def e_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type cardinality (tiny), NOT the frame length, so the
     running frame is safe at any per-user history length. Ordering is
     total (ts, event_id) so both engines see identical frames."""
-    ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
-    )
+    return running_distinct_plan(table(spark, sf_dir, "events"))
 
 
 @register(
@@ -235,36 +305,8 @@ def c_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     and data-independent), and the plan scales linearly where the
     BNLJ is quadratic. Same bucket-expansion move as
     c_join_range_bucketed, here producing the grid rollup directly."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    span = (
-        li.groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"), F.max("l_shipdate").alias("last_ship"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            # the synthetic testbed lets lines ship before the order
-            # month — normalize the interval with least/greatest
-            F.date_trunc(
-                "month", F.least(F.col("o_orderdate"), F.col("first_ship"))
-            ).alias("m0"),
-            F.date_trunc(
-                "month", F.greatest(F.col("o_orderdate"), F.col("last_ship"))
-            ).alias("m1"),
-            "o_totalprice",
-        )
-    )
-    # month stays a (month-truncated) timestamp: the driver compare
-    # goes through pandas, which has no date dtype — a DATE here and a
-    # DATE in the oracle would arrive as mismatched representations
-    months = span.select(
-        F.explode(
-            F.sequence(F.col("m0"), F.col("m1"), F.expr("interval 1 month"))
-        ).alias("month"),
-        "o_totalprice",
-    )
-    return months.groupBy("month").agg(
-        F.count("*").alias("n_inflight"),
-        fixed_sum("o_totalprice").alias("sum_inflight_price"),
+    return interval_grid_plan(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
     )
 
 
@@ -340,21 +382,10 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     same one-pass two-phase shape as the sketch family, with zero
     accumulation-order sensitivity (contrast built-in skewness():
     streaming double updates whose result depends on row order).
-    q⁴ sums exceed BIGINT at ~1e19, so s4 accumulates in decimal(38,0)
-    (Spark) / HUGEINT (DuckDB), both exact."""
-    li = table(spark, sf_dir, "lineitem")
-    q = F.round(F.col("l_quantity") * 100).cast("long")
-    c = li.select("l_returnflag", q.alias("q"))
-    s = c.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("q").alias("s1"),
-        F.sum(F.col("q") * F.col("q")).alias("s2"),
-        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
-        F.sum(
-            (F.col("q") * F.col("q")).cast("decimal(38,0)")
-            * (F.col("q") * F.col("q")).cast("decimal(38,0)")
-        ).alias("s4"),
-    )
+    s2/s3/s4 accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB),
+    both exact — see moment_power_sums for the per-sum overflow
+    arithmetic."""
+    s = moment_power_sums(table(spark, sf_dir, "lineitem"))
     n = F.col("n")
     m1 = F.col("s1").cast("double") / n
     m2 = F.col("s2").cast("double") / n

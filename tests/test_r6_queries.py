@@ -47,9 +47,9 @@ def test_hash_split_is_exhaustive_and_disjoint(spark, sf_dir):
     rows = all_queries()["i_sample_hash_split"].fn(spark, sf_dir).collect()
     by_split = {r["split"]: r for r in rows}
     assert set(by_split) <= {"train", "valid", "test"}
-    import pyarrow.parquet as pq
+    from sparkclif.io import parquet_row_count
 
-    n_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_total = parquet_row_count(sf_dir, "documents")
     assert sum(r["n_docs"] for r in rows) == n_total
     # 90/5/5 within loose tolerance at any sf
     assert by_split["train"]["n_docs"] > by_split["valid"]["n_docs"]
@@ -106,23 +106,11 @@ def test_interval_grid_degenerate_and_reversed_spans(spark):
         ],
         "l_orderkey long, l_shipdate timestamp",
     )
-    span = (
-        li.groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"), F.max("l_shipdate").alias("last_ship"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.date_trunc("month", F.least(F.col("o_orderdate"), F.col("first_ship"))).alias("m0"),
-            F.date_trunc("month", F.greatest(F.col("o_orderdate"), F.col("last_ship"))).alias("m1"),
-            "o_totalprice",
-        )
-    )
-    months = span.select(
-        F.explode(F.sequence("m0", "m1", F.expr("interval 1 month"))).alias("month"),
-        "o_totalprice",
-    )
+    from sparkclif.queries.group_r6 import interval_grid_plan
+
     got = {
-        (r["month"].year, r["month"].month): r["n"]
-        for r in months.groupBy("month").agg(F.count("*").alias("n")).collect()
+        (r["month"].year, r["month"].month): r["n_inflight"]
+        for r in interval_grid_plan(o, li).collect()
     }
     assert got == {(2024, 3): 1, (2024, 4): 1, (2024, 5): 1}
 
@@ -133,21 +121,13 @@ def test_interval_grid_degenerate_and_reversed_spans(spark):
 def test_moments_match_python_model(spark):
     """Skew/kurtosis derived from exact power sums == a brute-force
     float model, on a deliberately skewed crafted group."""
+    from sparkclif.queries.group_r6 import moment_power_sums
+
     vals = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 10.0, 25.5]
     df = spark.createDataFrame(
         [("g", v) for v in vals], "l_returnflag string, l_quantity double"
     )
-    q = F.round(F.col("l_quantity") * 100).cast("long")
-    s = df.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("q").alias("s1"),
-        F.sum(F.col("q") * F.col("q")).alias("s2"),
-        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
-        F.sum(
-            (F.col("q") * F.col("q")).cast("decimal(38,0)")
-            * (F.col("q") * F.col("q")).cast("decimal(38,0)")
-        ).alias("s4"),
-    )
+    s = moment_power_sums(df)
     n = F.col("n")
     m1 = F.col("s1").cast("double") / n
     m2 = F.col("s2").cast("double") / n
