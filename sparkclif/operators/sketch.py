@@ -156,7 +156,7 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     )
 
 
-def _bloom_bit(value: Column, j: int, m_bits: int, fast: bool) -> Column:
+def _bloom_bit(value: Column, j: int, m_bits: "int | Column", fast: bool) -> Column:
     """Bit index of hash j for ``value`` — the ONE definition of the
     bloom hash family, shared by build and probe. Two families:
 
@@ -168,20 +168,26 @@ def _bloom_bit(value: Column, j: int, m_bits: int, fast: bool) -> Column:
       paying 4 md5-of-string per probe row is pure waste — at 100 TB
       the probe side IS the fact table.
 
-    TYPE CONTRACT (fast family): xxhash64 is TYPE-sensitive — int 5
-    and bigint 5 hash differently — while the md5 family normalizes
-    through cast('string'). Build and probe columns must therefore
-    have the SAME data type under fast=True, or every true match can
-    silently test false (no false negatives holds only under the
-    contract). Cast one side if the join keys' types differ.
+    TYPE NORMALIZATION (fast family): xxhash64 is TYPE-sensitive —
+    int 5 and bigint 5 hash differently — while the md5 family
+    normalizes through cast('string'). The fast family therefore
+    normalizes the key through ``cast('long')`` BY CONSTRUCTION, so
+    an int build side and a bigint probe side hash identically and
+    the no-false-negatives guarantee holds without a caller-side
+    contract. Consequence: the fast family is for INTEGRAL keys (the
+    semi-join-reduction use case — surrogate join keys); a
+    non-numeric key errors loudly on the cast under ANSI mode
+    instead of silently dropping rows — use fast=False for string
+    keys (ADVICE r6: contract-by-construction, not by caller).
     """
+    m = F.lit(m_bits) if isinstance(m_bits, int) else m_bits
     if fast:
-        h = F.xxhash64(F.lit(j), value)
+        h = F.xxhash64(F.lit(j), value.cast("long"))
         # xxhash64 spans the full signed range; pmod folds it positive
-        return F.pmod(h, F.lit(m_bits))
+        return F.pmod(h, m)
     return (
         md5_bits(F.concat(F.lit(f"bloom{j}|"), value.cast("string")), 25, 8)
-        % m_bits
+        % m
     )
 
 
@@ -252,15 +258,16 @@ def bloom_words(
 def bloom_might_contain(
     probe: Column,
     words: Column,
-    m_bits: int = 131072,
     k: int = 4,
     fast: bool = True,
 ) -> Column:
     """Membership test against ``bloom_words`` output, scan-side: true
-    iff all k bits for ``probe`` are set. ``fast``/``m_bits``/``k``
-    MUST match the build's, and under the fast family so must the
-    probe column's DATA TYPE (one hash-family definition,
-    ``_bloom_bit`` — see its type contract) — then a value present in
+    iff all k bits for ``probe`` are set. ``m_bits`` is derived
+    STRUCTURALLY from the filter itself (``size(words) * 32``), so the
+    build/probe width contract holds by construction and cannot be
+    mismatched (ADVICE r6); ``fast``/``k`` must still match the
+    build's (key dtype no longer matters — the fast family normalizes
+    through cast('long'), see ``_bloom_bit``). Then a value present in
     the build can NEVER test false (no false negatives); false
     positives are bounded by the m/n/k sizing and must be dropped by
     an exact join downstream.
@@ -277,12 +284,13 @@ def bloom_might_contain(
     # words array is expr.bind-bound OUTSIDE the lambda: Spark does no
     # CSE inside HOF lambdas, so a bare 4096-element literal referenced
     # there is REBUILT per element per row (measured 6-38 s at sf0.1 vs
-    # ~0.4 s bound — the round-4 winnowing recompute class).
+    # ~0.4 s bound — the round-4 winnowing recompute class). m_bits is
+    # size(wv)*32 on the BOUND value — an O(1) array-header read.
     from sparkclif.operators.expr import bind
 
-    bits = F.array(*[_bloom_bit(probe, j, m_bits, fast) for j in range(k)])
-
     def test_all(wv: Column) -> Column:
+        m_bits = F.size(wv).cast("long") * 32
+        bits = F.array(*[_bloom_bit(probe, j, m_bits, fast) for j in range(k)])
         return F.forall(
             bits,
             lambda bit: (

@@ -433,52 +433,95 @@ def c_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join reduction via an explicit broadcast Bloom filter —
     the runtime-row-filter pattern (Spark's own
     spark.sql.optimizer.runtime.bloomFilter, DPP's hash cousin) made
-    portable and explicit: build a bloom over the SELECTIVE dim side's
-    join keys (one aggregation; partial agg IS the filter union), ship
-    the packed words to the probe scan (m_bits/32 longs — ~32 KB
-    here), drop non-matching probe rows INSIDE the probe scan before
-    the join shuffle, then let the exact join remove the bounded
-    false positives. At 100 TB this is the difference between
-    shuffling the full fact table and shuffling the ~2% that can
-    match. The probe is a LEFT-SEMI join against the broadcast 1-row
-    words relation with the membership test as the join condition —
-    semi output carries only probe columns, so the 32 KB words array
-    is never copied into result rows (a crossJoin+filter materializes
-    it per joined row: measured +35% wall; a plan-literal array costs
+    portable and explicit, COST-DISPATCHED (VERDICT r6 item 1): the
+    bloom detour only pays once the dim side exceeds the broadcast
+    bound — below it the exact join broadcasts the dim anyway and the
+    filter build + probe hashing is pure premium (measured ~2.5 s of
+    30× at sf0.1) — so ``bloom_prefilter_plan`` routes on the same
+    plan-stats machinery as similarity._dispatch_exact and skips the
+    bloom for broadcastable dims. Both paths are RESULT-IDENTICAL
+    (the bloom admits false positives only; the exact join removes
+    them), so unlike the cosine dispatch this one is safe under
+    misestimates and under forceDistributed. force="bloom"/"plain"
+    pins a path (tests pin "bloom" to keep the reduction covered).
+    See bloom_prefilter_plan for the scale shape."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return bloom_prefilter_plan(o, li)
+
+
+# Plan-stats bound for the bloom semi-join reduction: a dim side whose
+# post-filter keys fit a broadcast hash relation gets BHJ'd by Spark
+# regardless, so the runtime filter cannot remove a shuffle — only add
+# its build. Sized an order above the default 10 MB
+# autoBroadcastJoinThreshold because plan stats under-read post-filter
+# outputs (rank.plan_size_bytes caveat) and a false "plain" is the
+# cheap mistake here (both paths exact).
+BLOOM_DIM_PLAIN_BYTES = 32 * 1024 * 1024
+
+
+def bloom_prefilter_plan(
+    orders: DataFrame, lineitem: DataFrame, force: str | None = None
+) -> DataFrame:
+    """The c_join_bloom_prefilter shape, df-parametrized.
+
+    Bloom path: build a bloom over the SELECTIVE dim side's join keys
+    (one aggregation; partial agg IS the filter union), ship the
+    packed words to the probe scan (m_bits/32 longs — ~32 KB here),
+    drop non-matching probe rows INSIDE the probe scan before the
+    join shuffle, then let the exact join remove the bounded false
+    positives. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling the ~2% that can match. The probe
+    is a LEFT-SEMI join against the broadcast 1-row words relation
+    with the membership test as the join condition — semi output
+    carries only probe columns, so the 32 KB words array is never
+    copied into result rows (a crossJoin+filter materializes it per
+    joined row: measured +35% wall; a plan-literal array costs
     seconds of analysis per build: rejected, see
     sketch.bloom_might_contain). Probe hashes are the fast xxhash64
     family — engine-internal, never compared (sketch._bloom_bit; only
     d_agg_bloom's oracle-checked STATE needs portable md5). No false
-    negatives by construction (tests/test_r6_queries.py). NOTE on the
-    bench ratio: the oracle is the UNREDUCED join, and at sf0.1 the
-    dim broadcasts anyway — the bloom detour is pure premium here
-    (~0.7 s: build + probe hashing) and pays for itself only once the
-    dim side exceeds the broadcast threshold, which is exactly when a
-    production dispatcher would turn it on."""
+    negatives by construction (tests/test_r6_queries.py). The final
+    exact join carries NO broadcast hint on this path — past the
+    dispatch bound the dim must not be forced driver-side; AQE picks
+    the strategy from the REDUCED survivor side.
+
+    Plain path (dim under BLOOM_DIM_PLAIN_BYTES): the straight
+    broadcast join — exactly the oracle's plan; the bloom could not
+    have removed a shuffle."""
+    from sparkclif.operators.rank import plan_size_bytes, validate_force
     from sparkclif.operators.sketch import bloom_might_contain, bloom_words
 
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    dim = o.filter(
+    validate_force(force, {"plain", "bloom"})
+    dim = orders.filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
     ).select("o_orderkey")
-    words = bloom_words(dim, "o_orderkey")
-    survivors = li.select(
+    if force is None:
+        size = plan_size_bytes(dim)
+        # Long.MaxValue = Catalyst's no-stats sentinel: stay plain —
+        # result-identical either way, and a stats-less toy relation
+        # should not pay the detour (file sources always carry stats).
+        if size >= (1 << 63) - 1:
+            size = 0
+        force = "plain" if size <= BLOOM_DIM_PLAIN_BYTES else "bloom"
+    probe = lineitem.select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
-    ).join(
-        F.broadcast(words),
-        bloom_might_contain(F.col("l_orderkey"), words["words"]),
-        "left_semi",
     )
-    return (
-        survivors.join(
+    if force == "bloom":
+        words = bloom_words(dim, "o_orderkey")
+        probe = probe.join(
+            F.broadcast(words),
+            bloom_might_contain(F.col("l_orderkey"), words["words"]),
+            "left_semi",
+        )
+        joined = probe.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+    else:
+        joined = probe.join(
             F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
         )
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_lines"),
-            fixed_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue"),
-        )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        fixed_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
     )

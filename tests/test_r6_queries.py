@@ -184,7 +184,7 @@ def test_bloom_prefilter_no_false_negatives(spark):
     words = bloom_words(keys, "k", m_bits=1024, k=3)
     missed = (
         keys.crossJoin(F.broadcast(words))
-        .filter(~bloom_might_contain(F.col("k"), F.col("words"), m_bits=1024, k=3))
+        .filter(~bloom_might_contain(F.col("k"), F.col("words"), k=3))
         .count()
     )
     assert missed == 0
@@ -200,11 +200,67 @@ def test_bloom_prefilter_filters_non_members(spark):
     probe = spark.range(500, 10500).select(F.col("id").alias("k"))
     passed = (
         probe.crossJoin(F.broadcast(words))
-        .filter(bloom_might_contain(F.col("k"), F.col("words"), m_bits=16384, k=4))
+        .filter(bloom_might_contain(F.col("k"), F.col("words"), k=4))
         .count()
     )
     # fp rate at n=500, m=16384, k=4 is ~2e-5; allow generous slack
     assert passed < 100
+
+
+def test_bloom_no_false_negatives_across_integral_dtypes(spark):
+    """Build on int keys, probe with bigint — the fast family
+    normalizes through cast('long') by construction (ADVICE r6), so
+    the dtype mismatch that used to silently drop every match now
+    hashes identically. Zero false negatives required."""
+    from sparkclif.operators.sketch import bloom_might_contain, bloom_words
+
+    build = spark.range(1000).select(F.col("id").cast("int").alias("k"))
+    words = bloom_words(build, "k", m_bits=16384, k=4)
+    probe = spark.range(1000).select(F.col("id").alias("k"))  # bigint
+    missed = (
+        probe.crossJoin(F.broadcast(words))
+        .filter(~bloom_might_contain(F.col("k"), F.col("words"), k=4))
+        .count()
+    )
+    assert missed == 0
+
+
+def test_bloom_prefilter_paths_result_identical(spark, sf_dir):
+    """The cost dispatch's exactness claim: force='bloom' and
+    force='plain' produce identical grouped results (the bloom admits
+    false positives only; the exact join removes them)."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r6 import bloom_prefilter_plan
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["n_lines"], r["revenue"])
+        for r in bloom_prefilter_plan(o, li, force="plain").collect()
+    }
+    bloom = {
+        r["l_returnflag"]: (r["n_lines"], r["revenue"])
+        for r in bloom_prefilter_plan(o, li, force="bloom").collect()
+    }
+    assert plain == bloom
+
+
+def test_bloom_prefilter_dispatch_skips_bloom_below_bound(spark, sf_dir):
+    """At test scale the post-filter dim is well under
+    BLOOM_DIM_PLAIN_BYTES, so the dispatcher must take the plain
+    broadcast path — no bloom build stage in the plan (VERDICT r6
+    item 1: the detour was pure premium below the broadcast bound)."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r6 import bloom_prefilter_plan
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    auto = bloom_prefilter_plan(o, li)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan
+    forced = bloom_prefilter_plan(o, li, force="bloom")
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in fplan
 
 
 # ---------------------------------------------------------- hash features
