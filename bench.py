@@ -152,42 +152,57 @@ def main() -> None:
     # ONE compact JSON line (driver contract — its tail capture
     # truncated the round-3 line that inlined the full DuckDB map);
     # per-query baselines and floor-adjusted detail go to a side file.
+    # Shared run id stamped into BOTH artifacts (VERDICT r6 item 3):
+    # derived from this run's own timing content (no wall-clock), so a
+    # BENCH.json and BENCH_DETAILS.json from DIFFERENT runs can never
+    # silently pair — probes/plan_audit.py refuses mixed ids, and the
+    # invariant fa == max(t - floor_shuffle, 0) is checkable from the
+    # committed pair alone.
+    import hashlib
+
+    run_id = hashlib.md5(
+        json.dumps([timings, floor_shuffle], sort_keys=True).encode()
+    ).hexdigest()[:12]
+    summary = {
+        "metric": "sparkclif_total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "gate_2x_checked": len(gate_checked),
+        "gate_2x_over_count": len(gate_over),
+        "gate_2x_floor_adj_over": gate_fa_over,
+        "floor_adjusted_ratio": (
+            round(fa_checked_total / duck_total, 3) if duck_total else None
+        ),
+        "duckdb_total": duck_total,
+        "cpus": cpus,
+        "mode": f"warm, best-of-{n_passes}; details+baselines in "
+        "BENCH_DETAILS.json",
+        "cold_total": round(sum(cold.values()), 4),
+        "per_query_floor": floor,
+        "floor_shuffle": floor_shuffle,
+        "run_id": run_id,
+    }
     details = {
+        "run_id": run_id,
+        "floor_shuffle": floor_shuffle,
         "duckdb_baseline": duck,
         "floor_adjusted": fa,
         "gate_2x_over": gate_over,
         "cold_queries": cold,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as fh:
         json.dump(details, fh, indent=1, sort_keys=True)
-    print(
-        json.dumps(
-            {
-                "metric": "sparkclif_total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "gate_2x_checked": len(gate_checked),
-                "gate_2x_over_count": len(gate_over),
-                "gate_2x_floor_adj_over": gate_fa_over,
-                "floor_adjusted_ratio": (
-                    round(fa_checked_total / duck_total, 3) if duck_total else None
-                ),
-                "duckdb_total": duck_total,
-                "cpus": cpus,
-                "mode": f"warm, best-of-{n_passes}; details+baselines in "
-                "BENCH_DETAILS.json",
-                "cold_total": round(sum(cold.values()), 4),
-                "per_query_floor": floor,
-                "floor_shuffle": floor_shuffle,
-            }
-        )
-    )
+    # bench.py writes BENCH.json itself (same payload as the stdout
+    # line) so the committed pair is produced by ONE run by
+    # construction — the r5/r6 drift came from hand-copying a stdout
+    # line next to a details file from a different run.
+    with open(os.path.join(here, "BENCH.json"), "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

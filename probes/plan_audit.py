@@ -55,9 +55,43 @@ def main() -> None:
                 "skipped": len(out) - len(audited),
                 "python_eval": [k for k, v in out.items() if v.get("python_eval")],
                 "cartesian": [k for k, v in out.items() if v.get("cartesian")],
+                "bench_pair": check_bench_pair(root),
             }
         )
     )
+
+
+def check_bench_pair(root: str) -> str:
+    """Refuse silently-mixed bench artifacts (VERDICT r6 item 3):
+    BENCH.json and BENCH_DETAILS.json must carry the same run_id (both
+    are written by ONE bench.py run), and the details' floor-adjusted
+    entries must equal max(t - floor_shuffle, 0) recomputed from the
+    summary's timings. Raises on any mismatch so a drifted pair can
+    never be committed past this audit."""
+    s_path = os.path.join(root, "BENCH.json")
+    d_path = os.path.join(root, "BENCH_DETAILS.json")
+    if not (os.path.exists(s_path) and os.path.exists(d_path)):
+        return "absent"
+    with open(s_path) as fh:
+        summary = json.load(fh)
+    with open(d_path) as fh:
+        details = json.load(fh)
+    if summary.get("run_id") != details.get("run_id") or not summary.get("run_id"):
+        raise SystemExit(
+            f"bench artifacts are from different runs: BENCH.json run_id="
+            f"{summary.get('run_id')!r} vs BENCH_DETAILS.json run_id="
+            f"{details.get('run_id')!r} — re-run `python bench.py`"
+        )
+    floor = summary["floor_shuffle"]
+    bad = [
+        k
+        for k, t in summary["queries"].items()
+        if abs(details["floor_adjusted"].get(k, -1) - max(round(t - floor, 4), 0.0))
+        > 1e-9
+    ]
+    if bad:
+        raise SystemExit(f"floor_adjusted drift for {bad[:5]} — re-run bench.py")
+    return f"paired (run_id={summary['run_id']})"
 
 
 if __name__ == "__main__":

@@ -337,15 +337,16 @@ def bigram_lm_score(
     # pre-applied both subtrees are identical and the executed plan
     # carries one ReusedExchange (verified; -0.13 s warm at sf0.1).
     bg = bg.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
-    # ONE bigram-stream exchange, shared: the probe join below must
-    # shuffle raw bg rows on (w1, w2) no matter what, and hash-
-    # partitioned-on-(w1, w2) input ALSO satisfies the c12 agg's
-    # ClusteredDistribution — so pre-partitioning here lets both
-    # consumers reuse a single exchange (ReusedExchange: identical
-    # subtrees over the checkpointed toks). The old plan shuffled the
-    # stream twice: once partial-agg'd for c12, once raw for the
-    # probe; total bytes moved were raw + combined, now just raw.
-    bg = bg.repartition("w1", "w2")
+    # NO forced bigram-stream exchange (r7: deletes the r6
+    # repartition("w1","w2")): the c12 aggregation partial-aggregates
+    # map-side, so ITS exchange carries vocabulary²-sized combined
+    # rows, not the raw stream — forcing a raw-stream shuffle just so
+    # the probe join could reuse it moved strictly more bytes whenever
+    # the count table broadcasts (AQE does so well past bench scale),
+    # and the same bytes when it doesn't (probe SMJ shuffles raw bg
+    # either way). Measured −0.2 s warm at sf0.1 with the identical
+    # result; above MATERIALIZE_INPUT_BYTES the checkpointed toks
+    # keeps the branches to one corpus scan.
 
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
     # c1 derives FROM c12 (c1(w1) = Σ_w2 c12(w1, w2)) — a vocabulary²-

