@@ -486,6 +486,40 @@ def main() -> None:
     timed("zscore_1x", lambda: force_all(zscore_plan(ev_o)))
     timed(f"zscore_{k}x_users", lambda: force_all(zscore_plan(ev_zk)))
 
+    # integer PageRank at kx DISJOINT subgraphs (shifted part/supp keys:
+    # per-node degree structure constant => per-iteration join/agg
+    # volume linear in k; ranks stay node-sized; wall must scale
+    # sub-linearly once splits parallelize)
+    from sparkclif.operators.graph import pagerank_int
+
+    def pr_edges(df):
+        e0 = (
+            df.filter(F.col("l_quantity") >= 45)
+            .select(
+                (F.col("l_partkey") * 2).alias("u"),
+                (F.col("l_suppkey") * 2 + 1).alias("v"),
+            )
+            .distinct()
+        )
+        return e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    li_pk = (
+        li.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("l_partkey") + F.col("__c") * 10_000_000).alias("l_partkey"),
+            (F.col("l_suppkey") + F.col("__c") * 10_000_000).alias("l_suppkey"),
+            "l_quantity",
+        )
+    )
+    timed(
+        "pagerank_1x",
+        lambda: force_all(pagerank_int(pr_edges(li), src="u", dst="v", iters=3)),
+    )
+    timed(
+        f"pagerank_{k}x_subgraphs",
+        lambda: force_all(pagerank_int(pr_edges(li_pk), src="u", dst="v", iters=3)),
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 

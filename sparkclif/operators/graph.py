@@ -106,3 +106,75 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale_bp: int = 10000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in an EXACT INTEGER basis — the graph
+    centrality pass a corpus pipeline runs over link/co-occurrence
+    graphs (quality priors, crawl ordering). Returns
+    ``(node, pr_bp)`` after ``iters`` power iterations of
+
+        pr(v) <- (1-d)·S + d · Σ_{u->v} (pr(u) div outdeg(u))
+
+    with every quantity a BIGINT (ranks start at ``scale_bp``; ``div``
+    is integer division; d = damping_pct/100 applied as an integer
+    mul-then-div). Floating PageRank is NOT reproducible across
+    engines — float summation over in-neighbors is order-dependent —
+    but the integer basis makes each iteration a pure function of the
+    edge multiset, so a SQL oracle can restate the iterations as
+    unrolled CTEs and hash-match exactly.
+
+    Plan shape per iteration: one equi-join (ranks x out-degree
+    contributions) + one map-side-combined sum by destination — the
+    standard message-passing round. Ranks and degrees are node-sized
+    relations; edges are scanned once per iteration (at 100 TB,
+    materialize the normalized edge relation once — it is reused
+    ``iters`` times — and co-partition edges and ranks on the node key
+    so every round reuses one exchange; iters is a FIXED small
+    constant, so the unrolled plan does not grow with the data).
+    Dangling nodes (outdeg 0) contribute nothing; nodes with no
+    in-edges settle at the teleport term. Nodes = every id appearing
+    as src or dst.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    outdeg = e.groupBy("u").agg(F.count("*").alias("__deg"))
+    # Materialize the degree-normalized edge relation and the node set
+    # ONCE: both are consumed every iteration, and without the
+    # checkpoint each round re-runs the full upstream lineage (scan +
+    # distinct per iteration — measured 3 extra corpus scans at
+    # iters=3). Same move the docstring prescribes for 100 TB; lazy
+    # checkpoints so a never-executed plan costs nothing.
+    en = e.join(outdeg, "u").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    teleport = (100 - damping_pct) * scale_bp // 100
+    pr = nodes.withColumn("pr_bp", F.lit(scale_bp).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            en.join(pr, en["u"] == pr["node"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr("pr_bp div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"{damping_pct} * coalesce(__in, 0) div 100")
+            ).cast("long").alias("pr_bp"),
+        )
+    return pr

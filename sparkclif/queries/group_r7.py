@@ -17,11 +17,18 @@ didn't yet exercise.
   sums so the float result is bit-identical cross-engine.
 - ``g_url_funcs``           — URL parsing scalar surface
   (``parse_url`` host/path/query/param) over synthesized URLs.
+- ``i_graph_pagerank``      — fixed-iteration PageRank in an exact
+  integer basis (the rare iterative graph op with a full exact-SQL
+  oracle — unrolled CTEs; operators/graph.pagerank_int).
+- ``a_sink_compact``        — small-file compaction: fragment, then
+  rewrite with data-sized file count via shuffle-free coalesce; the
+  oracle verifies the cycle is lossless.
 
 Reference ties: the reference's dashboard pivots and status rollups
 (app.py R12-R22) are fixed-grid aggregations; these queries extend the
-same rollup semantics to weighted/ordered/time-bucketed variants per
-SURVEY §2.2's declared analytics scope. All five are exact-oracle.
+same rollup semantics to weighted/ordered/time-bucketed/iterative
+variants per SURVEY §2.2's declared analytics scope. All seven are
+exact-oracle.
 """
 
 from __future__ import annotations
@@ -387,4 +394,128 @@ def g_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@register(
+    "i_graph_pagerank",
+    # NOT plan-cacheable: the builder attaches lazy localCheckpoints
+    # to the edge/node relations (graph.pagerank_int) — a cached plan
+    # would let repeated timed runs reuse the materialized blocks and
+    # skip the scan+distinct, under-reporting the honest per-run cost.
+    cache_plan=False,
+    # Exact restatement: 3 unrolled power iterations in the integer
+    # basis (see operators/graph.pagerank_int — float PageRank is not
+    # reproducible across engines; integer div/sum is). Both * and
+    # integer-div are parenthesized so precedence cannot differ.
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM lineitem WHERE l_quantity >= 45
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    d AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+    p0 AS (SELECT node, CAST(10000 AS BIGINT) AS pr FROM n),
+    i1 AS (SELECT e.v AS node, sum(p0.pr // d.deg) AS s
+           FROM e JOIN p0 ON e.u = p0.node JOIN d ON e.u = d.u GROUP BY e.v),
+    p1 AS (SELECT n.node, CAST(1500 + ((85 * coalesce(i1.s, 0)) // 100) AS BIGINT) AS pr
+           FROM n LEFT JOIN i1 USING (node)),
+    i2 AS (SELECT e.v AS node, sum(p1.pr // d.deg) AS s
+           FROM e JOIN p1 ON e.u = p1.node JOIN d ON e.u = d.u GROUP BY e.v),
+    p2 AS (SELECT n.node, CAST(1500 + ((85 * coalesce(i2.s, 0)) // 100) AS BIGINT) AS pr
+           FROM n LEFT JOIN i2 USING (node)),
+    i3 AS (SELECT e.v AS node, sum(p2.pr // d.deg) AS s
+           FROM e JOIN p2 ON e.u = p2.node JOIN d ON e.u = d.u GROUP BY e.v),
+    p3 AS (SELECT n.node, CAST(1500 + ((85 * coalesce(i3.s, 0)) // 100) AS BIGINT) AS pr
+           FROM n LEFT JOIN i3 USING (node))
+    SELECT node, pr AS pr_bp FROM p3
+    """,
+)
+def i_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part<->supplier co-occurrence graph (edges =
+    distinct (part, supplier) pairs on high-volume lines, symmetrized;
+    node ids disambiguate the two key spaces as 2k / 2k+1) — the graph
+    centrality prior a corpus pipeline computes over link graphs for
+    crawl ordering / quality weighting. Three power iterations in the
+    EXACT INTEGER basis (operators/graph.pagerank_int): float PageRank
+    cannot hash-match across engines (in-neighbor summation order),
+    integer div/sum can — so this is the rare iterative graph op with
+    a full exact-SQL oracle (unrolled CTEs). Per-iteration plan: one
+    message join + one map-side-combined sum; ranks/degrees stay
+    node-sized; iteration count is a fixed constant, so the unrolled
+    plan is data-size-independent."""
+    from sparkclif.operators.graph import pagerank_int
+
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return pagerank_int(edges, src="u", dst="v", iters=3).select("node", "pr_bp")
+
+
+@register(
+    "a_sink_compact",
+    cache_plan=False,  # impure: fragments + compacts scratch files
+    # The oracle checks CONTENT identity through the fragment->compact
+    # cycle (counts + checksums over the source table); file-count
+    # assertions live in tests/test_r7_queries.py (not SQL-expressible).
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(p_partkey * p_size) AS BIGINT) AS key_checksum,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS sum_price
+    FROM part
+    """,
+)
+def a_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance pass every streaming or
+    partitioned sink needs at 100 TB (micro-batches and per-value
+    writers emit thousands of small files; scans then pay per-file
+    open/footer costs and the NameNode/object-store pays the listing).
+    The query fragments `part` into 64 deliberately-small files, then
+    compacts by rewriting with the file count SIZED FROM THE DATA:
+    ceil(total_bytes / target_file_bytes) via the source's own parquet
+    footprint — the same rule a table-format OPTIMIZE job applies per
+    partition. Coalesce (narrow, no shuffle) does the merge: compaction
+    must not pay a shuffle, it only concatenates row groups. Returns a
+    content checksum over the COMPACTED copy so the oracle verifies
+    the cycle is lossless."""
+    import math
+    import os
+
+    frag = tmp_dir() + "/compact_in.parquet"
+    compacted = tmp_dir() + "/compact_out.parquet"
+    part = table(spark, sf_dir, "part")
+    (
+        part.repartition(64)
+        .write.option("compression", "uncompressed")
+        .mode("overwrite")
+        .parquet(frag)
+    )
+    src = spark.read.parquet(frag)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    target_file_bytes = 128 * 1024 * 1024
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    (
+        src.coalesce(n_out)
+        .write.option("compression", "uncompressed")
+        .mode("overwrite")
+        .parquet(compacted)
+    )
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("p_partkey") * F.col("p_size")).cast("long").alias("key_checksum"),
+        fixed_sum("p_retailprice").alias("sum_price"),
     )

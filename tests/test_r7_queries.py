@@ -203,3 +203,69 @@ def test_parse_url_components(spark):
         "en",
         "https",
     )
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_python_model(spark):
+    """3-iteration integer PageRank on a crafted directed graph vs a
+    brute-force Python model — pins the div ordering (mul before
+    integer-div) and the teleport term for no-in-edge nodes."""
+    from sparkclif.operators.graph import pagerank_int
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1)]  # 4 -> 1, no in to 4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["pr_bp"]
+        for r in pagerank_int(df, iters=3).collect()
+    }
+
+    nodes = {1, 2, 3, 4}
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    pr = {n: 10000 for n in nodes}
+    for _ in range(3):
+        inbox = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            c = pr[u] // len(vs)
+            for v in vs:
+                inbox[v] += c
+        pr = {n: 1500 + (85 * inbox[n]) // 100 for n in nodes}
+    assert got == pr
+    assert got[4] == 1500  # teleport-only node
+
+
+def test_pagerank_mass_is_conserved_up_to_int_truncation(spark, sf_dir):
+    """Sum of ranks stays within teleport+damping bounds of N·10000
+    (integer div only loses mass, never creates it)."""
+    from sparkclif.registry import all_queries
+
+    rows = all_queries()["i_graph_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pr_bp"] for r in rows)
+    assert total <= n * 10000
+    assert total > n * 1500  # every node at least the teleport term
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compact_reduces_file_count_and_preserves_content(spark, sf_dir):
+    import os
+
+    from sparkclif.registry import all_queries
+    from sparkclif.session import tmp_dir
+
+    row = all_queries()["a_sink_compact"].fn(spark, sf_dir).collect()[0]
+    frag = tmp_dir() + "/compact_in.parquet"
+    compacted = tmp_dir() + "/compact_out.parquet"
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_in == 64
+    assert n_out == 1  # testbed part table is far under one 128 MB target
+    from sparkclif.io import table
+
+    want = table(spark, sf_dir, "part").count()
+    assert row["n_rows"] == want
