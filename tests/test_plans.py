@@ -435,3 +435,55 @@ def test_session_transitions_single_user_shuffle(spark, sf_dir):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 2, f"expected 2 exchanges, saw {n_exchanges}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r7_rewrites_hold_their_exchange_budgets(spark, sf_dir):
+    """Lock in the round-7 plan rewrites: a refactor that re-adds a
+    join tree to corpus_mix, a BNLJ to interval_grid, or a Python
+    kernel to the percentile small path would pass correctness but
+    regress the 100 TB plan shape."""
+    from sparkclif.plans import plan_metrics
+
+    # corpus_mix: one window+agg pipeline over the lattice (was a
+    # 12-exchange join tree)
+    mix = formatted_plan(spark, "i_corpus_mix", sf_dir)
+    m = plan_metrics(mix)
+    assert m["exchanges"] <= 4, mix[:1500]
+    assert "Join" not in mix, "corpus_mix must not rebuild its join tree"
+
+    # interval grid: difference-array sweep — data exchanges bounded
+    # (span agg + month agg + the tiny single-partition window); never
+    # a nested-loop join
+    grid = formatted_plan(spark, "c_join_interval_grid", sf_dir)
+    g = plan_metrics(grid)
+    assert g["bnlj"] == 0 and not g["cartesian"]
+    assert g["exchanges"] <= 4, grid[:1500]
+
+    # percentile small path: all-JVM sorted-array (no Python eval,
+    # exactly one exchange)
+    pct = formatted_plan(spark, "d_agg_percentile", sf_dir)
+    p = plan_metrics(pct)
+    assert not p["python_eval"] and not p["arrow_pandas"]
+    assert p["exchanges"] == 1, pct[:1500]
+
+
+def test_bloom_prefilter_force_distributed_takes_bloom_path(spark, sf_dir):
+    """The fleet-wide forceDistributed override routes the dispatch to
+    the bloom (scale) path — and because both paths are
+    result-identical, the override is safe here (unlike the cosine
+    dispatch, where it trades exactness)."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r6 import bloom_prefilter_plan
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sparkclif.forceDistributed", "true")
+    try:
+        df = bloom_prefilter_plan(o, li)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan, "forceDistributed must take the bloom path"
+        got = {tuple(r) for r in df.collect()}
+    finally:
+        spark.conf.unset("spark.sparkclif.forceDistributed")
+    want = {tuple(r) for r in bloom_prefilter_plan(o, li, force="plain").collect()}
+    assert got == want
