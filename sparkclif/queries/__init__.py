@@ -34,12 +34,12 @@ The window opens with the seven brand-new round-7 growth-set queries
 (group_r7.py — never driver-checked anywhere). The remaining 5 slots
 take round-5 rows, prioritizing the two whose spread() fan-out was
 dropped this round (``i_embed_dim_stats``, ``i_tokenizer_pair_counts``
-— plans changed, hashes must not move), then the scan/sink family
-(its sibling sinks changed this round). The plain C-joins
-(``c_join_inner/outer/cross/salted/theta/bucketed``), ``j_udtf``,
-``a_scan_json_string`` and ``a_scan_text_lines`` yielded their slots
-to the growth set; all are r5-green, untouched, and locally
-oracle-checked every round.
+— plans changed, hashes must not move), then the sink family (its
+sibling sinks changed this round). ``d_agg_moments`` re-enters the
+touched set (accumulator-basis dispatch, r7). The plain C-joins
+(``c_join_inner/outer/cross/salted/theta/bucketed``), ``j_udtf`` and
+the three plain scans yielded their slots to the growth set; all are
+r5-green, untouched, and locally oracle-checked every round.
 
 Outside the window: every remaining query was driver-green in round
 5 or round 6 and is untouched since; all of them are still
@@ -93,6 +93,7 @@ WINDOW_ORDER = [
     "i_text_lm_score",
     "i_corpus_mix",
     "d_agg_bloom",
+    "d_agg_moments",
     # -- stalest: the 30 round-4 driver rows (complete set) --
     "d_agg_unpivot",
     "e_topk_per_group",
@@ -126,7 +127,6 @@ WINDOW_ORDER = [
     "i_text_repetition",
     # -- next-stalest: round-5 rows (scan/sink family first — their
     # sibling sinks changed this round — then the plain C-joins) --
-    "a_scan_parquet",
     "a_sink_roundtrip",
     "a_sink_orc_roundtrip",
     # spread() dropped this round (plans changed, hashes must not):

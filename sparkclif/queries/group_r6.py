@@ -170,24 +170,54 @@ def interval_grid_plan(o: DataFrame, li: DataFrame) -> DataFrame:
     )
 
 
-def moment_power_sums(df: DataFrame, group_col: str = "l_returnflag") -> DataFrame:
-    """Σq..Σq⁴ over quantity cents, exact. s2/s3/s4 accumulate in
-    decimal(38,0): per-element q² (≤ 2.5e7) and q³ (≤ 1.25e11) fit
+# Input-size bound for the LONG-basis power-sum accumulator: the
+# tightest per-group overflow bound is s3 (q³ ≤ 1.25e11/row crosses
+# 2^63 at ~7.4e7 max-quantity rows per group). 1 GiB of plan bytes is
+# ~5e7 lineitem rows TOTAL — a comfortable margin below the per-group
+# bound even if one group held every row. Both bases are EXACT, so a
+# misdispatch changes nothing but speed — and an actual overflow under
+# ANSI mode is a loud error, never a silent wrap.
+MOMENTS_LONG_BASIS_BYTES = 1 * 1024 * 1024 * 1024
+
+
+def moment_power_sums(
+    df: DataFrame, group_col: str = "l_returnflag", force: str | None = None
+) -> DataFrame:
+    """Σq..Σq⁴ over quantity cents, exact. Cost-dispatched accumulator
+    basis (r7): per-element q² (≤ 2.5e7) and q³ (≤ 1.25e11) fit
     BIGINT, but their SUMS cross 2^63 at ~3.7e11 / ~7.4e7
     max-quantity rows per group — reachable at the 100 TB deployment
-    this query documents, and ANSI mode turns the wrap into an error.
-    The decimal partial agg stays map-side combinable (s1 stays
-    BIGINT: 2^63/5000 ≈ 1.8e15 rows/group, comfortably above any
-    single group)."""
+    this query documents. Below MOMENTS_LONG_BASIS_BYTES the s2/s3
+    partials therefore accumulate as LONGS (codegen primitives;
+    measured 0.68 s -> 0.42 s at sf0.1) and only the final merge
+    widens to decimal(38,0); above it they accumulate in decimal
+    end-to-end. s4 (q⁴ ≤ 6.25e14/row, overflow at ~1.5e4 rows/group)
+    is ALWAYS decimal. Both bases produce identical results; ANSI
+    mode turns any misestimated overflow into an error, not a wrap.
+    The partial agg stays map-side combinable either way (s1 stays
+    BIGINT: 2^63/5000 ≈ 1.8e15 rows/group)."""
+    from sparkclif.operators.rank import plan_size_bytes, validate_force
+
+    validate_force(force, {"long", "decimal"})
+    if force is None:
+        size = plan_size_bytes(df)
+        force = "long" if size <= MOMENTS_LONG_BASIS_BYTES else "decimal"
     q = F.round(F.col("l_quantity") * 100).cast("long")
     c = df.select(group_col, q.alias("q"))
-    q2 = (F.col("q") * F.col("q")).cast("decimal(38,0)")
+    q2l = F.col("q") * F.col("q")
+    q2d = q2l.cast("decimal(38,0)")
+    if force == "long":
+        s2 = F.sum(q2l).cast("decimal(38,0)")
+        s3 = F.sum(q2l * F.col("q")).cast("decimal(38,0)")
+    else:
+        s2 = F.sum(q2d)
+        s3 = F.sum(q2d * F.col("q"))
     return c.groupBy(group_col).agg(
         F.count("*").alias("n"),
         F.sum("q").alias("s1"),
-        F.sum(q2).alias("s2"),
-        F.sum(q2 * F.col("q")).alias("s3"),
-        F.sum(q2 * q2).alias("s4"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        F.sum(q2d * q2d).alias("s4"),
     )
 
 

@@ -281,3 +281,15 @@ def test_hash_features_buckets_cover_and_sum(spark, sf_dir):
     ).collect()[0]["n"]
     assert sum(r["n_tokens"] for r in rows) == n_toks
     assert all(r["n_distinct_tokens"] <= r["n_tokens"] for r in rows)
+
+
+def test_moment_bases_are_result_identical(spark, sf_dir):
+    """The long and decimal accumulator bases must produce identical
+    power sums (both exact; the dispatch is speed-only)."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r6 import moment_power_sums
+
+    li = table(spark, sf_dir, "lineitem")
+    a = {tuple(r) for r in moment_power_sums(li, force="long").collect()}
+    b = {tuple(r) for r in moment_power_sums(li, force="decimal").collect()}
+    assert a == b
