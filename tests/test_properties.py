@@ -478,10 +478,13 @@ def test_checkpoint_dispatch_paths_agree(spark, docs):
     assert a == b
 
 
-def test_checkpoint_dispatch_corpus_mix_paths_agree(spark):
-    """The third maybe_local_checkpoint call site — i_corpus_mix's
-    (source, bucket) histogram — must also be path-invariant; driven
-    through the registered query at the smallest testdata sf."""
+def test_corpus_mix_invariant_under_force_distributed(spark):
+    """i_corpus_mix's r7 rewrite deleted its maybe_local_checkpoint
+    call site (one window+agg pipeline, no shared consumers), so
+    forceDistributed must now be a NO-OP for it — kept as a regression
+    guard that the fleet-wide override can't change this query's
+    results (it never should: every dispatcher is result-identical off
+    the cosine family)."""
     from sparkclif.registry import all_queries
 
     fn = all_queries()["i_corpus_mix"].fn
@@ -493,3 +496,76 @@ def test_checkpoint_dispatch_corpus_mix_paths_agree(spark):
     finally:
         spark.conf.set("spark.sparkclif.forceDistributed", "false")
     assert a == b and a
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g", "h"]),
+            st.integers(min_value=0, max_value=50).map(float),  # value
+            st.integers(min_value=1, max_value=9).map(float),   # weight
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_weighted_median_matches_python_model(spark, rows):
+    """weighted_median_plan == the brute-force model: expand each value
+    weight-many times, take the LOWER median of the expanded multiset."""
+    from sparkclif.queries.group_r7 import weighted_median_plan
+
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    got = {
+        r["l_returnflag"]: r["wmedian_price"]
+        for r in weighted_median_plan(df).collect()
+    }
+
+    want = {}
+    for g in {r[0] for r in rows}:
+        expanded = sorted(
+            v for grp, v, w in rows for _ in range(int(w)) if grp == g
+        )
+        # lower median: element at index ceil(n/2) - 1
+        want[g] = expanded[(len(expanded) + 1) // 2 - 1]
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=1000).map(lambda x: x / 10.0),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_settings
+def test_zscore_matches_python_model_property(spark, vals):
+    """zscore_plan == the integer power-sum model for any small value
+    series (one user, trailing-20 frame covers the whole series)."""
+    import datetime as _dt
+    import math
+
+    from sparkclif.queries.group_r7 import zscore_plan
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + _dt.timedelta(seconds=i), 7, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: (r["z"], r["flagged"]) for r in zscore_plan(df).collect()}
+
+    qs = [math.floor(v * 10000 + 0.5) for v in vals]
+    for i in range(len(vals)):
+        lo = max(0, i - 19)
+        win = qs[lo : i + 1]
+        n, s1, s2 = len(win), sum(win), sum(x * x for x in win)
+        det = n * s2 - s1 * s1
+        if det > 0:
+            z = (n * qs[i] - s1) / math.sqrt(n * det)
+            assert got[i] == (round(z, 4), 1 if abs(z) > 2.0 else 0)
+        else:
+            assert got[i] == (None, 0)
