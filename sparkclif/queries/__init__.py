@@ -34,12 +34,14 @@ The window opens with the seven brand-new round-7 growth-set queries
 (group_r7.py — never driver-checked anywhere). The remaining 5 slots
 take round-5 rows, prioritizing the two whose spread() fan-out was
 dropped this round (``i_embed_dim_stats``, ``i_tokenizer_pair_counts``
-— plans changed, hashes must not move), then the sink family (its
-sibling sinks changed this round). ``d_agg_moments`` re-enters the
-touched set (accumulator-basis dispatch, r7). The plain C-joins
-(``c_join_inner/outer/cross/salted/theta/bucketed``), ``j_udtf`` and
-the three plain scans yielded their slots to the growth set; all are
-r5-green, untouched, and locally oracle-checked every round.
+— plans changed, hashes must not move), then ``a_sink_roundtrip``
+(sibling sinks changed this round). ``d_agg_moments`` (accumulator-
+basis dispatch) and ``d_agg_distinct`` (expand-vs-two-scan dispatch)
+re-enter as touched-plan queries. The plain C-joins
+(``c_join_inner/outer/cross/salted/theta/bucketed``), ``j_udtf``,
+``a_sink_orc_roundtrip`` and the three plain scans yielded their
+slots to the growth set; all are r5/r6-green, untouched, and locally
+oracle-checked every round.
 
 Outside the window: every remaining query was driver-green in round
 5 or round 6 and is untouched since; all of them are still
@@ -94,6 +96,7 @@ WINDOW_ORDER = [
     "i_corpus_mix",
     "d_agg_bloom",
     "d_agg_moments",
+    "d_agg_distinct",
     # -- stalest: the 30 round-4 driver rows (complete set) --
     "d_agg_unpivot",
     "e_topk_per_group",
@@ -128,7 +131,6 @@ WINDOW_ORDER = [
     # -- next-stalest: round-5 rows (scan/sink family first — their
     # sibling sinks changed this round — then the plain C-joins) --
     "a_sink_roundtrip",
-    "a_sink_orc_roundtrip",
     # spread() dropped this round (plans changed, hashes must not):
     "i_embed_dim_stats",
     "i_tokenizer_pair_counts",

@@ -114,13 +114,36 @@ def d_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (expand + two-phase agg under the
-    hood) — reference R26 set-membership semantics."""
+    """Exact multi-distinct aggregation — reference R26 set-membership
+    semantics. Cost-dispatched shape (r7): Spark plans two distinct
+    columns in one agg via Expand (every row replicated per distinct
+    group — ONE scan, 3x shuffle rows), which is the right trade at
+    100 TB where the scan dominates; below SMALL_INPUT_BYTES the
+    expand's extra shuffle volume and merge constants cost more than
+    simply scanning twice (two single-distinct aggs, each planned
+    expand-free as a two-phase (group, key) dedup, joined on the tiny
+    group key — measured 0.60 s vs 0.45 s warm at sf0.1).
+    Result-identical by construction."""
+    from sparkclif.operators.rank import SMALL_INPUT_BYTES, plan_size_bytes
+
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    if plan_size_bytes(li.select("l_returnflag", "l_partkey", "l_suppkey")) > (
+        SMALL_INPUT_BYTES
+    ):
+        return li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_lines"),
+        )
+    a = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_lines"),
+    )
+    b = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    return a.join(b, "l_returnflag").select(
+        "l_returnflag", "n_parts", "n_supps", "n_lines"
     )
 
 
