@@ -269,3 +269,32 @@ def test_compact_reduces_file_count_and_preserves_content(spark, sf_dir):
 
     want = table(spark, sf_dir, "part").count()
     assert row["n_rows"] == want
+
+
+# ------------------------------------------------------------ empty inputs
+
+
+def test_r7_builders_handle_empty_inputs(spark):
+    """Every r7 plan builder must yield an EMPTY result (not a crash,
+    not a NULL-filled row) on empty input — the behavior a pipeline
+    composing them relies on when a filter upstream drops everything."""
+    from sparkclif.operators.graph import pagerank_int
+    from sparkclif.queries.group_r7 import (
+        ohlc_plan,
+        weighted_median_plan,
+        zscore_plan,
+    )
+
+    li = spark.createDataFrame(
+        [], "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    assert weighted_median_plan(li).count() == 0
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert ohlc_plan(ev).count() == 0
+    assert zscore_plan(ev).count() == 0
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_int(edges, iters=2).count() == 0
