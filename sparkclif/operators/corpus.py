@@ -67,17 +67,27 @@ def boilerplate_removal(
     each contribute, inflating df (dropDuplicates(id_col) upstream if
     your input is a union of corpus slices).
     """
-    segs = docs.select(
-        id_col, F.posexplode_outer(word_segments(text_col, width)).alias("pos", "seg")
+    # ONE segmentation subtree feeds both consumers (the per-position
+    # stream and the document-frequency branch); cost-dispatched
+    # materialization (maybe_local_checkpoint, r7): below
+    # MATERIALIZE_INPUT_BYTES each branch re-runs the segment HOF —
+    # cheaper than a checkpoint at toy scale — but at corpus scale the
+    # checkpoint deletes one full segmentation pass over the input.
+    from sparkclif.operators.rank import maybe_local_checkpoint
+
+    base = maybe_local_checkpoint(
+        docs.select(id_col, word_segments(text_col, width).alias("__segs")),
+        size_of=docs,
+    )
+    segs = base.select(
+        id_col, F.posexplode_outer("__segs").alias("pos", "seg")
     )
     # document frequency WITHOUT a countDistinct aggregate: dedup each
     # doc's segments scan-side (cheap array op), then a plain count —
     # one fully map-side-combinable aggregation instead of the
     # distinct-aggregate's expand + two-phase shuffle
     boiler = (
-        docs.select(
-            F.explode(F.array_distinct(word_segments(text_col, width))).alias("seg")
-        )
+        base.select(F.explode(F.array_distinct("__segs")).alias("seg"))
         .groupBy("seg")
         .agg(F.count("*").alias("__df"))
         .where(F.col("__df") >= min_docs)
