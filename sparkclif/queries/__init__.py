@@ -1,7 +1,7 @@
 """Driver-checked query surface (SURVEY.md §2.2).
 
 Importing this package registers every query group into
-``sparkclif.registry.REGISTRY`` (135 queries as of round 7), then
+``sparkclif.registry.REGISTRY`` (136 queries as of round 7), then
 reorders the registry so the external driver's correctness runner —
 which verifies the FIRST 50 entries of ``queries()`` in registration
 order (all five CORRECTNESS_r* files cut off exactly there) — covers
@@ -30,17 +30,18 @@ rows, ``d_agg_unpivot``, ``h_stream_upsert/join/dedup``,
 ``i_text_boilerplate/repetition``) — after this window no query's
 latest driver row is older than round 5.
 
-The window opens with the seven brand-new round-7 growth-set queries
-(group_r7.py — never driver-checked anywhere). The remaining 5 slots
-take round-5 rows, prioritizing the two whose spread() fan-out was
-dropped this round (``i_embed_dim_stats``, ``i_tokenizer_pair_counts``
-— plans changed, hashes must not move), then ``a_sink_roundtrip``
-(sibling sinks changed this round). ``d_agg_moments`` (accumulator-
-basis dispatch) and ``d_agg_distinct`` (expand-vs-two-scan dispatch)
-re-enter as touched-plan queries. The plain C-joins
-(``c_join_inner/outer/cross/salted/theta/bucketed``), ``j_udtf``,
-``a_sink_orc_roundtrip`` and the three plain scans yielded their
-slots to the growth set; all are r5/r6-green, untouched, and locally
+The window opens with the eight brand-new round-7 growth-set queries
+(seven in group_r7.py plus the streaming continuous-aggregate
+``h_stream_ohlc`` in group_h.py — never driver-checked anywhere).
+The two remaining slots take the round-5 rows whose spread() fan-out
+was dropped this round (``i_embed_dim_stats``,
+``i_tokenizer_pair_counts`` — plans changed, hashes must not move).
+``d_agg_moments`` (accumulator-basis dispatch) and ``d_agg_distinct``
+(expand-vs-two-scan dispatch) re-enter as touched-plan queries. The
+plain C-joins (``c_join_inner/outer/cross/salted/theta/bucketed``),
+``j_udtf``, the plain scans and the untouched roundtrip sinks
+(``a_sink_roundtrip``/``a_sink_orc_roundtrip``) yielded their slots
+to the growth set; all are r5/r6-green, untouched, and locally
 oracle-checked every round.
 
 Outside the window: every remaining query was driver-green in round
@@ -78,7 +79,7 @@ from sparkclif.registry import REGISTRY
 # The driver's 50-query verification window, in order.
 WINDOW_ORDER = [
     # -- brand-new this round (never driver-checked): the round-7
-    # growth set (group_r7.py, seven queries) --
+    # growth set (group_r7.py + h_stream_ohlc, eight queries) --
     "d_agg_weighted_median",
     "e_resample_ohlc",
     "c_join_dpp",
@@ -86,6 +87,7 @@ WINDOW_ORDER = [
     "g_url_funcs",
     "i_graph_pagerank",
     "a_sink_compact",
+    "h_stream_ohlc",
     # -- touched this round (hashes must not move when plans do) --
     "c_join_bloom_prefilter",
     "c_join_interval_grid",
@@ -128,10 +130,8 @@ WINDOW_ORDER = [
     "i_sim_lsh_bucket_stats",
     "i_text_boilerplate",
     "i_text_repetition",
-    # -- next-stalest: round-5 rows (scan/sink family first — their
-    # sibling sinks changed this round — then the plain C-joins) --
-    "a_sink_roundtrip",
-    # spread() dropped this round (plans changed, hashes must not):
+    # -- next-stalest round-5 rows: the two whose spread() fan-out was
+    # dropped this round (plans changed, hashes must not move) --
     "i_embed_dim_stats",
     "i_tokenizer_pair_counts",
 ]

@@ -346,3 +346,65 @@ def h_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         window="1 hour",
     )
     return out
+
+
+@register(
+    "h_stream_ohlc",
+    cache_plan=False,
+    # oracle_in_bench=False: the engine runs a genuine 3-micro-batch
+    # watermarked stream; the oracle's one-shot windowed agg is not a
+    # comparable plan for baseline timing.
+    oracle_in_bench=False,
+    # Exact restatement of the continuous-aggregate contract: append
+    # mode emits a bar once the final watermark (max(ts) - 10 min)
+    # reaches its window end (non-strict — the h_stream_late measured
+    # convention); open/close follow the (ts, event_id) total order
+    # within each emitted bar.
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (
+        SELECT event_type, date_trunc('hour', ts) AS window_start, value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT window_start, event_type,
+           count(*)::BIGINT AS n,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close
+    FROM o, wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def h_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-AGGREGATE form of e_resample_ohlc: hourly OHLC
+    bars maintained incrementally by a watermarked tumbling-window
+    stream. min_by/max_by are declarative aggregates, so each
+    micro-batch folds into O(1) state per open bar (one (value, key)
+    pair per bound — the same watermark-horizon state bound as the
+    windowed count); append mode emits each bar exactly once, when
+    the watermark passes its end — bar-closing semantics a feature
+    store or chart consumer needs. The oracle restates both the bar
+    contents (total (ts, event_id) order) and the emission rule
+    (window end <= final watermark) as pure functions of the input
+    (streaming/rollup.py)."""
+    from sparkclif.streaming.rollup import stream_ohlc_bars
+    from sparkclif.streaming.source import write_time_chunks
+
+    src = tmp_dir() + "/stream_ohlc_src"
+    ev = table(spark, sf_dir, "events")
+    write_time_chunks(ev, src, n_chunks=3, key=f"{sf_dir}/events")
+    return stream_ohlc_bars(
+        spark,
+        src,
+        ev.select("event_id", "ts", "event_type", "value").schema,
+        watermark="10 minutes",
+        window="1 hour",
+    )

@@ -333,3 +333,57 @@ def test_window_emits_when_watermark_equals_window_end(spark, tmp_path):
         watermark="10 minutes", window="1 hour",
     ).collect()
     assert sorted((r["window_start"], r["n"]) for r in out) == [(base, 1)]
+
+
+def test_stream_ohlc_bar_spans_micro_batches_and_closes_once(spark, tmp_path):
+    """A bar whose open arrives in batch 0 and whose close arrives in
+    batch 1 must fold incrementally (open from the first batch, close
+    from the second) and be emitted exactly once, only after the
+    watermark passes its end; the still-open final bar is never
+    emitted."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+
+    from sparkclif.streaming.rollup import stream_ohlc_bars
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(path, rows, mtime):
+        _write_chunk_file(path, rows, mtime, {
+            "event_id": (pa.int64(), 0),
+            "ts": (pa.timestamp("us"), 1),
+            "event_type": (pa.string(), 2),
+            "value": (pa.float64(), 3),
+        })
+
+    src = str(tmp_path / "ohlc_src")
+    os.makedirs(src)
+    # batch 0: the 12:00 bar's open (and low)
+    write_chunk(
+        f"{src}/c0.parquet",
+        [(1, base + dt.timedelta(minutes=1), "t", 10.0),
+         (2, base + dt.timedelta(minutes=2), "t", 5.0)],
+        1_700_000_000,
+    )
+    # batch 1: same bar's high + close, plus a far-future event that
+    # pushes the watermark past 13:00 (closing the 12:00 bar) while its
+    # own bar stays open
+    write_chunk(
+        f"{src}/c1.parquet",
+        [(3, base + dt.timedelta(minutes=30), "t", 99.0),
+         (4, base + dt.timedelta(minutes=40), "t", 42.0),
+         (5, base + dt.timedelta(hours=6), "t", 7.0)],
+        1_700_000_001,
+    )
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    out = stream_ohlc_bars(
+        spark, src, schema, watermark="10 minutes", window="1 hour"
+    ).collect()
+    assert len(out) == 1, out  # only the closed 12:00 bar
+    bar = out[0]
+    assert bar["window_start"] == base
+    assert (bar["n"], bar["open"], bar["high"], bar["low"], bar["close"]) == (
+        4, 10.0, 99.0, 5.0, 42.0
+    )
