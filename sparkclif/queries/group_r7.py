@@ -243,8 +243,10 @@ def c_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only knowable from another table. The fact here is orders
     partitioned by priority (written once to scratch, reused across
     runs via overwrite); the dim is the filtered distinct-priority
-    relation. tests/test_r7_queries.py asserts the pruning subquery is
-    present and that non-matching directories are never read."""
+    relation. tests/test_r7_queries.py asserts the pruning expression
+    sits INSIDE the scan's PartitionFilters (directory-level pruning,
+    not a post-scan filter) and that the pruned result equals the
+    unpruned join."""
     out = tmp_dir() + "/dpp_orders.parquet"
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"

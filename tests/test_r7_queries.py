@@ -127,15 +127,35 @@ def test_ohlc_buckets_are_5_minutes(spark, sf_dir):
 
 
 def test_dpp_subquery_prunes_fact_partitions(spark, sf_dir):
-    """The fact scan must carry a dynamic-pruning subquery on the
-    partition column, and the executed scan must read only the two
-    qualifying directories."""
+    """The fact scan must carry a dynamic-pruning expression INSIDE
+    its PartitionFilters (directory-level pruning, not a post-scan
+    filter), and the pruned result must equal the unpruned join."""
+    import re
+
     from sparkclif.registry import all_queries
 
     df = all_queries()["c_join_dpp"].fn(spark, sf_dir)
-    df.collect()
+    rows = {tuple(r) for r in df.collect()}
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1).lower(), plan[:2000]
+    # the pruned scan must lose no qualifying rows
+    from sparkclif.io import table
+    from pyspark.sql import functions as F
+    from sparkclif.numeric import fixed_sum
+
+    want = {
+        tuple(r)
+        for r in table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fixed_sum("o_totalprice").alias("sum_price"),
+        )
+        .collect()
+    }
+    assert rows == want
 
 
 # ----------------------------------------------------------------- zscore
