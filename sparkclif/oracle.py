@@ -46,8 +46,13 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return None
-        # final guard: parity rounding already happened query-side
-        return ("f", round(float(v), 4))
+        # Final guard: parity rounding already happened query-side.
+        # Compare the repr STRING, not the float: the driver's hash
+        # stringifies cells, so -0.0 and 0.0 hash differently there
+        # while Python == calls them equal (this let e_win_zscore pass
+        # locally and fail the round-7 driver check). repr of equal
+        # floats is identical; repr(-0.0) == '-0.0' keeps the sign.
+        return ("f", repr(round(float(v), 4)))
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         # Keep tzinfo: the driver's hash stringifies cells, so a
         # tz-aware DuckDB TIMESTAMPTZ ('... +00:00') differs from a

@@ -139,10 +139,14 @@ def d_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count("*").alias("n_lines"),
     )
-    b = li.groupBy("l_returnflag").agg(
+    b = li.groupBy(F.col("l_returnflag").alias("__g")).agg(
         F.countDistinct("l_suppkey").alias("n_supps")
     )
-    return a.join(b, "l_returnflag").select(
+    # Null-safe join key (ADVICE r7): a plain equi-join would drop a
+    # NULL group (NULL != NULL), so the two dispatch paths could
+    # diverge on a nullable group column. eqNullSafe keeps the paths
+    # result-identical by construction.
+    return a.join(b, a["l_returnflag"].eqNullSafe(b["__g"])).select(
         "l_returnflag", "n_parts", "n_supps", "n_lines"
     )
 

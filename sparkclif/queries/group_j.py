@@ -56,7 +56,7 @@ def j_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round((value - avg(value) OVER w)
-                 / nullif(stddev_samp(value) OVER w, 0), 4) AS znorm
+                 / nullif(stddev_samp(value) OVER w, 0), 4) + 0.0 AS znorm
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,
@@ -84,7 +84,10 @@ def j_pandas_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half AWAY FROM ZERO, the engine-wide rounding convention
         # (Spark/DuckDB round) — pandas .round(4) is half-to-even and
         # disagrees on .xxxx5 grid points (see multimodal._r4)
-        z = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
+        # `+ 0.0` flips a rounded -0.0 (tiny negative deviation) to
+        # +0.0 on both engines — the driver hash stringifies cells,
+        # so a sign-of-zero disagreement is a hash fail (r7 class).
+        z = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw) + 0.0
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
         )

@@ -84,13 +84,18 @@ def interval_grid_plan(o: DataFrame, li: DataFrame) -> DataFrame:
     order-independent; the decimal rescale happens once per grid row.
     Months where the running count hits zero (no order in flight) are
     emitted by the sweep but not by the oracle's explode — filtered."""
+    # No broadcast hint: BOTH sides of this equi-join are
+    # order-cardinality relations, so forcing orders driver-side is a
+    # 100 TB OOM (ADVICE r7). At bench scale AQE broadcasts it anyway
+    # (orders sf0.1 < autoBroadcastJoinThreshold); past that bound the
+    # shuffle hash join on l_orderkey/o_orderkey is the right plan.
     span = (
         li.groupBy("l_orderkey")
         .agg(
             F.min("l_shipdate").alias("first_ship"),
             F.max("l_shipdate").alias("last_ship"),
         )
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             # the synthetic testbed lets lines ship before the order
             # month — normalize the interval with least/greatest
@@ -449,7 +454,7 @@ def c_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                     * sqrt(CAST(s2 AS DOUBLE) / n
                            - (CAST(s1 AS DOUBLE) / n)
-                               * (CAST(s1 AS DOUBLE) / n))) END, 4)
+                               * (CAST(s1 AS DOUBLE) / n))) END, 4) + 0.0
                AS skewness,
            round(CASE WHEN CAST(s2 AS DOUBLE) / n
                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
@@ -464,7 +469,7 @@ def c_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                     * (CAST(s2 AS DOUBLE) / n
                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
-                 - 3 END, 4)
+                 - 3 END, 4) + 0.0
                AS kurtosis
     FROM s
     """,
@@ -504,8 +509,12 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").cast("long").alias("sum_q_cents"),
         F.round(m1, 4).alias("mean_cents"),
         F.round(var, 4).alias("var_cents"),
-        F.round(skew, 4).alias("skewness"),
-        F.round(kurt, 4).alias("kurtosis"),
+        # `+ 0.0` normalizes a rounded -0.0 (skew/kurt can approach
+        # zero from below; DuckDB's round keeps the sign, Spark's
+        # drops it, and the driver hash stringifies — the r7
+        # e_win_zscore class). No-op for every other value.
+        (F.round(skew, 4) + F.lit(0.0)).alias("skewness"),
+        (F.round(kurt, 4) + F.lit(0.0)).alias("kurtosis"),
     )
 
 

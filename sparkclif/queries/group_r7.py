@@ -109,12 +109,18 @@ def zscore_plan(ev: DataFrame) -> DataFrame:
     )
     n, s1, s2 = F.col("n_window"), F.col("s1"), F.col("s2")
     det = n * s2 - s1 * s1
-    z = (n * F.col("q") - s1) / F.sqrt(n.cast("double") * det.cast("double"))
+    # Population z-score: (q - mean) / sigma_pop with mean = s1/n and
+    # sigma_pop = sqrt(det)/n, i.e. z = (n*q - s1)/sqrt(det) — the
+    # all-integer-numerator form. (Round 7 shipped a sqrt(n)-damped
+    # variant; fixed per ADVICE r7.) The trailing `+ 0.0` normalizes
+    # IEEE -0.0 to +0.0 after the round — a no-op for every other
+    # value — so both engines stringify a zero z identically.
+    z = (n * F.col("q") - s1) / F.sqrt(det.cast("double"))
     return w.select(
         "event_id",
         "user_id",
         n.cast("long").alias("n_window"),
-        F.round(F.when(det > 0, z), 4).alias("z"),
+        (F.round(F.when(det > 0, z), 4) + F.lit(0.0)).alias("z"),
         F.when(det > 0, (F.abs(z) > 2.0).cast("long"))
         .otherwise(F.lit(0))
         .cast("long")
@@ -317,13 +323,11 @@ def c_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
            round(CASE WHEN n_window * s2 - s1 * s1 > 0
                       THEN (n_window * q - s1) /
-                           sqrt(CAST(n_window AS DOUBLE)
-                                * CAST(n_window * s2 - s1 * s1 AS DOUBLE))
-                 END, 4) AS z,
+                           sqrt(CAST(n_window * s2 - s1 * s1 AS DOUBLE))
+                 END, 4) + 0.0 AS z,
            CAST(CASE WHEN n_window * s2 - s1 * s1 > 0
                       AND abs((n_window * q - s1) /
-                              sqrt(CAST(n_window AS DOUBLE)
-                                   * CAST(n_window * s2 - s1 * s1 AS DOUBLE)))
+                              sqrt(CAST(n_window * s2 - s1 * s1 AS DOUBLE)))
                           > 2.0
                      THEN 1 ELSE 0 END AS BIGINT) AS flagged
     FROM w
@@ -336,8 +340,11 @@ def e_win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q, q², the d_agg_moments basis) so the shuffled state is
     order-independent; mean/variance/z derive from them in closed
     form with the identical IEEE expression both engines evaluate —
-    z = (n·q − s1) / sqrt(n · (n·s2 − s1²)), the all-integer-numerator
-    form that avoids any engine-ordered float accumulation. One hash
+    the population z-score z = (n·q − s1) / sqrt(n·s2 − s1²), the
+    all-integer-numerator form that avoids any engine-ordered float
+    accumulation (equals (q − mean)/σ_pop exactly). The rounded z is
+    normalized with `+ 0.0` so a −0.0 cannot stringify differently
+    across engines (the round-7 driver hash-fail class). One hash
     exchange on user_id + one sort; frame state is O(20) per row.
     Zero-variance windows yield NULL z and flagged=0 (the oracle's
     CASE states the same). q² ≤ (1e4·max_value)² per row: with the

@@ -185,7 +185,8 @@ def test_zscore_matches_python_model_and_zero_variance_is_null(spark):
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     det = n * s2 - s1 * s1
-    z = (n * F.col("q") - s1) / F.sqrt(n.cast("double") * det.cast("double"))
+    # population z: (q - mean)/sigma_pop == (n*q - s1)/sqrt(det)
+    z = (n * F.col("q") - s1) / F.sqrt(det.cast("double"))
     got = {
         r["event_id"]: r["z"]
         for r in w.select(
@@ -195,10 +196,14 @@ def test_zscore_matches_python_model_and_zero_variance_is_null(spark):
     # rows 0-2: zero variance -> NULL
     assert got[0] is None and got[1] is None and got[2] is None
 
-    # row 3: python model over the exact integer basis
+    # row 3: python model over the exact integer basis, cross-checked
+    # against the classical (q - mean)/sigma_pop form
     qs = [round(v * 10000) for v in vals[:4]]
     nn, ss1, ss2 = len(qs), sum(qs), sum(x * x for x in qs)
-    want = (nn * qs[-1] - ss1) / math.sqrt(nn * (nn * ss2 - ss1 * ss1))
+    want = (nn * qs[-1] - ss1) / math.sqrt(nn * ss2 - ss1 * ss1)
+    mean = ss1 / nn
+    sigma = math.sqrt(sum((x - mean) ** 2 for x in qs) / nn)
+    assert abs(want - (qs[-1] - mean) / sigma) < 1e-9
     assert abs(got[3] - round(want, 4)) < 1e-9
 
 
