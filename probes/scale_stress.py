@@ -520,6 +520,78 @@ def main() -> None:
         lambda: force_all(pagerank_int(pr_edges(li_pk), src="u", dst="v", iters=3)),
     )
 
+    # --- round-8 growth set ---------------------------------------------
+    # tolerance as-of at kx USERS (shifted keys: per-key history
+    # constant => the single union-sort shuffle is the only exchange
+    # at every k; tolerance adds a projection, zero plan nodes — wall
+    # must track the scan like the plain as-of)
+    from sparkclif.operators.asof import asof_join
+
+    o_t = table(spark, sf_dir, "orders")
+    o_tk = o_t.withColumn(
+        "__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).select(
+        (F.col("o_custkey") + F.col("__c") * 1_000_000).alias("o_custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    asof_kw = dict(
+        left_key="user_id", right_key="o_custkey", left_time="ts",
+        right_time="o_orderdate", payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey", tolerance="30 DAYS",
+    )
+    timed(
+        "asof_tolerance_1x",
+        lambda: force_all(asof_join(ev_f.select("event_id", "user_id", "ts"),
+                                    o_t, **asof_kw)),
+    )
+    timed(
+        f"asof_tolerance_{k}x_users",
+        lambda: force_all(
+            asof_join(ev_rk.select("event_id", "user_id", "ts"), o_tk, **asof_kw)
+        ),
+    )
+
+    # bucketed MERGE at kx STATE with a CONSTANT delta: the state side
+    # joins exchange-free (bucket co-location), so per-merge SHUFFLE
+    # bytes are delta-sized at every k — wall grows only with the
+    # state scan term, never with a state reshuffle. (The probe times
+    # the merge plan read side; the epoch rewrite cost is the sink
+    # family's committer floor, measured separately.)
+    from sparkclif.streaming.merge import STATE_BUCKETS, _delta, merge_into_state
+
+    def bucketed_state(mult: int, tag: str) -> str:
+        evm = ev_f if mult == 1 else ev_f.withColumn(
+            "__c", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        ).select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+            "value",
+        )
+        tbl = f"probe_merge_state_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            _delta(evm).write.bucketBy(STATE_BUCKETS, "user_id")
+            .sortBy("user_id").mode("overwrite").saveAsTable(tbl)
+        )
+        return tbl
+
+    t1x = bucketed_state(1, "1x")
+    tkx = bucketed_state(k, f"{k}x")
+    delta_const = _delta(ev_f.limit(5000))
+    timed(
+        "merge_bucketed_1x_state",
+        lambda: force_all(merge_into_state(spark.table(t1x), delta_const)),
+    )
+    timed(
+        f"merge_bucketed_{k}x_state",
+        lambda: force_all(merge_into_state(spark.table(tkx), delta_const)),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {t1x}")
+    spark.sql(f"DROP TABLE IF EXISTS {tkx}")
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 

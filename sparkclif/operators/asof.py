@@ -13,9 +13,18 @@ Spark has no native ASOF JOIN. Two implementations:
    at any |matches-per-key| (a plain join+filter+rank would materialize
    |L|x|R| per key first). This is the plan you want at 100 TB.
 
-2. A per-group ``merge_asof`` pandas kernel would be the fallback for
-   semantics Spark expressions can't carry (nearest / tolerance); not
-   needed for backward as-of, so not implemented here.
+2. Backward as-of WITH TOLERANCE (max staleness) composes on top of
+   the same single-shuffle pass (``tolerance=``): the latest prior
+   right is carried exactly as before, then nulled when older than
+   the bound — correct because any OTHER candidate is older still, so
+   "latest within tolerance" == "latest, if within tolerance". This
+   is the ICU-alignment guard (a vitals reading matched to the most
+   recent lab value only if that lab is fresh enough) and pandas'
+   ``merge_asof(tolerance=)``; no second pass, no row blowup.
+
+3. A per-group ``merge_asof`` pandas kernel would be the fallback for
+   semantics Spark expressions can't carry (e.g. nearest-direction);
+   not needed for backward as-of, so not implemented here.
 
 Determinism: ties on right_time break by descending ``tiebreak``
 (largest wins), matching the oracle's
@@ -41,12 +50,20 @@ def asof_join(
     prefix: str = "asof_",
     left_seq: str | None = None,
     right_seq: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join, union-sort implementation (single shuffle).
 
     Returns ``left`` with ``prefix + p`` columns for each ``p`` in
     ``payload``, taken from the latest right row (right_time <=
     left_time, inclusive) per key; NULL when no prior right row exists.
+
+    ``tolerance`` (optional): a SQL interval body (e.g. ``"30 DAYS"``)
+    bounding staleness — the carried match is kept only when
+    ``right_time >= left_time - INTERVAL tolerance`` (inclusive).
+    Applied AFTER the carry, which is exact: the carried row is the
+    latest prior right, and every other candidate is older, so a
+    too-stale carry means no within-tolerance match exists.
 
     ``left_seq``/``right_seq`` (both or neither): a LOG-ORDER sequence
     (e.g. event_id) that refines time ties — a right row at the same
@@ -71,13 +88,17 @@ def asof_join(
     # assumes |seq| < 2^62 — true for any real event id.)
     r_seq = (2 * F.col(right_seq).cast("long") + 1) if right_seq else F.lit(1)
     l_seq = (2 * F.col(left_seq).cast("long")) if left_seq else F.lit(2)
+    # the right time rides inside the carried struct so the tolerance
+    # check can compare it against the LEFT row's own __t downstream
     tagged_r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(right_key).alias("__key"),
         F.col(right_time).alias("__t"),
         r_seq.cast("long").alias("__seq"),
         F.lit(0).alias("__is_left"),
         F.col(tiebreak).alias("__tb"),
-        F.struct(*[F.col(p) for p in payload]).alias("__payload"),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(p) for p in payload]
+        ).alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     tagged_l = left.select(
@@ -113,8 +134,15 @@ def asof_join(
     carried = tagged_r.unionByName(tagged_l).withColumn(
         "__carried", F.last("__payload", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("__is_left") == 1).select(
+    lefts = carried.filter(F.col("__is_left") == 1)
+    if tolerance is None:
+        picked = [F.col(f"__carried.{p}") for p in payload]
+    else:
+        fresh = F.col("__carried.__rt") >= (
+            F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        )
+        picked = [F.when(fresh, F.col(f"__carried.{p}")) for p in payload]
+    return lefts.select(
         *lcols,
-        *[F.col(f"__carried.{p}").alias(f"{prefix}{p}") for p in payload],
+        *[c.alias(f"{prefix}{p}") for c, p in zip(picked, payload)],
     )
-    return out

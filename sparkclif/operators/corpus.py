@@ -125,53 +125,54 @@ def rarity_score(
     (``rare_bp`` is basis points by integer division), so the SQL
     restatement is exact.
 
-    Plan: ONE tokenize pass into a per-doc term-frequency relation;
-    df derives FROM tf (tf holds one row per (doc, tok), so a plain
-    row count per tok IS document frequency — the sparse_cosine_pairs
-    / bigram_lm_score one-fewer-pass move; the old formulation
-    re-scanned + re-tokenized the corpus just for df). The COMMON set
-    (df above threshold) joins back onto tf by broadcast and rare =
-    not-common. Broadcasting the common side, not the rare side, is
+    Plan (r8): the token stream NEVER shuffles. Document frequency
+    dedups each doc's tokens scan-side (``array_distinct``, the
+    boilerplate_removal move) and counts rows — a vocabulary-sized
+    map-side-combined aggregation, deleting the r7 shape's
+    (doc, tok)-cardinality tf exchange outright (its only purpose was
+    deriving df; at 100 TB that shuffle was the dominant byte mover).
+    The COMMON set (df above threshold) joins back onto the raw
+    occurrence stream by broadcast and rare = not-common; the final
+    per-doc aggregation partial-combines to one row per doc before
+    its exchange. Broadcasting the common side, not the rare side, is
     what scales: under a Zipfian vocabulary the tokens ABOVE a df
     threshold are a few hundred stopword-like types no matter the
     corpus size, while the rare tail IS the vocabulary — broadcasting
     it would ship billions of rows to every executor. The corpus size
     scalar is a 1-row broadcast cross join, not a driver-side
     ``.count()`` — the plan stays pure/cacheable and the oracle's
-    scalar subquery matches. When the caller pre-partitions docs on
-    ``id_col`` (spread by=), the tf agg and the final per-doc agg
-    both reuse that exchange — only the vocabulary-sized df agg
-    shuffles.
+    scalar subquery matches.
 
     Precondition: one row per ``id_col`` (see boilerplate_removal —
     df counts one tf row per (doc, tok)).
     """
-    tf = (
-        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").cast("long").alias("__tf"))
-    )
-    # tf feeds TWO consumers (the df branch and the marked join);
-    # materialize so tokenize runs once at corpus scale (see
-    # sparse_cosine_pairs for the localCheckpoint honesty/cluster
-    # notes). Cost-dispatched: below MATERIALIZE_INPUT_BYTES the tf
-    # exchange is ReusedExchange-deduped anyway and the checkpoint
-    # write+read is pure overhead (measured -0.3 s at sf0.1).
+    # ONE tokenize subtree feeds both consumers (the occurrence stream
+    # and the scan-side-deduped df branch); cost-dispatched
+    # materialization: below MATERIALIZE_INPUT_BYTES each branch
+    # re-runs the tokenizer HOF — cheaper than a checkpoint at toy
+    # scale — while at corpus scale the checkpoint deletes one full
+    # tokenize pass (see sparse_cosine_pairs for the localCheckpoint
+    # honesty/cluster notes).
     from sparkclif.operators.rank import maybe_local_checkpoint
 
-    tf = maybe_local_checkpoint(tf, size_of=docs)
+    base = maybe_local_checkpoint(
+        docs.select(id_col, tokens(text_col).alias("__toks")),
+        size_of=docs,
+    )
     n_docs = docs.agg(F.count("*").cast("long").alias("__n_docs"))
     common = (
-        tf.groupBy("tok")
+        base.select(F.explode(F.array_distinct("__toks")).alias("tok"))
+        .groupBy("tok")
         .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("__df") * 100 > F.col("__n_docs") * rare_df_pct)
         .select("tok", F.lit(1).alias("__common"))
     )
-    marked = tf.join(F.broadcast(common), "tok", "left")
+    stream = base.select(id_col, F.explode("__toks").alias("tok"))
+    marked = stream.join(F.broadcast(common), "tok", "left")
     counted = marked.groupBy(id_col).agg(
-        F.sum("__tf").cast("long").alias("n_toks"),
-        F.sum(F.when(F.col("__common").isNull(), F.col("__tf")).otherwise(0))
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum(F.when(F.col("__common").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_rare"),
     )
@@ -315,8 +316,8 @@ def bigram_lm_score(
     # ONE tokenize pass: the tokenized corpus is materialized
     # (localCheckpoint — see sparse_cosine_pairs for the honesty/
     # cluster notes) and every consumer — bigram stream for the c12
-    # count, bigram stream again for scoring, vocabulary, and the
-    # keep-every-doc base — derives from it with cheap array ops.
+    # count, bigram stream again for scoring (explode_outer variant),
+    # and vocabulary — derives from it with cheap array ops.
     # Without this the lineage re-ran the regex tokenizer THREE times
     # (c12 branch, score branch, vocab branch): at 100 TB that is two
     # extra corpus scans, and the materialization is no larger than
@@ -335,18 +336,18 @@ def bigram_lm_score(
         size_of=docs,
     )
 
-    bg = toks.select(
+    # explode_outer keeps ONE NULL-bigram row per <2-token document,
+    # so the per-doc aggregation below sees EVERY doc and the old
+    # keep-every-doc base relation (a 4th corpus scan) and its
+    # left-outer doc_id join (one more exchange + sort) are deleted
+    # outright — 7 -> 6 exchanges at sf0.1, one fewer corpus pass at
+    # 100 TB (VERDICT r7 item 5). The count branches filter the NULL
+    # placeholders back out below.
+    bg_all = toks.select(
         id_col,
-        F.explode(bind(F.col("__toks"), bigrams)).alias("bg"),
+        F.explode_outer(bind(F.col("__toks"), bigrams)).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # No-op null filter (exploded tokens are never NULL), placed BELOW
-    # the shared exchange on purpose: the probe join pushes
-    # isNotNull(w1) && isNotNull(w2) onto ITS copy of this subtree,
-    # which de-canonicalizes the two consumers and defeats exchange
-    # reuse when the checkpoint is dispatched away. With the filter
-    # pre-applied both subtrees are identical and the executed plan
-    # carries one ReusedExchange (verified; -0.13 s warm at sf0.1).
-    bg = bg.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    bg = bg_all.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     # NO forced bigram-stream exchange (r7: deletes the r6
     # repartition("w1","w2")): the c12 aggregation partial-aggregates
     # map-side, so ITS exchange carries vocabulary²-sized combined
@@ -380,15 +381,18 @@ def bigram_lm_score(
             F.expr("((__c12 + 1) * 10000) div (__c1 + __v)").alias("__p_bp"),
         )
     )
-    scored = bg.join(p, ["w1", "w2"]).groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.sum("__p_bp").cast("long").alias("sum_p_bp"),
+    # LEFT join: the NULL-placeholder rows miss p (NULL keys never
+    # match) and aggregate to n_bigrams = 0; every REAL bigram matches
+    # by construction (p is keyed by the distinct bigrams of this very
+    # stream), so count(__p_bp) == the doc's bigram count exactly.
+    scored = bg_all.join(p, ["w1", "w2"], "left").groupBy(id_col).agg(
+        F.count("__p_bp").cast("long").alias("n_bigrams"),
+        F.coalesce(F.sum("__p_bp"), F.lit(0)).cast("long").alias("sum_p_bp"),
     )
-    base = toks.select(id_col)
-    return base.join(scored, id_col, "left").select(
+    return scored.select(
         id_col,
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.coalesce(F.col("sum_p_bp"), F.lit(0)).cast("long").alias("sum_p_bp"),
+        "n_bigrams",
+        "sum_p_bp",
         F.expr("CASE WHEN n_bigrams > 0 THEN sum_p_bp div n_bigrams END")
         .cast("long")
         .alias("lm_score_bp"),

@@ -565,7 +565,9 @@ def test_zscore_matches_python_model_property(spark, vals):
         n, s1, s2 = len(win), sum(win), sum(x * x for x in win)
         det = n * s2 - s1 * s1
         if det > 0:
-            z = (n * qs[i] - s1) / math.sqrt(n * det)
-            assert got[i] == (round(z, 4), 1 if abs(z) > 2.0 else 0)
+            # population z: (n*q - s1)/sqrt(det); + 0.0 mirrors the
+            # plan's -0.0 normalization (r8)
+            z = (n * qs[i] - s1) / math.sqrt(det)
+            assert got[i] == (round(z, 4) + 0.0, 1 if abs(z) > 2.0 else 0)
         else:
             assert got[i] == (None, 0)

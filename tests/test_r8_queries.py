@@ -1,14 +1,18 @@
-"""Crafted-input tests for the round-8 fixes: the population z-score
-semantics (ADVICE r7 — the flag must actually fire at >2 sigma), the
--0.0 normalization on BOTH engines (the r7 driver hash-fail class),
-and the null-safe group join in d_agg_distinct's small dispatch path
-(ADVICE r7 — NULL group keys must survive both paths identically).
+"""Crafted-input tests for round 8: the population z-score fix (the
+flag must actually fire at >2 sigma — ADVICE r7), the -0.0
+normalization on BOTH engines (the r7 driver hash-fail class), the
+null-safe group join in d_agg_distinct's small dispatch path (ADVICE
+r7 — NULL group keys must survive both paths identically), and the
+round-8 growth operators: tolerance as-of boundary semantics and the
+bucketed streaming MERGE (accumulation, tie-break, state-side
+no-exchange plan, cross-batch fold).
 """
 
 from __future__ import annotations
 
 import datetime
 import math
+import re
 
 import duckdb
 import pandas as pd
@@ -76,6 +80,152 @@ def test_zscore_positive_zero_both_engines(spark):
         con.close()
     oz = odf.set_index("event_id")["z"][2]
     assert oz == 0.0 and math.copysign(1.0, oz) > 0
+
+
+# ------------------------------------------------- as-of with tolerance
+
+
+def test_asof_tolerance_boundary_and_miss(spark):
+    """Inclusive 30-day bound: a match exactly at left_time - 30 days
+    is kept, one second staler is nulled, and a keyless left stays
+    NULL — while the same join WITHOUT tolerance keeps the stale
+    match (the two operators must differ only in the null-out)."""
+    from sparkclif.operators.asof import asof_join
+
+    t = datetime.datetime(2024, 3, 31, 0, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t), (2, 20, t), (3, 30, t)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime.date(2024, 3, 1), 100.0),   # exactly 30 days
+            (20, datetime.date(2024, 2, 29), 200.0),  # 31 days: stale
+        ],
+        "k long, d date, p double",
+    )
+    kw = dict(
+        left_key="user_id", right_key="k", left_time="ts", right_time="d",
+        payload=["p"], tiebreak="k",
+    )
+    with_tol = {
+        r["event_id"]: r["asof_p"]
+        for r in asof_join(left, right, tolerance="30 DAYS", **kw).collect()
+    }
+    assert with_tol == {1: 100.0, 2: None, 3: None}
+    without = {
+        r["event_id"]: r["asof_p"]
+        for r in asof_join(left, right, **kw).collect()
+    }
+    assert without == {1: 100.0, 2: 200.0, 3: None}
+
+
+# --------------------------------------------- bucketed streaming merge
+
+
+def test_merge_into_state_accumulates_and_keeps_newer(spark):
+    from sparkclif.streaming.merge import merge_into_state
+
+    t1 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = datetime.datetime(2024, 1, 1, 11, 0, 0)
+    schema = (
+        "user_id long, n_events long, ts timestamp, last_event_id long, "
+        "last_value double"
+    )
+    state = spark.createDataFrame(
+        [(1, 2, t2, 5, 1.0), (2, 1, t1, 3, 3.0)], schema
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, 1, t1, 9, 9.0),   # OLDER than state: count adds, payload stays
+            (2, 2, t2, 8, 8.0),   # newer: count adds, payload replaced
+            (7, 1, t1, 7, 7.0),   # brand-new key: inserted
+        ],
+        schema,
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["last_event_id"], r["last_value"])
+        for r in merge_into_state(state, delta).collect()
+    }
+    assert got == {1: (3, 5, 1.0), 2: (3, 8, 8.0), 7: (1, 7, 7.0)}
+
+
+def test_merge_equal_ts_resolves_by_event_id(spark):
+    from sparkclif.streaming.merge import merge_into_state
+
+    t = datetime.datetime(2024, 1, 1)
+    schema = (
+        "user_id long, n_events long, ts timestamp, last_event_id long, "
+        "last_value double"
+    )
+    state = spark.createDataFrame([(1, 1, t, 5, 5.0)], schema)
+    delta_hi = spark.createDataFrame([(1, 1, t, 6, 6.0)], schema)
+    delta_lo = spark.createDataFrame([(1, 1, t, 4, 4.0)], schema)
+    hi = merge_into_state(state, delta_hi).collect()[0]
+    lo = merge_into_state(state, delta_lo).collect()[0]
+    assert (hi["last_event_id"], hi["last_value"]) == (6, 6.0)
+    assert (lo["last_event_id"], lo["last_value"]) == (5, 5.0)
+
+
+def test_merge_state_side_joins_without_exchange(spark, tmp_path):
+    """THE property the operator exists for: the bucketed state side
+    of the per-batch MERGE join carries no Exchange — only the
+    (delta-sized) other side shuffles. One Exchange total against an
+    in-memory delta proves the O(state) relation stayed put."""
+    from sparkclif.plans import formatted_plan
+    from sparkclif.streaming.merge import STATE_BUCKETS, merge_into_state
+
+    t = datetime.datetime(2024, 1, 1)
+    schema = (
+        "user_id long, n_events long, ts timestamp, last_event_id long, "
+        "last_value double"
+    )
+    rows = [(i, 1, t, i, float(i)) for i in range(100)]
+    tbl = "t_r8_merge_state_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        spark.createDataFrame(rows, schema)
+        .write.bucketBy(STATE_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    try:
+        delta = spark.createDataFrame(rows[:7], schema)
+        plan = formatted_plan(merge_into_state(spark.table(tbl), delta))
+        assert "Bucketed: true" in plan, "state scan must be bucket-aware"
+        # count numbered operator entries, not raw substring hits (each
+        # node appears once in the tree and once in the detail section)
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+        assert n_exchanges == 1, (
+            "exactly one shuffle Exchange (the delta side); a second "
+            "means the O(state) side shuffled:\n" + plan
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_merge_bucketed_accumulates_across_batches(spark, tmp_path):
+    from sparkclif.streaming.merge import stream_merge_bucketed
+    from sparkclif.streaming.source import write_time_chunks
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1 + (i % 2), "c", float(i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    write_time_chunks(df, src, n_chunks=2, key=src)
+    state = stream_merge_bucketed(spark, src, df.schema)
+    got = {
+        int(r.user_id): (int(r.n_events), int(r.last_event_id), float(r.last_value))
+        for r in state.itertuples()
+    }
+    # counts span BOTH micro-batches; payload is the per-user latest
+    assert got == {1: (4, 6, 6.0), 2: (4, 7, 7.0)}
 
 
 def test_d_agg_distinct_small_path_keeps_null_group(spark, tmp_path):
