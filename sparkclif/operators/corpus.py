@@ -336,18 +336,25 @@ def bigram_lm_score(
         size_of=docs,
     )
 
-    # explode_outer keeps ONE NULL-bigram row per <2-token document,
-    # so the per-doc aggregation below sees EVERY doc and the old
+    # <2-token docs are identified SCAN-SIDE (size < 2 on the shared
+    # toks relation) and re-enter as constant zero rows via a cheap
+    # union AFTER the per-doc aggregation — this deletes the old
     # keep-every-doc base relation (a 4th corpus scan) and its
-    # left-outer doc_id join (one more exchange + sort) are deleted
-    # outright — 7 -> 6 exchanges at sf0.1, one fewer corpus pass at
-    # 100 TB (VERDICT r7 item 5). The count branches filter the NULL
-    # placeholders back out below.
-    bg_all = toks.select(
-        id_col,
-        F.explode_outer(bind(F.col("__toks"), bigrams)).alias("bg"),
-    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bg = bg_all.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    # left-outer doc_id join (one more exchange + sort): 7 -> 6
+    # exchanges at sf0.1, one fewer corpus pass at 100 TB (VERDICT r7
+    # item 5). Deliberately NOT explode_outer + left join: the NULL
+    # placeholder keys would all hash to ONE partition whenever the
+    # probe join shuffles (p too big to broadcast at corpus scale) —
+    # a skew funnel sized by the trash-doc count; the union shape
+    # keeps NULL keys out of every exchange.
+    bg = (
+        toks.select(
+            id_col,
+            F.explode(bind(F.col("__toks"), bigrams)).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
     # NO forced bigram-stream exchange (r7: deletes the r6
     # repartition("w1","w2")): the c12 aggregation partial-aggregates
     # map-side, so ITS exchange carries vocabulary²-sized combined
@@ -381,15 +388,22 @@ def bigram_lm_score(
             F.expr("((__c12 + 1) * 10000) div (__c1 + __v)").alias("__p_bp"),
         )
     )
-    # LEFT join: the NULL-placeholder rows miss p (NULL keys never
-    # match) and aggregate to n_bigrams = 0; every REAL bigram matches
-    # by construction (p is keyed by the distinct bigrams of this very
-    # stream), so count(__p_bp) == the doc's bigram count exactly.
-    scored = bg_all.join(p, ["w1", "w2"], "left").groupBy(id_col).agg(
-        F.count("__p_bp").cast("long").alias("n_bigrams"),
-        F.coalesce(F.sum("__p_bp"), F.lit(0)).cast("long").alias("sum_p_bp"),
+    # INNER join: every bigram in bg matches p by construction (p is
+    # keyed by the distinct bigrams of this very stream), so the agg
+    # sees exactly the docs with >= 2 tokens; the short docs re-enter
+    # as constant zero rows from the shared toks relation (a
+    # vocab-free projection — no join, no exchange, and the rows are
+    # emitted scan-side co-partitioned with nothing).
+    scored = bg.join(p, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("__p_bp").cast("long").alias("sum_p_bp"),
     )
-    return scored.select(
+    short = toks.filter(F.size("__toks") < 2).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("sum_p_bp"),
+    )
+    return scored.unionByName(short).select(
         id_col,
         "n_bigrams",
         "sum_p_bp",

@@ -19,8 +19,8 @@ round-8 growth queries (``c_join_asof_tolerance``,
 materially-rewritten plans whose hashes must not move:
 ``d_agg_distinct`` (null-safe small-path join, ADVICE r7),
 ``c_join_interval_grid`` (forced broadcast dropped, ADVICE r7),
-``i_text_lm_score`` (explode_outer keeps every doc; the base relation
-+ left-outer doc join deleted, 7 -> 6 exchanges),
+``i_text_lm_score`` (scan-side short-doc union keeps every doc; the
+base relation + left-outer doc join deleted, 7 -> 6 exchanges),
 ``i_text_rarity`` (scan-side array_distinct df — the (doc, tok) tf
 shuffle deleted outright).
 

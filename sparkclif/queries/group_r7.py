@@ -168,8 +168,13 @@ def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     and selected, never summed — no float accumulation anywhere. For
     groups whose distinct-value table itself exceeds a task, the
     two-phase distributed rank of operators/rank.py is the same shape
-    with segment offsets; this query documents the value-compressed
-    regime (prices: ~fixed-point grid, heavy compression)."""
+    with segment offsets. Compression honesty (r8): the synthetic
+    price column is ~99% distinct, so at BENCH scale the (g, v) agg
+    buys nothing — three plan variants (this one, per-group sorted
+    array + aggregate() scan, raw-row window with lag-based distinct
+    count) measured equal within VM noise at sf0.1 (SCALE.md round-8
+    notes), so the simplest shape ships; on real fixed-point grids
+    the compression term is the 100 TB win and the plan stands."""
     return weighted_median_plan(table(spark, sf_dir, "lineitem"))
 
 
