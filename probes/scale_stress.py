@@ -578,6 +578,32 @@ def main() -> None:
         )
         return tbl
 
+    # KMV theta-union at kx SHIFTED keys (distinct cardinality scales
+    # by ~k): the per-(group, shard) bottom-k windows stay k-bounded,
+    # the merge input stays shards x k — wall must track the scan +
+    # the (g, shard, h) dedup exchange, never the distinct count
+    from sparkclif.queries.group_r8 import theta_union_plan
+
+    li_th = li.select("l_returnflag", "l_partkey")
+    li_thk = (
+        li.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            "l_returnflag",
+            (F.col("l_partkey") + F.col("__c") * 10_000_000).alias("l_partkey"),
+        )
+    )
+    timed("theta_union_1x", lambda: force_all(theta_union_plan(li_th)))
+    timed(
+        f"theta_union_{k}x_keys_8shards",
+        lambda: force_all(theta_union_plan(li_thk)),
+    )
+    # shard count is THE scale knob: at kx keys with 8x the shards the
+    # per-shard sort stays 1x-sized and the wall must flatten back
+    timed(
+        f"theta_union_{k}x_keys_64shards",
+        lambda: force_all(theta_union_plan(li_thk, n_shards=64)),
+    )
+
     t1x = bucketed_state(1, "1x")
     tkx = bucketed_state(k, f"{k}x")
     delta_const = _delta(ev_f.limit(5000))

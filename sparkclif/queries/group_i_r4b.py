@@ -262,7 +262,15 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .select("tok", F.expr("(__n * 10000) div __df").alias("idf_bp"))
     )
-    scored = tf.join(F.broadcast(idf), "tok").select(
+    # No broadcast hint on idf (r8): unlike rarity's COMMON set or
+    # boilerplate's heavy hitters, idf is the FULL vocabulary — under
+    # a Zipfian corpus the vocabulary grows with the data and a forced
+    # broadcast is a driver OOM at 100 TB (the interval_grid ADVICE r7
+    # class). AQE still broadcasts it at bench scale (well under the
+    # threshold); past that bound the tok-keyed shuffle join with AQE
+    # skew split is the right plan. Join-strategy hints never change
+    # results, so the hash is unchanged by construction.
+    scored = tf.join(idf, "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf_bp")).cast("long").alias("score")
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("tok"))

@@ -1,6 +1,7 @@
 """Round-8 surface additions (SURVEY.md §2.2 growth set): bounded-
-staleness temporal alignment and continuous ingest into a co-located
-layout — the two shapes VERDICT r7 item 8 named.
+staleness temporal alignment, continuous ingest into a co-located
+layout, and partitioned distinct-sketch union — the three shapes
+VERDICT r7 item 8 named.
 
 - ``c_join_asof_tolerance`` — backward as-of join WITH a max-staleness
   bound (pandas ``merge_asof(tolerance=)``; the ICU-alignment guard:
@@ -15,6 +16,12 @@ layout — the two shapes VERDICT r7 item 8 named.
   O(state) — the 100 TB continuous-ingest contract, composing
   ``h_stream_upsert``'s versioned-swap merge with
   ``c_join_bucketed``'s layout.
+- ``d_agg_theta_union`` — KMV / Theta-style bottom-k distinct sketch
+  per group, built per key-disjoint shard and UNION-merged (the
+  sketch algebra a cluster uses to count distincts without a global
+  dedup shuffle); portable md5 basis makes sketch STATE, kth order
+  statistic, and the integer KMV estimate all hash-checkable — the
+  operators/sketch.py discipline.
 
 Reference ties: the as-of family is the longitudinal alignment
 pattern of the reference consortium's data format (SURVEY.md §2.2
@@ -24,11 +31,12 @@ c_join_asof); the merge is the reference's state-store upsert
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkclif.io import table
 from sparkclif.operators.asof import asof_join
+from sparkclif.operators.hashing import md5_bits
 from sparkclif.registry import register
 from sparkclif.session import tmp_dir
 
@@ -155,3 +163,135 @@ def h_stream_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_id",
         F.round("last_value", 4).alias("last_value"),
     )
+
+
+KMV_K = 64
+# hash space: 14 hex chars = 16^14 = 2^56: (k-1)*H = 63*2^56 ~ 4.5e18
+# stays under 2^63 (15 chars would overflow the estimator multiply)
+KMV_H = 16**14
+
+
+def theta_union_plan(
+    li: DataFrame, k: int = KMV_K, n_shards: int = 8
+) -> DataFrame:
+    """KMV / Theta-style bottom-k distinct sketch per group, built as
+    a two-level SHARD -> UNION rollup (the partitioned-build + merge
+    algebra of Theta sketches, stated exactly):
+
+    1. items hash to 56-bit md5 values; a second md5 slice assigns
+       each DISTINCT item to exactly one of ``n_shards`` shards
+       (key-disjoint by construction, so the union never sees a
+       cross-shard dup). ``n_shards`` is THE scale knob: the
+       per-shard bottom-k window sorts one shard's distinct hashes,
+       so shard count must grow with the data (on a cluster, ~the
+       partition count; the registered query pins 8 for the fixed
+       oracle — an 8x-keys probe shows the fixed-shard sort growing
+       linearly, and the same probe at n_shards=64 staying flat,
+       SCALE.md round-8);
+    2. per (group, shard): the k smallest distinct hashes. Agg state
+       is BOUNDED at k: a row_number window over the deduped
+       (g, shard, h) relation keeps only rank <= k BEFORE any
+       collect, so no buffer ever holds a shard's full distinct set;
+    3. per group: merge = k smallest of the concatenated shard
+       sketches (k-min of union == k-min over union of per-part
+       k-mins — the Theta union identity).
+
+    Estimate: (k-1)·H div kth_hash (the classic KMV estimator in
+    exact integer arithmetic — 63·2^60 < 2^63, no overflow); groups
+    with fewer than k distinct items report their EXACT count (the
+    sketch is lossless below k). The full merged state is fingerprinted
+    (md5 over the comma-joined hash list) so the driver hash-checks
+    the SKETCH, not just the estimate — the d_agg_hll_registers
+    discipline."""
+    hkey = F.concat(F.lit("kmv|"), F.col("l_partkey").cast("string"))
+    hdf = li.select(
+        F.col("l_returnflag").alias("g"),
+        md5_bits(hkey, 1, 14).alias("h"),
+        F.pmod(md5_bits(hkey, 15, 2), F.lit(n_shards)).alias("shard"),
+    )
+    dedup = hdf.groupBy("g", "shard", "h").agg(F.lit(1).alias("__one"))
+    w = Window.partitionBy("g", "shard").orderBy("h")
+    topk = dedup.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    sk = topk.groupBy("g", "shard").agg(
+        F.sort_array(F.collect_list("h")).alias("s")
+    )
+    m = sk.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("s"))), 1, k).alias(
+            "merged"
+        ),
+    )
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        "n_shards",
+        F.size("merged").cast("long").alias("n_state"),
+        F.when(F.size("merged") >= k, F.element_at("merged", k)).alias(
+            "kth_hash"
+        ),
+        F.expr(
+            f"CASE WHEN size(merged) >= {k} THEN "
+            f"({k - 1}L * {KMV_H}L) div element_at(merged, {k}) "
+            f"ELSE size(merged) END"
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        F.md5(
+            F.array_join(F.transform("merged", lambda x: x.cast("string")), ",")
+        ).alias("state_md5"),
+    )
+
+
+@register(
+    "d_agg_theta_union",
+    # Exact restatement: same md5 hash/shard split; the oracle states
+    # the per-shard k-min as list_slice over the sorted distinct list
+    # (result-identical to the engine's bounded row_number build) and
+    # the union as k-min of the flattened shard lists.
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag AS g,
+               CAST(('0x' || substr(md5('kmv|' || CAST(l_partkey AS VARCHAR)),
+                                    1, 14))::UBIGINT AS BIGINT) AS h,
+               ('0x' || substr(md5('kmv|' || CAST(l_partkey AS VARCHAR)),
+                               15, 2))::UBIGINT % 8 AS shard
+        FROM lineitem
+    ),
+    sk AS (
+        SELECT g, shard,
+               list_slice(list_sort(list_distinct(list(h))), 1, {KMV_K}) AS s
+        FROM h GROUP BY g, shard
+    ),
+    m AS (
+        SELECT g, count(*) AS n_shards,
+               list_slice(list_sort(flatten(list(s))), 1, {KMV_K}) AS merged
+        FROM sk GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           CAST(n_shards AS BIGINT) AS n_shards,
+           CAST(len(merged) AS BIGINT) AS n_state,
+           CASE WHEN len(merged) >= {KMV_K} THEN merged[{KMV_K}] END
+               AS kth_hash,
+           CAST(CASE WHEN len(merged) >= {KMV_K}
+                     THEN ({KMV_K - 1} * {KMV_H}) // merged[{KMV_K}]
+                     ELSE len(merged) END AS BIGINT) AS est_distinct,
+           md5(array_to_string(merged, ',')) AS state_md5
+    FROM m
+    """,
+)
+def d_agg_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style distinct-union over partitions (VERDICT r7
+    item 8's third candidate): bottom-k (KMV) distinct sketches built
+    per key-disjoint shard, then UNION-merged per group — the sketch
+    algebra a 1000-executor cluster uses to count distincts without a
+    global dedup shuffle of the item stream. The whole pipeline is
+    exact given the portable md5 basis, so the driver hash-checks the
+    merged sketch STATE (md5 fingerprint), the kth order statistic,
+    AND the integer-arithmetic KMV estimate — the only engine-seeded
+    thing in a real deployment (the hash family) is pinned, exactly
+    like the CMS/HLL/bloom family (operators/sketch.py). Build-side
+    memory is bounded at k per (group, shard) via a pre-collect
+    row_number window; the merge input is <= shards x k rows per
+    group."""
+    return theta_union_plan(table(spark, sf_dir, "lineitem"))

