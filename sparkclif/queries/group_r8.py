@@ -142,7 +142,7 @@ def h_stream_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/merge.py). Returns the final state (per-user event
     count + last-wins payload). The state side of every per-batch
     merge join is read bucket-co-located — no exchange on the
-    O(state) relation, asserted in tests/test_streaming.py — which is
+    O(state) relation, asserted in tests/test_r8_queries.py — which is
     the property that separates continuous ingest from re-shuffling
     the world each batch."""
     from sparkclif.streaming.merge import stream_merge_bucketed
