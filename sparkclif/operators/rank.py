@@ -445,13 +445,27 @@ def _distributed_percentiles(
         ).dropDuplicates([group_col, "__q", "__rank"])
 
         w_local = Window.partitionBy("__seg", group_col).orderBy(value_col)
+        # null-safe group-key joins throughout (r8, the d_agg_distinct
+        # ADVICE class): a NULL group key survives the kernel/window/
+        # array paths, so it must survive this one too — a plain
+        # equi-join would silently drop it (NULL != NULL) and the
+        # dispatch paths would diverge on nullable group columns.
+        off2 = offsets.select(
+            F.col("__seg").alias("__seg_o"),
+            F.col(group_col).alias("__g_o"),
+            "__offset",
+        )
         ranked = (
             seg.withColumn("__local", F.row_number().over(w_local))
-            .join(F.broadcast(offsets), ["__seg", group_col])
+            .join(
+                F.broadcast(off2),
+                (F.col("__seg") == F.col("__seg_o"))
+                & F.col(group_col).eqNullSafe(F.col("__g_o")),
+            )
             .withColumn("__grank", F.col("__offset") + F.col("__local") - 1)
         )
         hits = ranked.join(
-            F.broadcast(need), (ranked[group_col] == need[group_col]) & (ranked["__grank"] == need["__rank"])
+            F.broadcast(need), ranked[group_col].eqNullSafe(need[group_col]) & (ranked["__grank"] == need["__rank"])
         ).select(
             ranked[group_col].alias(group_col),
             "__q",
@@ -490,5 +504,10 @@ def _distributed_percentiles(
     # change the row set (tiny G-row joins, broadcast-sized)
     final = df.select(group_col).distinct()
     for r in results:
-        final = final.join(r, group_col, "left")
+        # null-safe: the NULL group's computed percentiles must attach
+        # to its row, not be dropped to NULLs by NULL != NULL
+        r2 = r.withColumnRenamed(group_col, "__g_r")
+        final = final.join(
+            r2, F.col(group_col).eqNullSafe(F.col("__g_r")), "left"
+        ).drop("__g_r")
     return final.select(group_col, *[name for _, _, name in specs])

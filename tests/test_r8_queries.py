@@ -337,3 +337,59 @@ def test_theta_union_state_bounded_at_k_before_collect(spark, sf_dir):
     assert "row_number" in plan
     # the rank filter must appear (Filter on __rn <= 64)
     assert "__rn" in plan and "64" in plan
+
+
+def test_stream_merge_bucketed_out_of_order_arrival(spark, tmp_path):
+    """Displaced chunks: the stream's OLDEST rows arrive in the LAST
+    micro-batch. The accumulating merge has no watermark (counts are
+    a total, not a window), so late rows still count — and the
+    last-wins payload must NOT regress to the late-arriving older
+    event (the ~newer branch of merge_into_state, exercised through
+    the real streaming path)."""
+    from sparkclif.streaming.merge import stream_merge_bucketed
+    from sparkclif.streaming.source import write_time_chunks
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "c", float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    src = str(tmp_path / "src_ooo")
+    # 3 oldest rows (events 0-2) arrive AFTER everything else
+    write_time_chunks(df, src, n_chunks=3, key=src, displace_rows=3)
+    state = stream_merge_bucketed(spark, src, df.schema)
+    assert len(state) == 1
+    r = state.iloc[0]
+    assert int(r.n_events) == 10           # late rows still counted
+    assert int(r.last_event_id) == 9       # payload did not regress
+    assert float(r.last_value) == 9.0
+
+
+def test_percentile_paths_agree_on_null_group(spark):
+    """The d_agg_distinct ADVICE class, swept to the other dispatcher
+    (r8): a NULL group key must produce the SAME row in every
+    percentile path — the distributed path's group-key joins were
+    plain equi-joins and silently dropped it."""
+    from sparkclif.operators.rank import exact_percentiles
+
+    rows = [("A", float(v)) for v in range(100)] + [
+        (None, float(v * 2)) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    specs = [("v", 0.5, "p50"), ("v", 0.95, "p95")]
+    outs = {}
+    for force in ("array", "kernel", "window", "bracket", "distributed"):
+        got = {
+            r["g"]: (r["p50"], r["p95"])
+            for r in exact_percentiles(df, "g", specs, force=force).collect()
+        }
+        outs[force] = got
+    base = outs["array"]
+    assert None in base and base[None][0] is not None
+    for force, got in outs.items():
+        assert got == base, f"{force} diverged: {got} vs {base}"
