@@ -178,10 +178,10 @@ def theta_union_plan(
     a two-level SHARD -> UNION rollup (the partitioned-build + merge
     algebra of Theta sketches, stated exactly):
 
-    1. items hash to 56-bit md5 values; a second md5 slice assigns
-       each DISTINCT item to exactly one of ``n_shards`` shards
-       (key-disjoint by construction, so the union never sees a
-       cross-shard dup). ``n_shards`` is THE scale knob: the
+    1. items hash to 56-bit md5 values; the hash's residue class
+       (``h % n_shards``) assigns each DISTINCT item to exactly one
+       shard — key-disjoint by construction (the union never sees a
+       cross-shard dup) and ONE md5 per row. ``n_shards`` is THE scale knob: the
        per-shard bottom-k window sorts one shard's distinct hashes,
        so shard count must grow with the data (on a cluster, ~the
        partition count; the registered query pins 8 for the fixed
@@ -204,11 +204,13 @@ def theta_union_plan(
     the SKETCH, not just the estimate — the d_agg_hll_registers
     discipline."""
     hkey = F.concat(F.lit("kmv|"), F.col("l_partkey").cast("string"))
+    # shard derives FROM the hash (low bits, uniform and independent
+    # of the bottom-k ORDER which is decided by the full value):
+    # exactly ONE md5 per row — the hash is the scan's dominant cost
     hdf = li.select(
         F.col("l_returnflag").alias("g"),
         md5_bits(hkey, 1, 14).alias("h"),
-        F.pmod(md5_bits(hkey, 15, 2), F.lit(n_shards)).alias("shard"),
-    )
+    ).withColumn("shard", F.pmod("h", F.lit(n_shards)))
     dedup = hdf.groupBy("g", "shard", "h").agg(F.lit(1).alias("__one"))
     w = Window.partitionBy("g", "shard").orderBy("h")
     topk = dedup.withColumn("__rn", F.row_number().over(w)).filter(
@@ -250,14 +252,13 @@ def theta_union_plan(
     # (result-identical to the engine's bounded row_number build) and
     # the union as k-min of the flattened shard lists.
     oracle=f"""
-    WITH h AS (
+    WITH h0 AS (
         SELECT l_returnflag AS g,
                CAST(('0x' || substr(md5('kmv|' || CAST(l_partkey AS VARCHAR)),
-                                    1, 14))::UBIGINT AS BIGINT) AS h,
-               ('0x' || substr(md5('kmv|' || CAST(l_partkey AS VARCHAR)),
-                               15, 2))::UBIGINT % 8 AS shard
+                                    1, 14))::UBIGINT AS BIGINT) AS h
         FROM lineitem
     ),
+    h AS (SELECT g, h, h % 8 AS shard FROM h0),
     sk AS (
         SELECT g, shard,
                list_slice(list_sort(list_distinct(list(h))), 1, {KMV_K}) AS s
