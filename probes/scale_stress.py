@@ -592,16 +592,27 @@ def main() -> None:
             (F.col("l_partkey") + F.col("__c") * 10_000_000).alias("l_partkey"),
         )
     )
-    timed("theta_union_1x", lambda: force_all(theta_union_plan(li_th)))
+    # force="merge" pins the sharded scale path: these probes measure
+    # the 100 TB shape, not the fused small-path the cost dispatcher
+    # picks below SMALL_INPUT_BYTES (the r8 fused/merge equivalence is
+    # pinned separately in tests/test_r8_queries.py)
+    timed(
+        "theta_union_1x",
+        lambda: force_all(theta_union_plan(li_th, force="merge")),
+    )
+    timed(
+        "theta_union_1x_fused_smallpath",
+        lambda: force_all(theta_union_plan(li_th, force="fused")),
+    )
     timed(
         f"theta_union_{k}x_keys_8shards",
-        lambda: force_all(theta_union_plan(li_thk)),
+        lambda: force_all(theta_union_plan(li_thk, force="merge")),
     )
     # shard count is THE scale knob: at kx keys with 8x the shards the
     # per-shard sort stays 1x-sized and the wall must flatten back
     timed(
         f"theta_union_{k}x_keys_64shards",
-        lambda: force_all(theta_union_plan(li_thk, n_shards=64)),
+        lambda: force_all(theta_union_plan(li_thk, n_shards=64, force="merge")),
     )
 
     t1x = bucketed_state(1, "1x")

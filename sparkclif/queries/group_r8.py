@@ -172,7 +172,7 @@ KMV_H = 16**14
 
 
 def theta_union_plan(
-    li: DataFrame, k: int = KMV_K, n_shards: int = 8
+    li: DataFrame, k: int = KMV_K, n_shards: int = 8, force: str | None = None
 ) -> DataFrame:
     """KMV / Theta-style bottom-k distinct sketch per group, built as
     a two-level SHARD -> UNION rollup (the partitioned-build + merge
@@ -191,10 +191,26 @@ def theta_union_plan(
     2. per (group, shard): the k smallest distinct hashes. Agg state
        is BOUNDED at k: a row_number window over the deduped
        (g, shard, h) relation keeps only rank <= k BEFORE any
-       collect, so no buffer ever holds a shard's full distinct set;
+       collect, so no buffer ever holds a shard's full distinct set
+       (Spark 4 pushes the rank filter map-side as WindowGroupLimit,
+       so even the shuffle carries <= k rows per (g, shard) per task);
     3. per group: merge = k smallest of the concatenated shard
        sketches (k-min of union == k-min over union of per-part
        k-mins — the Theta union identity).
+
+    Cost dispatch (force=None): below rank.SMALL_INPUT_BYTES the
+    shard/merge scaffolding costs more stages than it bounds, so the
+    small path FUSES the whole build into one aggregation —
+    ``k-min(array_sort(collect_set(h)))`` with ``n_shards`` restated
+    as ``size(collect_set(shard))`` — result-identical BY the same
+    union identity (the shards partition the distinct hash set, so
+    the k smallest distinct hashes survive any shard split). One
+    exchange instead of three; the collect_set buffer holds a group's
+    full distinct set, which is exactly what the bound certifies is
+    affordable. Above the bound (and under
+    ``spark.sparkclif.forceDistributed``) the sharded window build is
+    the default — no buffer beyond k. ``force=`` ("merge" | "fused")
+    pins a path for tests.
 
     Estimate: (k-1)·H div kth_hash (the classic KMV estimator in
     exact integer arithmetic — 63·2^60 < 2^63, no overflow); groups
@@ -203,28 +219,51 @@ def theta_union_plan(
     (md5 over the comma-joined hash list) so the driver hash-checks
     the SKETCH, not just the estimate — the d_agg_hll_registers
     discipline."""
+    from sparkclif.operators.rank import (
+        SMALL_INPUT_BYTES,
+        plan_size_bytes,
+        validate_force,
+    )
+
+    validate_force(force, {"merge", "fused"})
     hkey = F.concat(F.lit("kmv|"), F.col("l_partkey").cast("string"))
     # shard derives FROM the hash (low bits, uniform and independent
     # of the bottom-k ORDER which is decided by the full value):
     # exactly ONE md5 per row — the hash is the scan's dominant cost
-    hdf = li.select(
+    # NULL item keys hash to NULL and contribute NOTHING to a distinct
+    # sketch (the DataSketches convention) — filtered ONCE here so the
+    # two dispatch paths cannot diverge on them (collect_set silently
+    # drops NULLs, the sharded build would keep a NULL-shard group — the
+    # ADVICE-r7 d_agg_distinct class of path divergence). A group whose
+    # every key is NULL vanishes rather than reporting 0, consistently
+    # on both paths (tests/test_r8_queries.py pins this).
+    proj = li.select(
         F.col("l_returnflag").alias("g"),
         md5_bits(hkey, 1, 14).alias("h"),
-    ).withColumn("shard", F.pmod("h", F.lit(n_shards)))
-    dedup = hdf.groupBy("g", "shard", "h").agg(F.lit(1).alias("__one"))
-    w = Window.partitionBy("g", "shard").orderBy("h")
-    topk = dedup.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
-    sk = topk.groupBy("g", "shard").agg(
-        F.sort_array(F.collect_list("h")).alias("s")
-    )
-    m = sk.groupBy("g").agg(
-        F.count("*").cast("long").alias("n_shards"),
-        F.slice(F.sort_array(F.flatten(F.collect_list("s"))), 1, k).alias(
-            "merged"
-        ),
-    )
+    ).where(F.col("h").isNotNull())
+    if force is None:
+        force = "fused" if plan_size_bytes(proj) <= SMALL_INPUT_BYTES else "merge"
+    hdf = proj.withColumn("shard", F.pmod("h", F.lit(n_shards)))
+    if force == "fused":
+        m = hdf.groupBy("g").agg(
+            F.size(F.collect_set("shard")).cast("long").alias("n_shards"),
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("merged"),
+        )
+    else:
+        dedup = hdf.groupBy("g", "shard", "h").agg(F.lit(1).alias("__one"))
+        w = Window.partitionBy("g", "shard").orderBy("h")
+        topk = dedup.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        )
+        sk = topk.groupBy("g", "shard").agg(
+            F.sort_array(F.collect_list("h")).alias("s")
+        )
+        m = sk.groupBy("g").agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("s"))), 1, k).alias(
+                "merged"
+            ),
+        )
     return m.select(
         F.col("g").alias("l_returnflag"),
         "n_shards",

@@ -571,3 +571,48 @@ def test_zscore_matches_python_model_property(spark, vals):
             assert got[i] == (round(z, 4) + 0.0, 1 if abs(z) > 2.0 else 0)
         else:
             assert got[i] == (None, 0)
+
+
+@given(
+    keys=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 5000)),
+        min_size=0,
+        max_size=120,
+    )
+)
+@_settings
+def test_theta_union_matches_python_model_property(spark, keys):
+    """theta_union_plan == a direct Python KMV model for any random
+    multiset of (group, key) items, on BOTH dispatch paths: n_shards =
+    shards touched by the distinct hash set, merged state = k smallest
+    distinct hashes, estimate = exact count below k else the integer
+    KMV formula. Proves the union identity and the fused/merge
+    equivalence at property scale (the sf-table tests only ever see
+    the fixed corpus)."""
+    import hashlib
+
+    from sparkclif.queries.group_r8 import KMV_H, KMV_K, theta_union_plan
+
+    df = spark.createDataFrame(
+        [(g, k) for g, k in keys] or [("Z", 0)],
+        "l_returnflag string, l_partkey long",
+    )
+    model: dict[str, set[int]] = {}
+    for g, k in keys or [("Z", 0)]:
+        h = int(hashlib.md5(f"kmv|{k}".encode()).hexdigest()[:14], 16)
+        model.setdefault(g, set()).add(h)
+    for force in ("merge", "fused"):
+        rows = {r["l_returnflag"]: r
+                for r in theta_union_plan(df, force=force).collect()}
+        assert set(rows) == set(model)
+        for g, hs in model.items():
+            merged = sorted(hs)[:KMV_K]
+            r = rows[g]
+            assert r["n_shards"] == len({h % 8 for h in hs})
+            assert r["n_state"] == len(merged)
+            if len(hs) >= KMV_K:
+                assert r["kth_hash"] == merged[-1]
+                assert r["est_distinct"] == (KMV_K - 1) * KMV_H // merged[-1]
+            else:
+                assert r["kth_hash"] is None
+                assert r["est_distinct"] == len(hs)

@@ -325,18 +325,59 @@ def test_theta_union_estimate_within_tolerance(spark):
 
 
 def test_theta_union_state_bounded_at_k_before_collect(spark, sf_dir):
-    """No collect buffer ever holds a shard's full distinct set: the
-    pre-collect row_number filter caps every collected list at k.
-    Asserted structurally — the filter sits BELOW the first
-    collect_list in the plan."""
+    """No collect buffer ever holds a shard's full distinct set on the
+    SCALE path: the pre-collect row_number filter caps every collected
+    list at k. Asserted structurally — the filter sits BELOW the first
+    collect_list in the plan. (force='merge' pins the scale path; the
+    cost dispatcher would pick the fused single-agg below
+    SMALL_INPUT_BYTES.)"""
     from sparkclif.plans import formatted_plan
     from sparkclif.queries.group_r8 import theta_union_plan
     from sparkclif.io import table
 
-    plan = formatted_plan(theta_union_plan(table(spark, sf_dir, "lineitem")))
+    plan = formatted_plan(
+        theta_union_plan(table(spark, sf_dir, "lineitem"), force="merge")
+    )
     assert "row_number" in plan
     # the rank filter must appear (Filter on __rn <= 64)
     assert "__rn" in plan and "64" in plan
+
+
+def test_theta_union_fused_equals_merge(spark):
+    """The cost dispatcher's two paths are result-identical — the
+    Theta union identity that justifies the fused small path: k-min
+    over per-shard k-min sketches == k-min over all distinct hashes.
+    Checked on a mixed-group input with duplicates, a below-k group,
+    and an all-NULL-key group (which must vanish identically on both
+    paths — NULL keys contribute nothing to a distinct sketch), every
+    output column including the state fingerprint."""
+    from sparkclif.queries.group_r8 import theta_union_plan
+
+    li = spark.createDataFrame(
+        [("A", i % 700) for i in range(3000)]
+        + [("B", i) for i in range(20)]
+        + [("C", None)],
+        "l_returnflag string, l_partkey long",
+    )
+    cols = ["l_returnflag", "n_shards", "n_state", "kth_hash",
+            "est_distinct", "state_md5"]
+    merge = {tuple(r) for r in
+             theta_union_plan(li, force="merge").select(*cols).collect()}
+    fused = {tuple(r) for r in
+             theta_union_plan(li, force="fused").select(*cols).collect()}
+    assert merge == fused and len(merge) == 2
+    assert {r[0] for r in merge} == {"A", "B"}
+
+
+def test_theta_union_force_validated(spark):
+    """A mistyped force= raises instead of silently picking a path."""
+    import pytest
+
+    from sparkclif.queries.group_r8 import theta_union_plan
+
+    li = spark.createDataFrame([("A", 1)], "l_returnflag string, l_partkey long")
+    with pytest.raises(ValueError, match="force"):
+        theta_union_plan(li, force="fsued")
 
 
 def test_stream_merge_bucketed_out_of_order_arrival(spark, tmp_path):
