@@ -629,6 +629,76 @@ def main() -> None:
     spark.sql(f"DROP TABLE IF EXISTS {t1x}")
     spark.sql(f"DROP TABLE IF EXISTS {tkx}")
 
+    # --- late-r8 growth set --------------------------------------------
+    # nearest as-of at kx USERS (shifted keys, per-key history
+    # constant): same single union-sort shuffle as the backward/
+    # tolerance variants — the second (descending) carry adds one
+    # in-partition sort, zero exchanges, so the law must match
+    # asof_tolerance's
+    from sparkclif.operators.asof import asof_join_nearest
+
+    near_kw = dict(
+        left_key="user_id", right_key="o_custkey", left_time="ts",
+        right_time="o_orderdate", payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    timed(
+        "asof_nearest_1x",
+        lambda: force_all(
+            asof_join_nearest(ev_f.select("event_id", "user_id", "ts"), o_t, **near_kw)
+        ),
+    )
+    timed(
+        f"asof_nearest_{k}x_users",
+        lambda: force_all(
+            asof_join_nearest(
+                ev_rk.select("event_id", "user_id", "ts"), o_tk, **near_kw
+            )
+        ),
+    )
+
+    # URL dedup at kx docs (cloned ids shift doc_id so canonical
+    # groups stay constant-size — the window partitions grow in COUNT,
+    # not width): canonicalization is scan-side, one window exchange;
+    # wall must track the scan
+    from sparkclif.registry import all_queries as _aq
+
+    url_fn = _aq()["i_dedup_url"].fn
+    timed("url_dedup_1x", lambda: force_all(url_fn(spark, sf_dir)))
+    docs_u = spark.read.parquet(replicate("documents", "doc_id", k))
+    from sparkclif.operators.dedup import dedup_url
+
+    def url_plan(docs):
+        base = F.col("doc_id") % 100
+        u = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+                base.cast("string"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+            ).alias("url"),
+        )
+        return dedup_url(u)
+
+    timed(f"url_dedup_{k}x_docs", lambda: force_all(url_plan(docs_u)))
+
+    # CUSUM at kx USERS (shifted keys, per-key series constant): the
+    # funnel — one groupBy exchange, fold work linear in rows; state
+    # per key is 4 BIGINTs regardless of history length
+    from sparkclif.operators.timeseries import cusum_page
+
+    ev_cu = ev_f.select("event_id", "user_id", "ts", "value")
+    ev_cuk = (
+        ev_f.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+            "value",
+        )
+    )
+    timed("cusum_1x", lambda: force_all(cusum_page(ev_cu)))
+    timed(f"cusum_{k}x_users", lambda: force_all(cusum_page(ev_cuk)))
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 

@@ -22,9 +22,18 @@ Spark has no native ASOF JOIN. Two implementations:
    recent lab value only if that lab is fresh enough) and pandas'
    ``merge_asof(tolerance=)``; no second pass, no row blowup.
 
-3. A per-group ``merge_asof`` pandas kernel would be the fallback for
-   semantics Spark expressions can't carry (e.g. nearest-direction);
-   not needed for backward as-of, so not implemented here.
+3. NEAREST-direction as-of (``asof_join_nearest``, late r8): each
+   left row matched to the right row with the smallest |right_time −
+   left_time| (ties → the backward side, pandas
+   ``merge_asof(direction='nearest')``'s convention). Implemented as
+   TWO window carries over the SAME union — one ascending (latest
+   right <= t, the backward pass above) and one descending (earliest
+   right > t) — which share the single ``__key`` exchange
+   (EnsureRequirements: the second window adds a sort, never a
+   shuffle), then an arithmetic pick of the closer side. This deletes
+   the "needs a pandas kernel" limitation the r5 version of this
+   docstring declared: the carry trick composes, it doesn't have to
+   run once.
 
 Determinism: ties on right_time break by descending ``tiebreak``
 (largest wins), matching the oracle's
@@ -145,4 +154,117 @@ def asof_join(
     return lefts.select(
         *lcols,
         *[c.alias(f"{prefix}{p}") for c, p in zip(picked, payload)],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Nearest-direction as-of join, single shuffle: each left row gets
+    the right row minimizing |right_time − left_time| for its key.
+
+    Conventions (stated identically in every oracle of this operator):
+    - the backward side is INCLUSIVE (right_time <= left_time), the
+      forward side exclusive — an equal-time right is a backward match
+      with distance 0;
+    - a distance tie between the sides resolves BACKWARD (pandas
+      ``merge_asof(direction='nearest')``);
+    - within a side, ties on right_time resolve to the MAX ``tiebreak``
+      backward and the MIN forward (each side mirrors the other); a
+      NULL tiebreak loses to any non-null on both sides.
+
+    Plan: the same tag-union as ``asof_join``, then TWO running-carry
+    windows over the one ``__key`` partitioning — ascending for the
+    latest prior right, descending for the earliest later right. Both
+    windows satisfy their distribution from ONE exchange
+    (EnsureRequirements adds only the second sort), so the cost over
+    backward as-of is one extra per-partition sort, not a pass over
+    the data. Distances are exact integer microseconds (UTC session
+    timezone; DATE right_times promote to midnight, the convention the
+    backward/tolerance variants already hash-check).
+
+    Returns ``left`` plus ``prefix+p`` for each payload column,
+    ``prefix+side`` ('backward' | 'forward' | NULL) and
+    ``prefix+dist_us`` (BIGINT microseconds, NULL when unmatched).
+    """
+    lcols = left.columns
+    tagged_r = right.filter(F.col(right_time).isNotNull()).select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(tiebreak).alias("__tb"),
+        F.struct(
+            F.col(right_time).cast("timestamp").alias("__rt"),
+            *[F.col(p) for p in payload],
+        ).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None)
+        .cast(tagged_r.schema["__payload"].dataType)
+        .alias("__payload"),
+        *[F.col(c) for c in lcols],
+    )
+    # Backward: rights sort BEFORE the left at equal time (inclusive
+    # <=); among equal-time rights the max tiebreak sorts last and is
+    # carried (asc_nulls_first => NULL tiebreaks lose) — exactly
+    # asof_join's ordering, minus the seq refinement.
+    w_b = (
+        Window.partitionBy("__key")
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_left").asc(),
+            F.col("__tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Forward (descending traversal): at equal time the LEFT sorts
+    # first (is_left desc) so an equal-time right is NOT in its frame —
+    # the exclusive > boundary; among equal-time rights desc_nulls_first
+    # puts NULLs first and small tiebreaks last => carried = min
+    # tiebreak, the backward mirror.
+    w_f = (
+        Window.partitionBy("__key")
+        .orderBy(
+            F.col("__t").desc(),
+            F.col("__is_left").desc(),
+            F.col("__tb").desc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        tagged_r.unionByName(tagged_l)
+        .withColumn("__b", F.last("__payload", ignorenulls=True).over(w_b))
+        .withColumn("__f", F.last("__payload", ignorenulls=True).over(w_f))
+    )
+    lefts = carried.filter(F.col("__is_left") == 1)
+    t_us = F.unix_micros("__t")
+    dist_b = t_us - F.unix_micros(F.col("__b.__rt"))
+    dist_f = F.unix_micros(F.col("__f.__rt")) - t_us
+    pick_b = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (dist_b <= dist_f)
+    )
+    chosen = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    side = F.when(pick_b, F.lit("backward")).when(
+        F.col("__f").isNotNull(), F.lit("forward")
+    )
+    dist = F.when(pick_b, dist_b).when(F.col("__f").isNotNull(), dist_f)
+    return lefts.select(
+        *lcols,
+        *[chosen.getField(p).alias(f"{prefix}{p}") for p in payload],
+        side.alias(f"{prefix}side"),
+        dist.cast("long").alias(f"{prefix}dist_us"),
     )

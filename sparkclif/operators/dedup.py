@@ -54,6 +54,91 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def canonical_url(url) -> "F.Column":
+    """Canonical form of a URL for web-corpus dedup — the CC-style
+    normalization every crawl pipeline applies before URL-exact dedup
+    (two fetches of the same resource rarely share raw bytes of URL):
+
+    - scheme lowercased; ``http`` folded into ``https``
+      (protocol-insensitive dedup — the same resource served both ways
+      is one resource);
+    - host lowercased; a leading ``www.`` stripped; DEFAULT ports
+      (``:80`` for http, ``:443`` for https — judged against the
+      ORIGINAL scheme) stripped, any other explicit port kept;
+    - the fragment dropped (never sent to the server);
+    - tracking parameters dropped (``utm_*``, ``ref=``), the remaining
+      query parameters SORTED (param order is not semantic), an
+      emptied query dropping its ``?``;
+    - trailing slashes trimmed from the path.
+
+    Pure scan-side expression (parse_url is a JVM intrinsic; the rest
+    is regexp + array lambdas) — zero shuffle, composes under
+    whole-stage codegen. The DuckDB restatement in the registered
+    query states the identical rules with regexp/list functions.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    scheme_raw = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    scheme = F.when(scheme_raw == "http", F.lit("https")).otherwise(scheme_raw)
+    auth = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(auth), r":\d+$", ""), r"^www\.", ""
+    )
+    is_default = ((scheme_raw == "https") & (port == "443")) | (
+        (scheme_raw == "http") & (port == "80")
+    )
+    port_part = F.when(
+        (port != "") & ~is_default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("ref="),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-exact dedup over the canonical form: keep the lowest id per
+    canonical URL. Returns EVERY row (kept flag, not a filter) so the
+    caller sees the full dup structure: ``(.., canon_url, group_size,
+    keeper_id, kept)``.
+
+    Plan: canonicalization is scan-side (one projection); one window
+    over ``canon_url`` — the dedup_exact shape, one shuffle carrying
+    (canon, id, url), never the document. Mass-duplicated canonicals
+    (a crawl loop hammering one URL) make a hot window partition AQE
+    cannot split — at that skew, swap the window for the
+    min/count aggregation + shuffle join on ``canon_url`` (both sides
+    key-partitioned, AQE skew-splittable), same result by the
+    dedup_exact argument."""
+    u = df.withColumn("canon_url", canonical_url(url_col))
+    w = Window.partitionBy("canon_url")
+    return u.select(
+        "*",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        F.min(id_col).over(w).alias("keeper_id"),
+        (F.col(id_col) == F.min(id_col).over(w)).cast("long").alias("kept"),
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     store: DataFrame,

@@ -86,6 +86,87 @@ def resample_gapfill(
     )
 
 
+def cusum_page(
+    events,
+    target: int = 5000,
+    slack: int = 1000,
+    threshold: int = 20000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    val_col: str = "value",
+):
+    """Two-sided CUSUM drift detector (Page 1954) per key, in an exact
+    integer basis — the sequential change-point statistic behind
+    metric-drift alarms (where e_win_zscore flags single outliers,
+    CUSUM accumulates SMALL persistent shifts until they cross a
+    decision threshold):
+
+        sp_i = max(0, sp_{i-1} + (q_i − target − slack))     (upward)
+        sn_i = max(0, sn_{i-1} + (target − q_i − slack))     (downward)
+        alarm when sp_i > threshold or sn_i > threshold, then BOTH
+        statistics reset to 0 (the standard restart — each alarm
+        opens a fresh detection cycle).
+
+    ``q`` is the value in integer centi-units (floor(v·100 + 0.5)), so
+    every step is BIGINT arithmetic and the SQL restatement folds the
+    identical sequence — no float accumulation anywhere. Returns per
+    key: ``(key, n_events, cusum_pos, cusum_neg, max_pos, n_alarms)``
+    with ``max_pos`` the running maximum of the PRE-reset upward
+    statistic (the peak drift evidence ever accumulated).
+
+    Plan: the ewma_last funnel — a recurrence with max-clamping cannot
+    be restated as a window prefix-sum (the clamp is order-dependent),
+    so: ONE groupBy(key) shuffle collecting the (ts, seq, q) array,
+    one whole-stage-codegen F.aggregate fold. No window recursion, no
+    Python; per-key arrays bounded by activity skew (see
+    sequence.funnel_stages)."""
+    from pyspark.sql import functions as F
+
+    q = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t"),
+                F.col(seq_col).alias("s"),
+                q.alias("q"),
+            )
+        )
+    )
+    grouped = events.groupBy(user_col).agg(arr.alias("__a"))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("sp"),
+        F.lit(0).cast("long").alias("sn"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("al"),
+    )
+
+    def step(acc, e):
+        sp1 = F.greatest(
+            F.lit(0).cast("long"), acc["sp"] + e["q"] - F.lit(target + slack)
+        )
+        sn1 = F.greatest(
+            F.lit(0).cast("long"), acc["sn"] + F.lit(target - slack) - e["q"]
+        )
+        alarm = (sp1 > threshold) | (sn1 > threshold)
+        return F.struct(
+            F.when(alarm, F.lit(0).cast("long")).otherwise(sp1).alias("sp"),
+            F.when(alarm, F.lit(0).cast("long")).otherwise(sn1).alias("sn"),
+            F.greatest(acc["mx"], sp1).alias("mx"),
+            (acc["al"] + alarm.cast("long")).alias("al"),
+        )
+
+    folded = F.aggregate("__a", zero, step)
+    return grouped.select(
+        user_col,
+        F.size("__a").cast("long").alias("n_events"),
+        folded["sp"].alias("cusum_pos"),
+        folded["sn"].alias("cusum_neg"),
+        folded["mx"].alias("max_pos"),
+        folded["al"].alias("n_alarms"),
+    )
+
+
 def ewma_last(
     events,
     alpha: float = 0.5,

@@ -23,6 +23,19 @@ VERDICT r7 item 8 named.
   statistic, and the integer KMV estimate all hash-checkable — the
   operators/sketch.py discipline.
 
+Late-r8 additions (first driver rows land in the r9 window — see
+queries/__init__ for the rotation argument):
+
+- ``c_join_asof_nearest`` — nearest-direction as-of (two window
+  carries over ONE key shuffle; operators/asof.py), completing the
+  as-of family and deleting the r5 "needs a pandas kernel" claim.
+- ``i_dedup_url`` — URL-canonicalization dedup (scan-side
+  ``canonical_url`` + the dedup_exact window shape;
+  operators/dedup.py) — the crawl-side dedup modality.
+- ``e_win_cusum`` — Page's two-sided CUSUM drift detector, exact
+  integer basis (funnel fold; operators/timeseries.py) — the
+  sequential complement to e_win_zscore's point detector.
+
 Reference ties: the as-of family is the longitudinal alignment
 pattern of the reference consortium's data format (SURVEY.md §2.2
 c_join_asof); the merge is the reference's state-store upsert
@@ -35,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkclif.io import table
-from sparkclif.operators.asof import asof_join
+from sparkclif.operators.asof import asof_join, asof_join_nearest
 from sparkclif.operators.hashing import md5_bits
 from sparkclif.registry import register
 from sparkclif.session import tmp_dir
@@ -163,6 +176,276 @@ def h_stream_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_id",
         F.round("last_value", 4).alias("last_value"),
     )
+
+
+@register(
+    "c_join_asof_nearest",
+    # Exact restatement of the nearest conventions: candidates ranked
+    # by (abs microsecond distance, backward-first, max-orderkey
+    # backward / min-orderkey forward); backward is inclusive
+    # (orderdate-midnight <= ts, the same DATE->TIMESTAMP promotion
+    # the backward/tolerance variants hash-check). LEFT join restores
+    # events whose user has no orders at all.
+    oracle="""
+    WITH cand AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                   - epoch_us(e.ts)) AS dist,
+               CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+                    THEN 0 ELSE 1 END AS is_fwd
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+    ),
+    m AS (
+        SELECT event_id, o_orderkey, o_totalprice, dist, is_fwd
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY event_id
+            ORDER BY dist, is_fwd,
+                     CASE WHEN is_fwd = 1 THEN o_orderkey
+                          ELSE -o_orderkey END) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           m.o_orderkey AS near_o_orderkey,
+           round(m.o_totalprice, 4) AS near_price,
+           CASE WHEN m.o_orderkey IS NULL THEN NULL
+                WHEN m.is_fwd = 1 THEN 'forward'
+                ELSE 'backward' END AS near_side,
+           CAST(m.dist AS BIGINT) AS near_dist_us
+    FROM events e LEFT JOIN m USING (event_id)
+    """,
+)
+def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each event matched to its user's order
+    CLOSEST in time, either side (ties -> backward; exact integer
+    microsecond distances; see operators/asof.py asof_join_nearest for
+    the full tie conventions). Completes the as-of family
+    (backward / backward+tolerance / nearest) and deletes the r5
+    docstring's 'nearest needs a pandas kernel' claim: ONE shuffle of
+    |events|+|orders| rows on the user key with TWO in-partition
+    window carries (ascending + descending share the exchange), vs the
+    oracle's join-all-candidates + rank which materializes every
+    (event, same-user order) pair first — the same asymptotic gap as
+    the backward variant, with both directions for free."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders")
+    joined = asof_join_nearest(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        prefix="near_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "near_o_orderkey",
+        F.round("near_o_totalprice", 4).alias("near_price"),
+        "near_side",
+        "near_dist_us",
+    )
+
+
+@register(
+    "i_dedup_url",
+    # The oracle synthesizes the IDENTICAL five messy variants, then
+    # states the same canonicalization rules with regexp/list
+    # functions (scheme fold, www/default-port strip, fragment drop,
+    # utm_*/ref= filter + param sort, trailing-slash trim) and the
+    # same keep-lowest-id window.
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE (doc_id // 100) % 5
+                 WHEN 0 THEN 'https://' || source || '.example.com/docs/'
+                      || CAST(doc_id % 100 AS VARCHAR) || '?lang=' || lang || '&v=2'
+                 WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/docs/'
+                      || CAST(doc_id % 100 AS VARCHAR) || '/?v=2&lang=' || lang
+                 WHEN 2 THEN 'https://www.' || source || '.example.com/docs/'
+                      || CAST(doc_id % 100 AS VARCHAR) || '?lang=' || lang
+                      || '&utm_source=feed&v=2'
+                 WHEN 3 THEN 'https://' || source || '.example.com:443/docs/'
+                      || CAST(doc_id % 100 AS VARCHAR) || '?lang=' || lang
+                      || '&v=2#sec1'
+                 ELSE 'http://' || source || '.example.com/docs/'
+                      || CAST(doc_id % 100 AS VARCHAR) || '?lang=' || lang
+                      || '&v=2&ref=mirror'
+               END AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_raw,
+               regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
+                              '^([^/?#]*)', 1) AS auth,
+               regexp_replace(
+                   regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
+                                  '^[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               (CASE WHEN scheme_raw = 'http' THEN 'https' ELSE scheme_raw END)
+               || '://'
+               || regexp_replace(regexp_replace(lower(auth), ':[0-9]+$', ''),
+                                 '^www\.', '')
+               || (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) <> ''
+                         AND NOT ((scheme_raw = 'https'
+                                   AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+                              OR (scheme_raw = 'http'
+                                   AND regexp_extract(auth, ':([0-9]+)$', 1) = '80'))
+                        THEN ':' || regexp_extract(auth, ':([0-9]+)$', 1)
+                        ELSE '' END)
+               || path
+               || (CASE WHEN array_to_string(list_sort(list_filter(
+                            string_split(q, '&'),
+                            p -> p <> '' AND NOT starts_with(p, 'utm_')
+                                 AND NOT starts_with(p, 'ref='))), '&') <> ''
+                        THEN '?' || array_to_string(list_sort(list_filter(
+                            string_split(q, '&'),
+                            p -> p <> '' AND NOT starts_with(p, 'utm_')
+                                 AND NOT starts_with(p, 'ref='))), '&')
+                        ELSE '' END) AS canon_url
+        FROM parts
+    )
+    SELECT doc_id, url, canon_url,
+           CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS group_size,
+           CAST(min(doc_id) OVER (PARTITION BY canon_url) AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM canon
+    """,
+)
+def i_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the web-corpus dedup modality the
+    group-I family was missing (exact/minhash/simhash/semantic dedup
+    compare CONTENT; a crawl dedups by URL first, and raw URLs of one
+    resource differ in scheme case, www, default ports, tracking
+    params, param order, fragments, trailing slashes). Five messy
+    variants are synthesized per doc from its fields (the g_url_funcs
+    convention — documents carry no URL column), such that all five
+    canonicalize to ``https://{source}.example.com/docs/{doc_id%100}
+    ?lang={lang}&v=2`` — so docs agreeing on (source, doc_id%100,
+    lang) are URL-dups across DIFFERENT raw strings, exercising every
+    rule. Canonicalization is pure scan-side expression
+    (operators/dedup.py canonical_url); the dedup is the dedup_exact
+    window shape, ONE shuffle carrying (canon, id, url)."""
+    docs = table(spark, sf_dir, "documents")
+    from sparkclif.operators.dedup import dedup_url
+
+    base = F.col("doc_id") % 100
+    mk = [
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            base.cast("string"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+        ),
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit(".EXAMPLE.COM/docs/"),
+            base.cast("string"), F.lit("/?v=2&lang="), F.col("lang"),
+        ),
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+            base.cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&utm_source=feed&v=2"),
+        ),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com:443/docs/"),
+            base.cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&v=2#sec1"),
+        ),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/docs/"),
+            base.cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&v=2&ref=mirror"),
+        ),
+    ]
+    # the variant derives from doc_id DIV 100, the collision key from
+    # doc_id MOD 100 — orthogonal by construction, so one canonical
+    # group spans DIFFERENT raw variants (doc 20 is plain, 120 is
+    # upper-cased+trailing-slash, 220 is www+utm, ...) and the dedup
+    # actually crosses every canonicalization rule (doc_id % 5 would
+    # correlate with the mod-100 key and never mix variants)
+    m = F.expr("doc_id div 100") % 5
+    url = F.when(m == 0, mk[0]).when(m == 1, mk[1]).when(m == 2, mk[2]).when(
+        m == 3, mk[3]
+    ).otherwise(mk[4])
+    u = docs.select("doc_id", url.alias("url"))
+    return dedup_url(u).select(
+        "doc_id", "url", "canon_url", "group_size", "keeper_id", "kept"
+    )
+
+
+@register(
+    "e_win_cusum",
+    # Exact restatement: DuckDB list_reduce folds the SAME
+    # (ts, event_id)-ordered integer sequence with the SAME clamped
+    # recurrence. The accumulator is ONE bit-packed BIGINT
+    # (((sp·2^17 + sn)·2^17 + mx)·2^12 + al) rather than a struct:
+    # DuckDB v1.0.0 evaluates struct-lambda fields SEQUENTIALLY, so a
+    # later field reading acc.x sees the ALREADY-UPDATED x (repro in
+    # tests/test_r8_queries.py::test_duckdb_struct_lambda_quirk), and
+    # the sp<->sn alarm coupling cannot be field-ordered around that;
+    # a single-scalar fold is evaluation-order-proof. Packing is
+    # lossless: stored sp, sn <= threshold (post-reset), transient
+    # sp1 and mx <= threshold + q_max - 6000 < 2^17, alarms < 2^12
+    # (asserted generously above any per-user event count here), total
+    # < 2^63. list_reduce has no init, so 0 is prepended; elements are
+    # the raw q values (same BIGINT type as the state — the fold's
+    # (acc, e) are asymmetric by position, not type). Constants:
+    # target 5000, slack 1000 (=> +q-6000 / +4000-q), threshold
+    # 20000, centi-unit quantization floor(v*100 + 0.5).
+    oracle="""
+    WITH folded AS (
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            ORDER BY ts, event_id)),
+                   (acc, e) ->
+                     (CASE WHEN greatest(0::BIGINT, (acc // 70368744177664) + e - 6000) > 20000
+                             OR greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e) > 20000
+                           THEN 0::BIGINT
+                           ELSE greatest(0::BIGINT, (acc // 70368744177664) + e - 6000)
+                      END) * 70368744177664
+                   + (CASE WHEN greatest(0::BIGINT, (acc // 70368744177664) + e - 6000) > 20000
+                             OR greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e) > 20000
+                           THEN 0::BIGINT
+                           ELSE greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e)
+                      END) * 536870912
+                   + greatest((acc // 4096) % 131072,
+                              greatest(0::BIGINT, (acc // 70368744177664) + e - 6000)) * 4096
+                   + (acc % 4096)
+                   + (CASE WHEN greatest(0::BIGINT, (acc // 70368744177664) + e - 6000) > 20000
+                             OR greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e) > 20000
+                           THEN 1::BIGINT ELSE 0::BIGINT END)
+               ) AS f
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           f // 70368744177664 AS cusum_pos,
+           (f // 536870912) % 131072 AS cusum_neg,
+           (f // 4096) % 131072 AS max_pos,
+           f % 4096 AS n_alarms
+    FROM folded
+    """,
+)
+def e_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detector per user (Page 1954)
+    over the value stream, exact integer basis — accumulates small
+    persistent drifts that single-point detectors (e_win_zscore) never
+    flag, with alarm-and-restart semantics. See
+    operators/timeseries.cusum_page for the recurrence and the
+    funnel-plan argument (a max-clamped recurrence cannot be a window
+    prefix-sum; one groupBy shuffle + codegen fold)."""
+    from sparkclif.operators.timeseries import cusum_page
+
+    ev = table(spark, sf_dir, "events")
+    return cusum_page(ev, target=5000, slack=1000, threshold=20000)
 
 
 KMV_K = 64

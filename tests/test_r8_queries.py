@@ -268,6 +268,221 @@ def test_stream_merge_bucketed_empty_source(spark, tmp_path):
     assert len(state) == 0
 
 
+# ------------------------------------------------ nearest-direction as-of
+
+
+def _nearest(spark, left_rows, right_rows):
+    import datetime as dt
+
+    from sparkclif.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1, 0, 0, s)) for i, k, s in left_rows],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1, 0, 0, s), v) for k, s, v in right_rows],
+        "k long, rt timestamp, v long",
+    )
+    out = asof_join_nearest(
+        left, right, left_key="k", right_key="k", left_time="t",
+        right_time="rt", payload=["v"], tiebreak="v",
+    )
+    return {r["lid"]: (r["asof_v"], r["asof_side"], r["asof_dist_us"])
+            for r in out.collect()}
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Backward at 3 s vs forward at 1 s -> forward wins; backward at
+    1 s vs forward at 3 s -> backward wins; unmatched key -> NULLs."""
+    got = _nearest(
+        spark,
+        [(0, 1, 10), (1, 2, 10), (2, 99, 10)],
+        [(1, 7, 100), (1, 11, 200), (2, 9, 300), (2, 13, 400)],
+    )
+    assert got[0] == (200, "forward", 1_000_000)
+    assert got[1] == (300, "backward", 1_000_000)
+    assert got[2] == (None, None, None)
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    """Equal 2 s distance on both sides -> backward (the pandas
+    direction='nearest' convention); an equal-time right is a backward
+    match at distance 0."""
+    got = _nearest(
+        spark,
+        [(0, 1, 10), (1, 2, 10)],
+        [(1, 8, 100), (1, 12, 200), (2, 10, 300), (2, 11, 400)],
+    )
+    assert got[0] == (100, "backward", 2_000_000)
+    assert got[1] == (300, "backward", 0)
+
+
+def test_asof_nearest_within_side_tiebreaks_mirror(spark):
+    """Equal-time rights: MAX tiebreak wins backward, MIN forward."""
+    got = _nearest(
+        spark,
+        [(0, 1, 10), (1, 2, 10)],
+        [(1, 9, 100), (1, 9, 150), (2, 12, 300), (2, 12, 250)],
+    )
+    assert got[0] == (150, "backward", 1_000_000)
+    assert got[1] == (250, "forward", 2_000_000)
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Both window carries must share the one key shuffle — the plan
+    carries exactly ONE Exchange (the property that makes nearest cost
+    the same shuffle as backward)."""
+    from sparkclif.plans import formatted_plan, plan_metrics
+    from sparkclif.registry import all_queries
+
+    m = plan_metrics(
+        formatted_plan(all_queries()["c_join_asof_nearest"].fn(spark, sf_dir))
+    )
+    assert m["exchanges"] == 1, m
+
+
+# ------------------------------------------------ URL-canonicalization dedup
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule, one assert each: scheme fold +
+    case, www strip, default-port strip vs NON-default kept, fragment
+    drop, utm_*/ref= filter + param sort, trailing-slash trim."""
+    from sparkclif.operators.dedup import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM/a/?b=2&a=1#frag", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com:443/a?a=1", "https://ex.com/a?a=1"),
+        ("http://ex.com:80/a", "https://ex.com/a"),
+        # non-default port is semantic and survives
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+        # http's default-port rule judges the ORIGINAL scheme: :443 on
+        # http is non-default and survives the scheme fold
+        ("http://ex.com:443/a", "https://ex.com:443/a"),
+        ("https://ex.com/a?utm_source=x&ref=y&z=1", "https://ex.com/a?z=1"),
+        ("https://ex.com/a?utm_source=x", "https://ex.com/a"),
+        ("https://ex.com//", "https://ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, f"{u!r}: {g!r} != {want!r}"
+
+
+def test_dedup_url_groups_cross_variants(spark, sf_dir):
+    """The synthesized corpus must contain canonical groups whose raw
+    URLs DIFFER (the whole point: doc_id div 100 picks the mess, doc_id
+    mod 100 the collision key); keeper is the min id; kept XOR dup."""
+    from sparkclif.registry import all_queries
+
+    out = all_queries()["i_dedup_url"].fn(spark, sf_dir)
+    rows = out.collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canon_url"], []).append(r)
+    mixed = [
+        g for g in by_canon.values()
+        if len(g) >= 2 and len({r["url"] for r in g}) >= 2
+    ]
+    assert mixed, "no cross-variant dup groups — synthesis regressed"
+    for g in by_canon.values():
+        keeper = min(r["doc_id"] for r in g)
+        for r in g:
+            assert r["keeper_id"] == keeper and r["group_size"] == len(g)
+            assert r["kept"] == (1 if r["doc_id"] == keeper else 0)
+
+
+# ------------------------------------------------ CUSUM drift detector
+
+
+def _cusum_model(qs, target=5000, slack=1000, h=20000):
+    sp = sn = mx = al = 0
+    for q in qs:
+        sp1 = max(0, sp + q - target - slack)
+        sn1 = max(0, sn + target - slack - q)
+        alarm = sp1 > h or sn1 > h
+        mx = max(mx, sp1)
+        al += 1 if alarm else 0
+        sp, sn = (0, 0) if alarm else (sp1, sn1)
+    return sp, sn, mx, al
+
+
+def _cusum_run(spark, vals):
+    import datetime as dt
+
+    from sparkclif.operators.timeseries import cusum_page
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0, 0) + dt.timedelta(seconds=i), 7, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    r = cusum_page(df).collect()[0]
+    return (r["cusum_pos"], r["cusum_neg"], r["max_pos"], r["n_alarms"])
+
+
+def test_cusum_alarm_resets_and_peak_is_pre_reset(spark):
+    """An alarm resets BOTH statistics but max_pos keeps the pre-reset
+    peak; a later larger drift raises the peak again (the exact trace
+    the DuckDB struct-lambda quirk got wrong — see
+    test_duckdb_struct_lambda_quirk)."""
+    vals = [360.00, 61.00, 65.00, 70.00, 61.00, 360.00, 61.00]
+    got = _cusum_run(spark, vals)
+    qs = [36000, 6100, 6500, 7000, 6100, 36000, 6100]
+    # trace: alarm@1 (peak 30000, reset), small drift to sp=1700, then
+    # alarm@6 at peak 1700+30000=31700 (> the first peak), final sp
+    # from the trailing 6100 = 100
+    assert got == _cusum_model(qs) == (100, 0, 31700, 2)
+
+
+def test_cusum_small_persistent_drift_alarms(spark):
+    """20 quiet points then a +25-unit persistent shift: no single
+    point is extreme, but the accumulated drift crosses the threshold
+    — the semantics zscore cannot express."""
+    vals = [50.0] * 20 + [85.0] * 12
+    got = _cusum_run(spark, vals)
+    model = _cusum_model([5000] * 20 + [8500] * 12)
+    assert got == model
+    assert got[3] == 1 and got[2] > 20000
+
+
+def test_cusum_matches_python_model_random(spark):
+    """Random value series == the Python reference fold (both engines'
+    parity with each other is the oracle's job; this pins Spark to the
+    abstract recurrence)."""
+    import random
+
+    rng = random.Random(8)
+    vals = [round(rng.uniform(0, 490), 2) for _ in range(200)]
+    got = _cusum_run(spark, vals)
+    assert got == _cusum_model([int(v * 100 + 0.5) for v in vals])
+
+
+def test_duckdb_struct_lambda_quirk():
+    """Pin the DuckDB v1.0.0 behavior that forced e_win_cusum's oracle
+    to a bit-packed scalar accumulator: struct-lambda fields evaluate
+    SEQUENTIALLY, so a later field reading acc.x sees the UPDATED x
+    (here 'mx' sees the new running sum: 22, not the 12 a simultaneous
+    binding would give). If this test ever fails, DuckDB fixed the
+    quirk and the oracle may return to a struct accumulator."""
+    import duckdb
+
+    (res,) = duckdb.sql(
+        """
+        SELECT list_reduce(
+          [{'q': x::BIGINT, 'run': 0::BIGINT, 'mx': 0::BIGINT}
+           for x in [0, 5, -3, 10, -2]],
+          (acc, e) -> {'q': 0::BIGINT, 'run': acc.run + e.q,
+                       'mx': greatest(acc.mx, acc.run + e.q)})
+        """
+    ).fetchall()[0]
+    assert res["run"] == 10
+    assert res["mx"] == 22  # simultaneous-binding semantics would give 12
+
+
 # ------------------------------------------------ KMV theta-union sketch
 
 
