@@ -42,6 +42,13 @@ parity-green at sf0.001/0.01/0.1 under the round-8 repr-hardened
 comparator, i.e. the driver's exact stringify-hash semantics, and
 they open the r9 window.
 
+Round-9 window plan (for the next rotation, stated now so the math
+is on the record): the three late-r8 queries open it, followed by the
+COMPLETE set of queries whose latest driver row is round 6 (43 by the
+VERDICT r7 staleness table), which fills 46 of 50 slots — leaving 4
+for r9's own touched plans or growth. After that window no query's
+latest row is older than r7.
+
 Also outside the window, four queries carry plan-text edits this
 round and do NOT get slots, with justification: ``c_join_interval_grid``
 dropped its forced broadcast hint (ADVICE r7) — a join-strategy hint
