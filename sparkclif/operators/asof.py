@@ -254,14 +254,22 @@ def asof_join_nearest(
     t_us = F.unix_micros("__t")
     dist_b = t_us - F.unix_micros(F.col("__b.__rt"))
     dist_f = F.unix_micros(F.col("__f.__rt")) - t_us
-    pick_b = F.col("__b").isNotNull() & (
+    # A NULL left_time has no distance to anything => no nearest match
+    # (mirrors backward as-of, where a NULL left time can never satisfy
+    # rt <= t). Without this guard the DESCENDING window puts the NULL
+    # row's frame over every right (desc nulls-last) and it would leak
+    # a spurious earliest-right 'forward' match with a NULL distance.
+    matchable = F.col("__t").isNotNull()
+    pick_b = matchable & F.col("__b").isNotNull() & (
         F.col("__f").isNull() | (dist_b <= dist_f)
     )
-    chosen = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    chosen = F.when(pick_b, F.col("__b")).when(matchable, F.col("__f"))
     side = F.when(pick_b, F.lit("backward")).when(
-        F.col("__f").isNotNull(), F.lit("forward")
+        matchable & F.col("__f").isNotNull(), F.lit("forward")
     )
-    dist = F.when(pick_b, dist_b).when(F.col("__f").isNotNull(), dist_f)
+    dist = F.when(pick_b, dist_b).when(
+        matchable & F.col("__f").isNotNull(), dist_f
+    )
     return lefts.select(
         *lcols,
         *[chosen.getField(p).alias(f"{prefix}{p}") for p in payload],

@@ -121,8 +121,6 @@ def cusum_page(
     one whole-stage-codegen F.aggregate fold. No window recursion, no
     Python; per-key arrays bounded by activity skew (see
     sequence.funnel_stages)."""
-    from pyspark.sql import functions as F
-
     q = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
     arr = F.sort_array(
         F.collect_list(

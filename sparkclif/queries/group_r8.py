@@ -195,6 +195,7 @@ def h_stream_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 0 ELSE 1 END AS is_fwd
         FROM events e
         JOIN orders o ON o.o_custkey = e.user_id
+        WHERE e.ts IS NOT NULL
     ),
     m AS (
         SELECT event_id, o_orderkey, o_totalprice, dist, is_fwd
@@ -385,16 +386,22 @@ def i_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact restatement: DuckDB list_reduce folds the SAME
     # (ts, event_id)-ordered integer sequence with the SAME clamped
     # recurrence. The accumulator is ONE bit-packed BIGINT
-    # (((sp·2^17 + sn)·2^17 + mx)·2^12 + al) rather than a struct:
-    # DuckDB v1.0.0 evaluates struct-lambda fields SEQUENTIALLY, so a
-    # later field reading acc.x sees the ALREADY-UPDATED x (repro in
+    # (sp·2^48 + sn·2^33 + mx·2^12 + al; field widths sp:15, sn:15,
+    # mx:21, al:12) rather than a struct: DuckDB v1.0.0 evaluates
+    # struct-lambda fields SEQUENTIALLY, so a later field reading
+    # acc.x sees the ALREADY-UPDATED x (repro in
     # tests/test_r8_queries.py::test_duckdb_struct_lambda_quirk), and
     # the sp<->sn alarm coupling cannot be field-ordered around that;
-    # a single-scalar fold is evaluation-order-proof. Packing is
-    # lossless: stored sp, sn <= threshold (post-reset), transient
-    # sp1 and mx <= threshold + q_max - 6000 < 2^17, alarms < 2^12
-    # (asserted generously above any per-user event count here), total
-    # < 2^63. list_reduce has no init, so 0 is prepended; elements are
+    # a single-scalar fold is evaluation-order-proof. Pack bounds,
+    # stated precisely (tests pin a value-2000 spike parity-green):
+    # stored sp, sn <= threshold = 20000 < 2^15 (an over-threshold
+    # statistic always resets before storing); the only transient ever
+    # STORED is mx = max sp1 <= threshold + q_max - 6000, within 2^21
+    # for q_max <= 2,083,151, i.e. value <= ~20,831 (input max here is
+    # 560.21; the engine-side fold is exact regardless — exceeding the
+    # bound breaks only the oracle and surfaces as a parity mismatch,
+    # never silent engine corruption); alarms <= n_events < 2^12 at
+    # every tested sf. list_reduce has no init, so 0 is prepended; elements are
     # the raw q values (same BIGINT type as the state — the fold's
     # (acc, e) are asymmetric by position, not type). Constants:
     # target 5000, slack 1000 (=> +q-6000 / +4000-q), threshold
@@ -407,29 +414,29 @@ def i_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list(CAST(floor(value * 100 + 0.5) AS BIGINT)
                             ORDER BY ts, event_id)),
                    (acc, e) ->
-                     (CASE WHEN greatest(0::BIGINT, (acc // 70368744177664) + e - 6000) > 20000
-                             OR greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e) > 20000
+                     (CASE WHEN greatest(0::BIGINT, (acc // 281474976710656) + e - 6000) > 20000
+                             OR greatest(0::BIGINT, ((acc // 8589934592) % 32768) + 4000 - e) > 20000
                            THEN 0::BIGINT
-                           ELSE greatest(0::BIGINT, (acc // 70368744177664) + e - 6000)
-                      END) * 70368744177664
-                   + (CASE WHEN greatest(0::BIGINT, (acc // 70368744177664) + e - 6000) > 20000
-                             OR greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e) > 20000
+                           ELSE greatest(0::BIGINT, (acc // 281474976710656) + e - 6000)
+                      END) * 281474976710656
+                   + (CASE WHEN greatest(0::BIGINT, (acc // 281474976710656) + e - 6000) > 20000
+                             OR greatest(0::BIGINT, ((acc // 8589934592) % 32768) + 4000 - e) > 20000
                            THEN 0::BIGINT
-                           ELSE greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e)
-                      END) * 536870912
-                   + greatest((acc // 4096) % 131072,
-                              greatest(0::BIGINT, (acc // 70368744177664) + e - 6000)) * 4096
+                           ELSE greatest(0::BIGINT, ((acc // 8589934592) % 32768) + 4000 - e)
+                      END) * 8589934592
+                   + greatest((acc // 4096) % 2097152,
+                              greatest(0::BIGINT, (acc // 281474976710656) + e - 6000)) * 4096
                    + (acc % 4096)
-                   + (CASE WHEN greatest(0::BIGINT, (acc // 70368744177664) + e - 6000) > 20000
-                             OR greatest(0::BIGINT, ((acc // 536870912) % 131072) + 4000 - e) > 20000
+                   + (CASE WHEN greatest(0::BIGINT, (acc // 281474976710656) + e - 6000) > 20000
+                             OR greatest(0::BIGINT, ((acc // 8589934592) % 32768) + 4000 - e) > 20000
                            THEN 1::BIGINT ELSE 0::BIGINT END)
                ) AS f
         FROM events GROUP BY user_id
     )
     SELECT user_id, n_events,
-           f // 70368744177664 AS cusum_pos,
-           (f // 536870912) % 131072 AS cusum_neg,
-           (f // 4096) % 131072 AS max_pos,
+           f // 281474976710656 AS cusum_pos,
+           (f // 8589934592) % 32768 AS cusum_neg,
+           (f // 4096) % 2097152 AS max_pos,
            f % 4096 AS n_alarms
     FROM folded
     """,
@@ -579,6 +586,7 @@ def theta_union_plan(
                CAST(('0x' || substr(md5('kmv|' || CAST(l_partkey AS VARCHAR)),
                                     1, 14))::UBIGINT AS BIGINT) AS h
         FROM lineitem
+        WHERE l_partkey IS NOT NULL
     ),
     h AS (SELECT g, h, h % 8 AS shard FROM h0),
     sk AS (

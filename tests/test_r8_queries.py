@@ -461,6 +461,84 @@ def test_cusum_matches_python_model_random(spark):
     assert got == _cusum_model([int(v * 100 + 0.5) for v in vals])
 
 
+def test_asof_nearest_null_left_time_has_no_match(spark):
+    """A left row with a NULL time has no distance to anything: all
+    match columns NULL (mirrors backward as-of's NULL-time semantics).
+    Without the guard the descending carry window would leak the
+    key's earliest right as a spurious 'forward' match."""
+    import datetime as dt
+
+    from sparkclif.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(0, 1, None), (1, 1, dt.datetime(2024, 1, 1, 0, 0, 10))],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 9), 100),
+         (1, dt.datetime(2024, 1, 1, 0, 0, 12), 200)],
+        "k long, rt timestamp, v long",
+    )
+    out = {r["lid"]: (r["asof_v"], r["asof_side"], r["asof_dist_us"])
+           for r in asof_join_nearest(
+               left, right, left_key="k", right_key="k", left_time="t",
+               right_time="rt", payload=["v"], tiebreak="v").collect()}
+    assert out[0] == (None, None, None)
+    assert out[1] == (100, "backward", 1_000_000)
+
+
+def test_lm_score_null_text_keeps_row(spark):
+    """A NULL-text doc behaves as an empty doc: its row survives with
+    n_bigrams = 0 and a NULL score (the text_col coalesce feeding the
+    shared toks relation — pinned because the short-doc union rewrite
+    made this path load-bearing)."""
+    from sparkclif.operators.corpus import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "a b a"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: (r["n_bigrams"], r["lm_score_bp"])
+            for r in bigram_lm_score(docs).collect()}
+    assert rows[0] == (0, None) and rows[2] == (0, None)
+    assert rows[1][0] == 2
+
+
+def test_cusum_oracle_pack_survives_large_spike(spark):
+    """The bit-packed oracle accumulator must not corrupt on a value
+    far beyond the stream's range: a 2000.00 spike drives the stored
+    transient peak to ~214k, which overflowed the r8-initial 17-bit mx
+    field (silent cusum_neg corruption) and fits the widened 21-bit
+    layout. Engine fold and a direct DuckDB oracle run must agree
+    exactly."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from sparkclif.operators.timeseries import cusum_page
+    from sparkclif.registry import all_queries
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 7,
+             2000.00 if i == 3 else 40.00 + i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {tuple(r) for r in cusum_page(df).select(
+        "user_id", "n_events", "cusum_pos", "cusum_neg", "max_pos",
+        "n_alarms").collect()}
+
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "value"]
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    osql = all_queries()["e_win_cusum"].oracle
+    want = {tuple(r) for r in con.execute(osql).fetchall()}
+    assert got == want
+    (r,) = got
+    assert r[5] == 1 and r[4] > 2**17  # peak exceeds the old field
+
+
 def test_duckdb_struct_lambda_quirk():
     """Pin the DuckDB v1.0.0 behavior that forced e_win_cusum's oracle
     to a bit-packed scalar accumulator: struct-lambda fields evaluate
