@@ -616,3 +616,64 @@ def test_theta_union_matches_python_model_property(spark, keys):
             else:
                 assert r["kth_hash"] is None
                 assert r["est_distinct"] == len(hs)
+
+
+@given(
+    lefts=st.lists(st.integers(0, 120), min_size=1, max_size=12),
+    rights=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 5)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@_settings
+def test_asof_nearest_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join_nearest == pandas merge_asof(direction='nearest') on
+    random single-key data — an INDEPENDENT reference implementation
+    (not the SQL oracle restatement). Convention alignment verified:
+    pandas resolves side ties backward, duplicate right times to the
+    last sorted row backward (= our max tiebreak) and the first
+    forward (= our min tiebreak), and matches equal times backward —
+    provided rights are pre-sorted by (time, tiebreak)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkclif.operators.asof import asof_join_nearest
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(i, 1, ts(s)) for i, s in enumerate(lefts)],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(s), v) for s, v in rights] or [(2, ts(0), 0)],
+        "k long, rt timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join_nearest(
+            left, right, left_key="k", right_key="k", left_time="t",
+            right_time="rt", payload=["v"], tiebreak="v",
+        ).collect()
+    }
+    pl = pd.DataFrame(
+        {"lid": range(len(lefts)), "t": [ts(s) for s in lefts]}
+    ).sort_values(["t", "lid"])
+    pr = pd.DataFrame(
+        [(ts(s), v) for s, v in rights], columns=["rt", "v"]
+    ).sort_values(["rt", "v"])
+    if len(pr):
+        m = pd.merge_asof(pl, pr, left_on="t", right_on="rt",
+                          direction="nearest")
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in m.itertuples()
+        }
+    else:
+        want = {i: None for i in range(len(lefts))}
+    assert got == want
