@@ -71,15 +71,18 @@ def canonical_url(url) -> "F.Column":
       emptied query dropping its ``?``;
     - trailing slashes trimmed from the path.
 
-    Pure scan-side expression (parse_url is a JVM intrinsic; the rest
+    Pure scan-side expression (try_parse_url is a JVM intrinsic — the
+    try_ variant, because Spark 4's parse_url THROWS on a malformed
+    URL and one bad row must never kill a 100 TB scan; invalid URLs
+    canonicalize to NULL and dedup_url isolates them; the rest
     is regexp + array lambdas) — zero shuffle, composes under
     whole-stage codegen. The DuckDB restatement in the registered
     query states the identical rules with regexp/list functions.
     """
     url = F.col(url) if isinstance(url, str) else url
-    scheme_raw = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    scheme_raw = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     scheme = F.when(scheme_raw == "http", F.lit("https")).otherwise(scheme_raw)
-    auth = F.parse_url(url, F.lit("AUTHORITY"))
+    auth = F.try_parse_url(url, F.lit("AUTHORITY"))
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     host = F.regexp_replace(
         F.regexp_replace(F.lower(auth), r":\d+$", ""), r"^www\.", ""
@@ -91,9 +94,9 @@ def canonical_url(url) -> "F.Column":
         (port != "") & ~is_default, F.concat(F.lit(":"), port)
     ).otherwise(F.lit(""))
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
     )
-    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     params = F.array_sort(
         F.filter(
             F.split(q, "&"),
@@ -121,16 +124,32 @@ def dedup_url(
     caller sees the full dup structure: ``(.., canon_url, group_size,
     keeper_id, kept)``.
 
+    A URL the canonicalizer cannot parse (malformed scheme/authority —
+    ``parse_url`` yields NULL components, so ``canon_url`` is NULL) is
+    NOBODY's duplicate: each such row forms its own singleton group
+    (kept, group_size 1, keeper itself). Without this the window would
+    lump every malformed URL into one NULL-key "dup group" — the same
+    NULL-divergence class the theta/percentile/distinct dispatchers
+    guard against — and, worse at scale, funnel all of them into one
+    hot partition.
+
     Plan: canonicalization is scan-side (one projection); one window
-    over ``canon_url`` — the dedup_exact shape, one shuffle carrying
+    over the group key — the dedup_exact shape, one shuffle carrying
     (canon, id, url), never the document. Mass-duplicated canonicals
     (a crawl loop hammering one URL) make a hot window partition AQE
     cannot split — at that skew, swap the window for the
-    min/count aggregation + shuffle join on ``canon_url`` (both sides
+    min/count aggregation + shuffle join on the group key (both sides
     key-partitioned, AQE skew-splittable), same result by the
     dedup_exact argument."""
     u = df.withColumn("canon_url", canonical_url(url_col))
-    w = Window.partitionBy("canon_url")
+    # NULL canon => per-row sentinel key => singleton group. The
+    # sentinel never collides with a real canonical (those start with
+    # a scheme, never "\x00").
+    grp = F.coalesce(
+        F.col("canon_url"),
+        F.concat(F.lit("\x00uncanonical|"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(grp)
     return u.select(
         "*",
         F.count("*").over(w).cast("long").alias("group_size"),

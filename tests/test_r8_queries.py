@@ -393,6 +393,26 @@ def test_dedup_url_groups_cross_variants(spark, sf_dir):
             assert r["kept"] == (1 if r["doc_id"] == keeper else 0)
 
 
+def test_dedup_url_malformed_urls_are_singletons(spark):
+    """Two identical MALFORMED urls (NULL canonical) must NOT dedup
+    against each other — unparseable means unknown identity, so each
+    keeps its own singleton group; well-formed rows still group."""
+    from sparkclif.operators.dedup import dedup_url
+
+    df = spark.createDataFrame(
+        [(0, "not a url"), (1, "not a url"),
+         (2, "https://ex.com/a"), (3, "HTTPS://EX.COM/a/")],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_url(df).collect()}
+    for i in (0, 1):
+        assert rows[i]["canon_url"] is None
+        assert rows[i]["group_size"] == 1 and rows[i]["kept"] == 1
+        assert rows[i]["keeper_id"] == i
+    assert rows[2]["group_size"] == 2 and rows[3]["keeper_id"] == 2
+    assert rows[3]["kept"] == 0
+
+
 # ------------------------------------------------ CUSUM drift detector
 
 
