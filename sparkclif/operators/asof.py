@@ -46,6 +46,74 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tiebreak: str,
+    r_seq,
+    l_seq,
+    cast_time: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared tag-union scaffolding for every as-of variant: rights and
+    lefts projected onto one schema (__key, __t, __seq, __is_left,
+    __tb, __payload, <left columns>), ready to union and window.
+
+    NULL hygiene, applied ONCE for all variants:
+    - a NULL right_time can never satisfy any time predicate, but asc
+      ordering puts NULLs FIRST where the carry window would hand the
+      row to every left as a bogus "earliest" match — excluded;
+    - a NULL right_key can never equi-match a left key (the oracle's
+      JOIN never matches NULL = NULL), but partitionBy groups NULL
+      keys into ONE partition where NULL-key lefts would "match" them
+      — excluded. A NULL-key LEFT row then sits in a partition with no
+      rights and reports no match, exactly the equi-join semantics.
+
+    ``cast_time``: cast __t and the carried __rt to timestamp (the
+    nearest variant needs microsecond arithmetic; the backward variant
+    keeps native types so its interval comparison sees the original).
+
+    The right time rides inside the carried struct so downstream
+    checks (tolerance, distance) can compare it against the LEFT row's
+    own __t after the carry."""
+    lcols = left.columns
+
+    def t(c):
+        col = F.col(c)
+        return col.cast("timestamp") if cast_time else col
+
+    tagged_r = right.filter(
+        F.col(right_time).isNotNull() & F.col(right_key).isNotNull()
+    ).select(
+        F.col(right_key).alias("__key"),
+        t(right_time).alias("__t"),
+        r_seq.cast("long").alias("__seq"),
+        F.lit(0).alias("__is_left"),
+        F.col(tiebreak).alias("__tb"),
+        F.struct(
+            t(right_time).alias("__rt"), *[F.col(p) for p in payload]
+        ).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(left_key).alias("__key"),
+        t(left_time).alias("__t"),
+        l_seq.cast("long").alias("__seq"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None)
+        .cast(tagged_r.schema["__payload"].dataType)
+        .alias("__payload"),
+        *[F.col(c) for c in lcols],
+    )
+    return tagged_r, tagged_l
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -82,10 +150,6 @@ def asof_join(
     """
     if (left_seq is None) != (right_seq is None):
         raise ValueError("left_seq and right_seq must be given together")
-    lcols = left.columns
-    # A NULL right_time can never satisfy right_time <= left_time, but
-    # asc ordering puts NULLs FIRST, where the carry window would hand
-    # the row to every left as a bogus "earliest" match — exclude it.
     # Strictness encoding: the documented contract is that an
     # equal-time right applies only if its sequence is strictly
     # SMALLER than the left's. Bare (__seq, __is_left) ordering would
@@ -97,29 +161,13 @@ def asof_join(
     # assumes |seq| < 2^62 — true for any real event id.)
     r_seq = (2 * F.col(right_seq).cast("long") + 1) if right_seq else F.lit(1)
     l_seq = (2 * F.col(left_seq).cast("long")) if left_seq else F.lit(2)
-    # the right time rides inside the carried struct so the tolerance
-    # check can compare it against the LEFT row's own __t downstream
-    tagged_r = right.filter(F.col(right_time).isNotNull()).select(
-        F.col(right_key).alias("__key"),
-        F.col(right_time).alias("__t"),
-        r_seq.cast("long").alias("__seq"),
-        F.lit(0).alias("__is_left"),
-        F.col(tiebreak).alias("__tb"),
-        F.struct(
-            F.col(right_time).alias("__rt"), *[F.col(p) for p in payload]
-        ).alias("__payload"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-    )
-    tagged_l = left.select(
-        F.col(left_key).alias("__key"),
-        F.col(left_time).alias("__t"),
-        l_seq.cast("long").alias("__seq"),
-        F.lit(1).alias("__is_left"),
-        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
-        F.lit(None)
-        .cast(tagged_r.schema["__payload"].dataType)
-        .alias("__payload"),
-        *[F.col(c) for c in lcols],
+    lcols = left.columns
+    tagged_r, tagged_l = _tag_union(
+        left, right,
+        left_key=left_key, right_key=right_key,
+        left_time=left_time, right_time=right_time,
+        payload=payload, tiebreak=tiebreak,
+        r_seq=r_seq, l_seq=l_seq,
     )
     # Rights sort before the left row at equal time (__is_left 0 < 1)
     # => inclusive <=; among equal-time rights the max tiebreak sorts
@@ -197,26 +245,13 @@ def asof_join_nearest(
     ``prefix+dist_us`` (BIGINT microseconds, NULL when unmatched).
     """
     lcols = left.columns
-    tagged_r = right.filter(F.col(right_time).isNotNull()).select(
-        F.col(right_key).alias("__key"),
-        F.col(right_time).cast("timestamp").alias("__t"),
-        F.lit(0).alias("__is_left"),
-        F.col(tiebreak).alias("__tb"),
-        F.struct(
-            F.col(right_time).cast("timestamp").alias("__rt"),
-            *[F.col(p) for p in payload],
-        ).alias("__payload"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-    )
-    tagged_l = left.select(
-        F.col(left_key).alias("__key"),
-        F.col(left_time).cast("timestamp").alias("__t"),
-        F.lit(1).alias("__is_left"),
-        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
-        F.lit(None)
-        .cast(tagged_r.schema["__payload"].dataType)
-        .alias("__payload"),
-        *[F.col(c) for c in lcols],
+    tagged_r, tagged_l = _tag_union(
+        left, right,
+        left_key=left_key, right_key=right_key,
+        left_time=left_time, right_time=right_time,
+        payload=payload, tiebreak=tiebreak,
+        r_seq=F.lit(1), l_seq=F.lit(2),
+        cast_time=True,
     )
     # Backward: rights sort BEFORE the left at equal time (inclusive
     # <=); among equal-time rights the max tiebreak sorts last and is

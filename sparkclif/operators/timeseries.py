@@ -120,7 +120,20 @@ def cusum_page(
     so: ONE groupBy(key) shuffle collecting the (ts, seq, q) array,
     one whole-stage-codegen F.aggregate fold. No window recursion, no
     Python; per-key arrays bounded by activity skew (see
-    sequence.funnel_stages)."""
+    sequence.funnel_stages).
+
+    NULL hygiene: a row with a NULL value or NULL time is NOT an
+    observation and is dropped before the fold (the standard CUSUM
+    treatment). Folding it instead would silently RESET both
+    statistics — greatest(0, NULL) is 0 in both engines, erasing
+    accumulated drift evidence with no alarm — and a NULL time would
+    fold at the FRONT of Spark's sort_array but the BACK of DuckDB's
+    ORDER BY (nulls-last), diverging the order-dependent recurrence.
+    Keys whose every row is dropped vanish (consistently with the
+    oracle's post-filter GROUP BY)."""
+    events = events.filter(
+        F.col(val_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     q = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
     arr = F.sort_array(
         F.collect_list(

@@ -49,6 +49,23 @@ VERDICT r7 staleness table), which fills 46 of 50 slots — leaving 4
 for r9's own touched plans or growth. After that window no query's
 latest row is older than r7.
 
+Late-r8 NULL-hygiene hardening also touches the plans of the as-of
+family's shared scaffolding (operators/asof.py ``_tag_union``): right
+rows with a NULL join key are now filtered before the union, so a
+NULL-key left can no longer "match" them through the NULL window
+partition — the exact equi-join semantics every as-of oracle already
+states (NULL never equals NULL). This is provably value-identical for
+any input without NULL right keys (the filter removes only rows that
+can never match a non-NULL left, and NULL-key lefts previously
+matched rows the oracle would not give them); ``c_join_asof`` (last
+checked r6, no r8 slot) re-verified parity-green at sf0.01 and sf0.1
+after the change, and the crafted
+tests/test_r8_queries.py::test_asof_null_keys_never_match pins the
+NULL-key contract on both variants. Similarly ``e_win_cusum`` (r9
+window) drops NULL-value/NULL-time rows before its fold on BOTH
+engines — a NULL observation previously RESET the clamped statistics
+in both engines identically (parity-invisible, semantically wrong).
+
 Also outside the window, four queries carry plan-text edits this
 round and do NOT get slots, with justification: ``c_join_interval_grid``
 dropped its forced broadcast hint (ADVICE r7) — a join-strategy hint

@@ -431,7 +431,9 @@ def i_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                              OR greatest(0::BIGINT, ((acc // 8589934592) % 32768) + 4000 - e) > 20000
                            THEN 1::BIGINT ELSE 0::BIGINT END)
                ) AS f
-        FROM events GROUP BY user_id
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
     )
     SELECT user_id, n_events,
            f // 281474976710656 AS cusum_pos,

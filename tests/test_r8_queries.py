@@ -469,6 +469,28 @@ def test_cusum_small_persistent_drift_alarms(spark):
     assert got[3] == 1 and got[2] > 20000
 
 
+def test_cusum_null_observations_dropped_not_resetting(spark):
+    """A NULL value (or NULL ts) is not an observation: the fold must
+    skip it, NOT reset the statistics (greatest(0, NULL) = 0 would
+    silently erase accumulated drift in both engines). Drift built
+    before a NULL must carry straight through it."""
+    import datetime as dt
+
+    from sparkclif.operators.timeseries import cusum_page
+
+    base = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 7, v)
+            for i, v in enumerate([85.0] * 6)]
+    with_null = base[:3] + [(99, dt.datetime(2024, 1, 1, 0, 0, 3, 500000), 7,
+                             None)] + base[3:]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    clean = cusum_page(spark.createDataFrame(base, schema)).collect()[0]
+    dirty = cusum_page(spark.createDataFrame(with_null, schema)).collect()[0]
+    assert (clean["cusum_pos"], clean["max_pos"], clean["n_alarms"]) == (
+        dirty["cusum_pos"], dirty["max_pos"], dirty["n_alarms"])
+    assert clean["n_events"] == dirty["n_events"] == 6
+    assert clean["cusum_pos"] == 6 * 2500  # drift never reset
+
+
 def test_cusum_matches_python_model_random(spark):
     """Random value series == the Python reference fold (both engines'
     parity with each other is the oracle's job; this pins Spark to the
@@ -505,6 +527,34 @@ def test_asof_nearest_null_left_time_has_no_match(spark):
                right_time="rt", payload=["v"], tiebreak="v").collect()}
     assert out[0] == (None, None, None)
     assert out[1] == (100, "backward", 1_000_000)
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL join keys must behave like the oracle's equi-join (NULL
+    never matches NULL): a NULL-key left row gets no match even when
+    NULL-key rights exist, on BOTH the backward and nearest variants.
+    Without the _tag_union right-key filter, partitionBy lumps the
+    NULL keys into one partition where they 'match'."""
+    import datetime as dt
+
+    from sparkclif.operators.asof import asof_join, asof_join_nearest
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 10)
+    left = spark.createDataFrame(
+        [(0, None, t), (1, 1, t)], "lid long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1, 0, 0, 5), 666),
+         (1, dt.datetime(2024, 1, 1, 0, 0, 5), 100)],
+        "k long, rt timestamp, v long",
+    )
+    kw = dict(left_key="k", right_key="k", left_time="t",
+              right_time="rt", payload=["v"], tiebreak="v")
+    back = {r["lid"]: r["asof_v"] for r in asof_join(left, right, **kw).collect()}
+    assert back == {0: None, 1: 100}
+    near = {r["lid"]: (r["asof_v"], r["asof_side"])
+            for r in asof_join_nearest(left, right, **kw).collect()}
+    assert near == {0: (None, None), 1: (100, "backward")}
 
 
 def test_lm_score_null_text_keeps_row(spark):
