@@ -16,7 +16,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkclif.streaming.source import stream_shuffle
+from sparkclif.streaming.source import run_append_stream
 
 DEDUP_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
@@ -46,11 +46,8 @@ def stream_dedup_events(
         out_dir = source_dir.rstrip("/") + "_dedup_out"
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # dedup already happened upstream in the stateful operator;
-        # the sink is a plain append of each batch's first-seen rows
-        batch_df.write.mode("append").parquet(out_dir)
-
+    # dedup already happens upstream in the stateful operator; the
+    # sink is a plain append of each batch's first-seen rows
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -59,8 +56,11 @@ def stream_dedup_events(
         .withWatermark("ts", watermark)
         .dropDuplicates(["event_id", "ts"])
     )
-    with stream_shuffle(spark):
-        q = stream.writeStream.foreachBatch(append_batch).outputMode("append").start()
-        q.processAllAvailable()
-        q.stop()
-    return spark.read.parquet(out_dir).select(*DEDUP_COLS)
+    out = run_append_stream(
+        spark,
+        stream,
+        out_dir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    return out.select(*DEDUP_COLS)

@@ -17,7 +17,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkclif.streaming.source import stream_shuffle
+from sparkclif.streaming.source import run_append_stream
 
 
 def stream_range_join_events(
@@ -54,7 +54,7 @@ def stream_range_join_events(
                 F.col("user_id").alias(f"{alias}_user"),
                 F.col("ts").alias(f"{alias}_ts"),
             )
-            .withWatermark(f"{alias}_ts", "1 hour")
+            .withWatermark(f"{alias}_ts", watermark)
         )
 
     left, right = one_side("a"), one_side("b")
@@ -70,11 +70,9 @@ def stream_range_join_events(
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
 
-    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
-    with stream_shuffle(spark):
-        q = joined.writeStream.foreachBatch(append_batch).outputMode("append").start()
-        q.processAllAvailable()
-        q.stop()
-    return spark.read.parquet(out_dir)
+    return run_append_stream(
+        spark,
+        joined,
+        out_dir,
+        "id_a long, id_b long, user_id long, gap_us long",
+    )

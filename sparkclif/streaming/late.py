@@ -31,8 +31,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkclif.io import has_data_files
-from sparkclif.streaming.source import stream_shuffle
+from sparkclif.streaming.source import run_append_stream
 
 
 def stream_window_counts(
@@ -50,9 +49,6 @@ def stream_window_counts(
         out_dir = source_dir.rstrip("/") + "_late_out"
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -66,15 +62,9 @@ def stream_window_counts(
             F.col("n").cast("long").alias("n"),
         )
     )
-    with stream_shuffle(spark):
-        q = stream.writeStream.foreachBatch(append_batch).outputMode("append").start()
-        q.processAllAvailable()
-        q.stop()
-    # If every window was still open at stream end, append-mode emits
-    # nothing and out_dir never materializes — return an empty frame
-    # with the contract schema instead of letting the read raise.
-    if not has_data_files(out_dir):
-        return spark.createDataFrame(
-            [], "window_start timestamp, event_type string, n long"
-        )
-    return spark.read.parquet(out_dir)
+    # run_append_stream handles the still-open-windows case (append
+    # mode emits nothing => empty frame with the contract schema).
+    return run_append_stream(
+        spark, stream, out_dir,
+        "window_start timestamp, event_type string, n long",
+    )

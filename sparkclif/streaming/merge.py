@@ -147,8 +147,12 @@ def stream_merge_bucketed(
     )
     with stream_shuffle(spark):
         q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # a failing merge must not leave a zombie StreamingQuery
+            # registered on the shared session
+            q.stop()
 
     if current["table"] is None:
         return pd.DataFrame(columns=STATE_COLS)

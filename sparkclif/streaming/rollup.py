@@ -20,8 +20,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkclif.io import has_data_files
-from sparkclif.streaming.source import stream_shuffle
+from sparkclif.streaming.source import run_append_stream
 
 
 def stream_ohlc_bars(
@@ -39,9 +38,6 @@ def stream_ohlc_bars(
     if out_dir is None:
         out_dir = source_dir.rstrip("/") + "_ohlc_out"
     shutil.rmtree(out_dir, ignore_errors=True)
-
-    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
 
     key = F.struct(F.col("ts"), F.col("event_id"))
     stream = (
@@ -67,14 +63,8 @@ def stream_ohlc_bars(
             "close",
         )
     )
-    with stream_shuffle(spark):
-        q = stream.writeStream.foreachBatch(append_batch).outputMode("append").start()
-        q.processAllAvailable()
-        q.stop()
-    if not has_data_files(out_dir):
-        return spark.createDataFrame(
-            [],
-            "window_start timestamp, event_type string, n long, "
-            "open double, high double, low double, close double",
-        )
-    return spark.read.parquet(out_dir)
+    return run_append_stream(
+        spark, stream, out_dir,
+        "window_start timestamp, event_type string, n long, "
+        "open double, high double, low double, close double",
+    )

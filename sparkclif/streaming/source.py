@@ -42,6 +42,45 @@ def stream_shuffle(spark, n: int = STREAM_SHUFFLE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def run_append_stream(spark, stream_df, out_dir: str, empty_schema: str):
+    """Run an append-mode stream to completion through a plain parquet
+    foreachBatch sink and read the accumulated output back — the ONE
+    implementation of the lifecycle four harnesses used to copy
+    (dedup/join/late/rollup), with the two guards that drifted apart
+    in the copies applied uniformly:
+
+    - q.stop() in a ``finally``: a failing batch (or an interrupted
+      processAllAvailable) must not leave a zombie StreamingQuery and
+      its state store registered on the shared session while
+      stream_shuffle has already restored shuffle.partitions;
+    - empty-output fallback: _SUCCESS markers are disabled session-
+      wide and Spark writes no part files for empty batches, so a
+      stream that never emits (zero matches, every window still open,
+      or an empty source that never triggers) leaves out_dir absent or
+      file-less — spark.read.parquet would raise PATH_NOT_FOUND /
+      UNABLE_TO_INFER_SCHEMA where the contract is an empty frame with
+      ``empty_schema``.
+    """
+    from sparkclif.io import has_data_files
+
+    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    with stream_shuffle(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(append_batch)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    if not os.path.exists(out_dir) or not has_data_files(out_dir):
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(out_dir)
+
+
 def write_time_chunks(
     df: DataFrame, src: str, n_chunks: int = 4, key: str | None = None,
     echo_rows: int = 0, displace_rows: int = 0,
@@ -80,13 +119,19 @@ def write_time_chunks(
     are all watermark-bounded readStream plans — run unchanged. See
     SCALE.md "streaming harness" row."""
     manifest = os.path.join(src, "_manifest.json")
+    # key=None disables reuse outright (every call rewrites): a
+    # row-count fallback identity would silently reuse STALE chunks
+    # whenever changed input kept the same cardinality (and paid a
+    # count() job to do it). Callers that want reuse pass a key that
+    # identifies immutable content (all registered queries pass the
+    # testdata path).
     want = {
-        "key": key or f"n_rows={df.count()}",
+        "key": key,
         "n_chunks": n_chunks,
         "echo_rows": echo_rows,
         "displace_rows": displace_rows,
     }
-    if os.path.exists(manifest):
+    if key is not None and os.path.exists(manifest):
         try:
             with open(manifest) as fh:
                 if json.load(fh) == want and all(

@@ -200,8 +200,12 @@ def stream_sessionize(spark, source_dir: str, schema):
 
     with stream_shuffle(spark):
         q = stream.writeStream.foreachBatch(sink).outputMode("update").start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # a failing sink must not leave a zombie StreamingQuery
+            # registered on the shared session
+            q.stop()
 
     if not snapshots:
         # zero micro-batches (empty/invisible source): empty session

@@ -26,6 +26,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+_DELAY_UNITS_S = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1,
+    "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _delay_us(watermark: str) -> int:
+    """Parse a Spark delay-threshold string ("1 hour", "1 day 6 hours",
+    "90 seconds") into microseconds — the same grammar withWatermark
+    accepts (repeated "<amount> <unit>" pairs, plural or singular), so
+    a delay Spark would take can never crash the horizon bookkeeping
+    here. Unknown units raise a ValueError naming the accepted set."""
+    toks = watermark.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"malformed delay threshold: {watermark!r}")
+    total_s = 0.0
+    for amount, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower().rstrip("s")
+        if u not in _DELAY_UNITS_S:
+            raise ValueError(
+                f"unknown delay unit {unit!r} in {watermark!r}; accepted: "
+                f"{sorted(_DELAY_UNITS_S)} (singular or plural)"
+            )
+        total_s += float(amount) * _DELAY_UNITS_S[u]
+    return int(total_s * 1_000_000)
+
+
 def last_wins(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
     """Deterministic keep-newest dedup (the MERGE-less upsert pattern,
     SURVEY.md §4.2): one row per key, max (order) wins."""
@@ -60,15 +87,7 @@ def stream_upsert_events(
     explicitly at the MERGE: rows older than (max event time of PRIOR
     batches - watermark) are dropped, matching Spark's one-batch-lag
     watermark semantics exactly (tests/test_streaming.py)."""
-    amount, unit = watermark.split()
-    delta_us = int(amount) * {
-        "second": 1,
-        "seconds": 1,
-        "minute": 60,
-        "minutes": 60,
-        "hour": 3600,
-        "hours": 3600,
-    }[unit] * 1_000_000
+    delta_us = _delay_us(watermark)
     if state_dir is None:
         state_dir = source_dir.rstrip("/") + "_state"
     horizon: dict[str, int | None] = {"max_us": None}
@@ -96,32 +115,41 @@ def stream_upsert_events(
                 F.col("__r.value").alias("value"),
             )
         )
-        # the only driver-bound bytes per batch: one max timestamp (the
-        # watermark bookkeeping a cluster keeps anyway). Dedup keeps
-        # each key's max ts, so this equals the raw batch max.
-        batch_max = deduped.agg(
-            F.max(F.unix_micros("ts")).alias("m")
-        ).first()["m"]
-        if batch_max is None:
-            return  # empty batch
-        cutoff = None if horizon["max_us"] is None else horizon["max_us"] - delta_us
-        horizon["max_us"] = (
-            batch_max if horizon["max_us"] is None else max(horizon["max_us"], batch_max)
-        )
-        valid = deduped
-        if cutoff is not None:
-            # beyond the horizon of PRIOR batches: dropped
-            valid = valid.filter(F.unix_micros("ts") >= cutoff)
-        prev = current["path"]
-        merged = valid
-        if prev is not None:
-            merged = spark.read.parquet(prev).unionByName(valid)
-        new_state = last_wins(merged, ["user_id", "event_type"], ["ts", "event_id"])
-        new_path = f"{state_dir}/v{epoch_id}"
-        new_state.write.mode("overwrite").parquet(new_path)
-        current["path"] = new_path
-        if prev is not None:
-            shutil.rmtree(prev, ignore_errors=True)
+        # deduped feeds TWO actions (the batch-max probe and the state
+        # write) — persisted so the per-batch aggregation runs once,
+        # not once per action, in the hot streaming loop
+        deduped = deduped.persist()
+        try:
+            # the only driver-bound bytes per batch: one max timestamp
+            # (the watermark bookkeeping a cluster keeps anyway). Dedup
+            # keeps each key's max ts, so this equals the raw batch max.
+            batch_max = deduped.agg(
+                F.max(F.unix_micros("ts")).alias("m")
+            ).first()["m"]
+            if batch_max is None:
+                return  # empty batch
+            cutoff = None if horizon["max_us"] is None else horizon["max_us"] - delta_us
+            horizon["max_us"] = (
+                batch_max if horizon["max_us"] is None else max(horizon["max_us"], batch_max)
+            )
+            valid = deduped
+            if cutoff is not None:
+                # beyond the horizon of PRIOR batches: dropped
+                valid = valid.filter(F.unix_micros("ts") >= cutoff)
+            prev = current["path"]
+            merged = valid
+            if prev is not None:
+                merged = spark.read.parquet(prev).unionByName(valid)
+            new_state = last_wins(
+                merged, ["user_id", "event_type"], ["ts", "event_id"]
+            )
+            new_path = f"{state_dir}/v{epoch_id}"
+            new_state.write.mode("overwrite").parquet(new_path)
+            current["path"] = new_path
+            if prev is not None:
+                shutil.rmtree(prev, ignore_errors=True)
+        finally:
+            deduped.unpersist()
 
     stream = (
         spark.readStream.schema(schema)
@@ -138,8 +166,12 @@ def stream_upsert_events(
 
     with stream_shuffle(spark):
         q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # a failing batch must not leave a zombie StreamingQuery
+            # registered on the shared session
+            q.stop()
 
     if current["path"] is None:
         return pd.DataFrame(
