@@ -113,7 +113,15 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     a, b = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
     if a != b:
-        diff_a = [r for r in a if r not in set(b)][:3]
-        diff_b = [r for r in b if r not in set(a)][:3]
+        # Counter (multiset) difference, sets hoisted ONCE: a plain
+        # set diff rebuilt per element was O(n*m) — a failing 100k-row
+        # parity looked hung for minutes before reporting — and lost
+        # multiplicity, so a duplicate-count-only mismatch (join
+        # fan-out, dropped dedup) printed two EMPTY example lists.
+        from collections import Counter
+
+        ca, cb = Counter(a), Counter(b)
+        diff_a = list((ca - cb).keys())[:3]
+        diff_b = list((cb - ca).keys())[:3]
         problems.append(f"values differ; spark-only={diff_a} oracle-only={diff_b}")
     return problems
