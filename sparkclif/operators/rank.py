@@ -129,6 +129,22 @@ def exact_percentiles(
     ``force`` ("array" | "kernel" | "window" | "bracket" |
     "distributed") pins a path for tests."""
     validate_force(force, {"array", "kernel", "window", "bracket", "distributed"})
+    # NaN -> NULL once, before any path: the five paths otherwise
+    # disagree on NaN (Spark ordering treats NaN as the LARGEST value
+    # in the array/window/distributed formulations, while the Arrow
+    # kernel's pandas dropna conflates NaN with NULL and drops it) —
+    # quantile semantics over NaN are undefined anyway, so "NaN is a
+    # missing measurement" is pinned as the contract for every path.
+    value_cols = sorted({v for v, _, _ in specs})
+    df = df.select(
+        F.col(group_col),
+        *[
+            F.when(F.isnan(F.col(v).cast("double")), F.lit(None))
+            .otherwise(F.col(v))
+            .alias(v)
+            for v in value_cols
+        ],
+    )
     if force is None:
         size = plan_size_bytes(df)
         if size <= SMALL_INPUT_BYTES:
@@ -330,6 +346,12 @@ def _bracket_percentiles(
                 row[f"__lo{k}"] = float(vals.quantile(max(0.0, q - eps), interpolation="lower"))
                 row[f"__hi{k}"] = float(vals.quantile(min(1.0, q + eps), interpolation="higher"))
         bracket_rows.append(row)
+    # pandas groupby drops NULL group keys (dropna default), so a
+    # sample whose every row has a NULL key leaves no bracket rows —
+    # fall back like the empty-sample case instead of letting
+    # createDataFrame choke on an empty frame
+    if not bracket_rows:
+        return _window_percentiles(df, group_col, specs, round_to)
     import pandas as pd
 
     bdf = spark.createDataFrame(pd.DataFrame(bracket_rows))
@@ -365,6 +387,14 @@ def _bracket_percentiles(
         out = {group_col: r[group_col]}
         for k, (_v, q, name) in enumerate(specs):
             n = int(r[f"__n{k}"])
+            if n == 0:
+                # all-NULL value group: the quantile is NULL (every
+                # other path's convention); without this the bracket
+                # check below can never pass (lo_rank = -1) and ONE
+                # such group used to silently re-run the whole
+                # mid-size input through the single-task window path
+                out[name] = None
+                continue
             pos = q * (n - 1)
             lo_rank, hi_rank = math.floor(pos), math.ceil(pos)
             lt, vals = int(r[f"__lt{k}"]), r[f"__in{k}"]

@@ -103,8 +103,16 @@ def pps_sample_topk(
         )
         + 1
     ).cast("double")
-    w = F.greatest(F.coalesce(F.col(weight_col), F.lit(1)), F.lit(1)).cast(
-        "double"
+    # Clamp ONLY degenerate weights (NULL / zero / negative -> 1, the
+    # documented contract): the old greatest(w, 1) also flattened every
+    # LEGITIMATE fractional weight in (0, 1) to 1, silently turning
+    # PPS into uniform sampling for sub-unit weights.
+    w = (
+        F.when(
+            F.col(weight_col).isNull() | (F.col(weight_col) <= 0), F.lit(1)
+        )
+        .otherwise(F.col(weight_col))
+        .cast("double")
     )
     pri = u / w
     return (
@@ -208,7 +216,10 @@ def pack_sequences(
     acc = 0
     for pid in sorted(pid_totals):
         offsets[pid] = acc
-        acc += int(pid_totals[pid])
+        # an all-NULL-count partition sums to NULL -> contributes 0
+        # (int(None) raised before; the window path already treated
+        # those rows as zero-width)
+        acc += int(pid_totals[pid] or 0)
     # empty input: an argless create_map() types as map<void,void>
     # and the [__pid] lookup fails analysis — zero is the identity
     # offset for the zero rows it would stamp
@@ -298,30 +309,40 @@ def grouped_rank(
     # caller's action must see the SAME layout.
     part = part.localCheckpoint(eager=True)
 
+    # The map probe key and the driver-built map keys must agree
+    # EXACTLY, so the group's string form comes from SPARK's cast in
+    # both places (collected back verbatim for the map entries) — a
+    # Python str(g) diverges from the Spark cast for booleans
+    # ('True' vs 'true'), timestamps, and decimals, and bare
+    # concat_ws SKIPS a NULL group key ('3' vs '3|None'), silently
+    # NULLing every rank of that group. NULL keys get an explicit
+    # sentinel no real cast string starts with.
+    gs = F.coalesce(
+        F.col(group_col).cast("string"), F.lit("\x00NULL")
+    )
     counts = (
-        part.groupBy("__pid", group_col).agg(F.count("*").alias("__c")).collect()
+        part.groupBy("__pid", gs.alias("__gs"))
+        .agg(F.count("*").alias("__c"))
+        .collect()
     )
     # Exclusive prefix within each group across pids (pid order IS the
     # group's order because partitioning is by (group, order)).
-    offsets: dict[tuple[int, object], int] = {}
-    acc_by_group: dict[object, int] = {}
-    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["__pid"])):
-        g = r[group_col]
+    offsets: dict[tuple[int, str], int] = {}
+    acc_by_group: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: (r["__gs"], r["__pid"])):
+        g = r["__gs"]
         offsets[(r["__pid"], g)] = acc_by_group.get(g, 0)
         acc_by_group[g] = acc_by_group.get(g, 0) + int(r["__c"])
 
-    key = F.concat_ws("|", F.col("__pid").cast("string"), F.col(group_col).cast("string"))
+    key = F.concat_ws("|", F.col("__pid").cast("string"), gs)
     # empty input: an argless create_map() types as map<void,void>
     # and the [key] lookup fails analysis — zero offset for zero rows
     offset_of_key = (
         F.create_map(
             *[
                 c
-                for (pid, g), off in sorted(offsets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))
-                for c in (
-                    F.concat_ws("|", F.lit(str(pid)), F.lit(str(g))),
-                    F.lit(off),
-                )
+                for (pid, g), off in sorted(offsets.items())
+                for c in (F.lit(f"{pid}|{g}"), F.lit(off))
             ]
         )[key]
         if offsets

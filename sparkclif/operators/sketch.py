@@ -95,6 +95,24 @@ def _hll_rho(v: Column, bits: int) -> Column:
 HLL_SUFFIX_BITS = 24
 HLL_ALPHA_64 = 0.709  # Flajolet et al. 2007, m = 64
 
+# Flajolet et al. 2007 bias-correction constants per register count.
+# Register selection slices the digest's FIRST 8 BITS (uniform only
+# when 2^p divides 256), so p is bounded to [4, 8] — enforced, because
+# p > 8 would leave registers >= 256 permanently zero and silently
+# halve (or worse) every estimate.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: HLL_ALPHA_64,
+              128: 0.7213 / (1 + 1.079 / 128),
+              256: 0.7213 / (1 + 1.079 / 256)}
+
+
+def _hll_check_p(p: int) -> int:
+    if not 4 <= p <= 8:
+        raise ValueError(
+            f"p must be in [4, 8] (register index uses the digest's first "
+            f"8 bits; alpha constants cover m = 16..256), got {p}"
+        )
+    return 1 << p
+
 
 def hll_sketch(
     items: DataFrame,
@@ -106,7 +124,7 @@ def hll_sketch(
     Build = scan-side hash split + ONE max() aggregation over a
     2^p key space (map-side combined; the combine IS the HLL merge).
     """
-    m = 1 << p
+    m = _hll_check_p(p)
     h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
     # first 8 bits pick the register (256 % 64 == 0 -> uniform);
     # the next 24 bits feed rho. NOTE: slice the digest string
@@ -135,7 +153,7 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     (Raw estimate only: the small-range linear-counting correction is
     a driver-side branch in practice and is deliberately not applied,
     so the oracle states one formula.)"""
-    m = 1 << p
+    m = _hll_check_p(p)
     s = registers.agg(
         F.sum(
             # shiftleft() via expr: the DataFrame helper only accepts a
@@ -146,7 +164,9 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
         .alias("harm_sum_e25")
     )
     est = (
-        F.lit(float(HLL_ALPHA_64))
+        # alpha tracks m (the old code pinned the m=64 constant for
+        # every p — a systematic ~1-5% bias at any other p)
+        F.lit(float(_HLL_ALPHA[m]))
         * F.lit(float(m * m))
         * F.lit(float(1 << (HLL_SUFFIX_BITS + 1)))
         / F.col("harm_sum_e25").cast("double")
@@ -212,6 +232,13 @@ def bloom_filter(
     shape — dropDuplicates then sum — produced the identical state
     through two exchanges; bit_or deletes one.)
     """
+    if m_bits <= 0 or m_bits % 32:
+        # a ragged tail word would be silently DROPPED by the dense
+        # word join below (bits >= 32*(m_bits//32) vanish), and a
+        # probe recomputing m_bits from the word count would hash to
+        # different positions than the build — false negatives, the
+        # one thing a Bloom filter must never produce
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
     n_words = m_bits // 32
     bits = F.array(*[_bloom_bit(F.col(col), j, m_bits, fast) for j in range(k)])
     wb = items.select(F.explode(bits).alias("bit")).select(

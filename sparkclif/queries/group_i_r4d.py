@@ -86,7 +86,8 @@ def i_tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_chars AS BIGINT) AS weight,
                (('0x' || substr(md5('pps|' || doc_id::VARCHAR), 18, 7))::UBIGINT
                    + 1)::DOUBLE
-                   / greatest(coalesce(n_chars, 1), 1)::DOUBLE AS pri
+                   / (CASE WHEN n_chars IS NULL OR n_chars <= 0
+                           THEN 1 ELSE n_chars END)::DOUBLE AS pri
         FROM documents
         -- mirrors the operator's explicit NULL-key exclusion (a NULL
         -- priority would otherwise rank by engine default NULL order)

@@ -175,3 +175,108 @@ def test_asof_equal_time_right_applies_only_if_seq_strictly_smaller(spark):
     assert out[(100, 2)] is None, "right at same (t, seq) must not apply"
     assert out[(100, 5)] == "seq2", "only the strictly-preceding right applies"
     assert out[(200, 9)] == "mid"
+
+
+def test_grouped_rank_paths_agree_on_null_and_bool_keys(spark):
+    """The distributed path's offset-map probe must agree with the
+    window path for NULL and boolean group keys (a bare concat_ws
+    SKIPPED the NULL key and Python str(True) != Spark cast 'true' —
+    every rank of such groups came back NULL on one path only)."""
+    from pyspark.sql import functions as F
+
+    from sparkclif.operators.sampling import grouped_rank
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (True, 3), (True, 4), (False, 5)],
+        "g boolean, o long",
+    )
+    win = {(r["g"], r["o"]): r["rk"]
+           for r in grouped_rank(df, "g", "o", "rk", force="window").collect()}
+    dist = {(r["g"], r["o"]): r["rk"]
+            for r in grouped_rank(df, "g", "o", "rk", force="distributed").collect()}
+    assert win == dist
+    assert None not in win.values()
+
+
+def test_pps_fractional_weights_not_flattened(spark):
+    """Sub-unit weights are legitimate PPS weights: only NULL/zero/
+    negative clamp to 1 (the old greatest(w,1) silently made every
+    w in (0,1) uniform)."""
+    from sparkclif.operators.sampling import pps_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.5), (3, None), (4, -2.0)],
+        "k long, w double",
+    )
+    out = {r["k"]: r["priority"]
+           for r in pps_sample_topk(df, "k", "w", k=4).collect()}
+    # fractional weight doubles the priority vs the clamped-to-1 rows'
+    # u; recompute u per key to assert the exact division
+    import hashlib
+
+    for k in (1, 2):
+        u = int(hashlib.md5(f"pps|{k}".encode()).hexdigest()[17:24], 16) + 1
+        assert out[k] == round(u / 0.5, 4)
+    for k in (3, 4):
+        u = int(hashlib.md5(f"pps|{k}".encode()).hexdigest()[17:24], 16) + 1
+        assert out[k] == round(u / 1.0, 4)
+
+
+def test_percentile_paths_agree_on_nan_values(spark):
+    """NaN values normalize to NULL before dispatch, so every path
+    returns the same quantile (Spark ordering previously kept NaN as
+    the LARGEST value on the JVM paths while the Arrow kernel's
+    dropna discarded it)."""
+    from sparkclif.operators.rank import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", float("nan")), ("a", 3.0)],
+        "g string, v double",
+    )
+    specs = [("v", 0.5, "p50")]
+    got = {
+        f: exact_percentiles(df, "g", specs, force=f).collect()[0]["p50"]
+        for f in ("array", "kernel", "window", "bracket", "distributed")
+    }
+    assert set(got.values()) == {2.0}, got
+
+
+def test_bracket_percentiles_all_null_group_yields_null(spark):
+    """A group whose value column is entirely NULL gets a NULL
+    quantile on the bracket path (previously its impossible bracket
+    check silently re-ran the whole input through the single-task
+    window path)."""
+    from sparkclif.operators.rank import exact_percentiles
+
+    rows = [("a", float(i)) for i in range(2000)] + [("b", None)] * 50
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r["p50"] for r in
+           exact_percentiles(df, "g", [("v", 0.5, "p50")],
+                             force="bracket").collect()}
+    assert out["b"] is None and out["a"] == 999.5
+
+
+def test_sketch_parameter_validation():
+    """Degenerate sketch parameters raise instead of silently
+    corrupting: HLL p outside [4,8] (register index only has 8 digest
+    bits), bloom m_bits not a multiple of 32 (ragged tail word would
+    be dropped => false negatives)."""
+    import pytest
+
+    from sparkclif.operators.sketch import _hll_check_p
+
+    assert _hll_check_p(6) == 64
+    with pytest.raises(ValueError, match="p must be"):
+        _hll_check_p(9)
+    with pytest.raises(ValueError, match="p must be"):
+        _hll_check_p(3)
+
+
+def test_bloom_m_bits_must_be_word_aligned(spark):
+    import pytest
+
+    from sparkclif.operators.sketch import bloom_filter
+
+    df = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_filter(df, m_bits=500)
