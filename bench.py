@@ -132,6 +132,7 @@ def main() -> None:
     # metrics with no trace.
     duck: dict[str, float] = {}
     baseline_error = None
+    con = None
     try:
         import duckdb
 
@@ -158,10 +159,15 @@ def main() -> None:
                     continue
                 if name not in duck or t < duck[name]:
                     duck[name] = t
-        con.close()
     except Exception as e:  # recorded, never silently dropped
         baseline_error = f"{type(e).__name__}: {e}"[:300]
         print(f"baseline error: {baseline_error}", file=sys.stderr)
+    finally:
+        # ADVICE r8: close on the failure path too — a mid-loop oracle
+        # error used to leak the connection (and its views) for the
+        # rest of the bench run.
+        if con is not None:
+            con.close()
 
     total = round(sum(timings.values()), 4)
     # self-report the BASELINE.md bench gate (spark <= 2x duckdb per

@@ -144,17 +144,34 @@ def dedup_url(
     u = df.withColumn("canon_url", canonical_url(url_col))
     # NULL canon => per-row sentinel key => singleton group. The
     # sentinel never collides with a real canonical (those start with
-    # a scheme, never "\x00").
+    # a scheme, never "\x00"). ADVICE r8: a NULL id would make the
+    # concat NULL and collapse every (NULL id, unparseable URL) row
+    # into ONE NULL group — coalesce to a per-row physical id so the
+    # singleton guarantee holds even for NULL ids (the fallback never
+    # leaves this grouping key; results for non-NULL ids are
+    # untouched).
     grp = F.coalesce(
         F.col("canon_url"),
-        F.concat(F.lit("\x00uncanonical|"), F.col(id_col).cast("string")),
+        F.concat(
+            F.lit("\x00uncanonical|"),
+            F.coalesce(
+                F.col(id_col).cast("string"),
+                F.concat(F.lit("\x00row"),
+                         F.monotonically_increasing_id().cast("string")),
+            ),
+        ),
     )
     w = Window.partitionBy(grp)
     return u.select(
         "*",
         F.count("*").over(w).cast("long").alias("group_size"),
         F.min(id_col).over(w).alias("keeper_id"),
-        (F.col(id_col) == F.min(id_col).over(w)).cast("long").alias("kept"),
+        # a NULL-id singleton is its own keeper: NULL == NULL would
+        # yield NULL, not 1 — a singleton is kept by definition.
+        F.coalesce(
+            (F.col(id_col) == F.min(id_col).over(w)),
+            F.count("*").over(w) == 1,
+        ).cast("long").alias("kept"),
     )
 
 

@@ -430,7 +430,8 @@ def i_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + (CASE WHEN greatest(0::BIGINT, (acc // 281474976710656) + e - 6000) > 20000
                              OR greatest(0::BIGINT, ((acc // 8589934592) % 32768) + 4000 - e) > 20000
                            THEN 1::BIGINT ELSE 0::BIGINT END)
-               ) AS f
+               ) AS f,
+               max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q_max
         FROM events
         WHERE value IS NOT NULL AND ts IS NOT NULL
         GROUP BY user_id
@@ -441,6 +442,15 @@ def i_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
            (f // 4096) % 2097152 AS max_pos,
            f % 4096 AS n_alarms
     FROM folded
+    -- ADVICE r8: the bit-pack bounds (al:12 bits, mx:21 bits) would
+    -- silently corrupt adjacent fields past them; fail LOUDLY instead
+    -- of as an opaque parity diff (the engine-side fold is exact
+    -- regardless -- only this oracle packs).
+    WHERE CASE WHEN n_events >= 4096 OR q_max > 2083151
+               THEN error('e_win_cusum oracle: bit-pack bounds exceeded '
+                          || '(n_events >= 4096 or quantized value > 2083151); '
+                          || 'the packed-BIGINT fold is only valid under them')
+               ELSE TRUE END
     """,
 )
 def e_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:

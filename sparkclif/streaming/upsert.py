@@ -43,7 +43,9 @@ def _delay_us(watermark: str) -> int:
         raise ValueError(f"malformed delay threshold: {watermark!r}")
     total_s = 0.0
     for amount, unit in zip(toks[::2], toks[1::2]):
-        u = unit.lower().rstrip("s")
+        # removesuffix, not rstrip: strip at most ONE plural 's' so
+        # junk like "hourss" fails loudly instead of parsing (ADVICE r8)
+        u = unit.lower().removesuffix("s")
         if u not in _DELAY_UNITS_S:
             raise ValueError(
                 f"unknown delay unit {unit!r} in {watermark!r}; accepted: "
