@@ -441,11 +441,27 @@ def bpe_pair_counts(
     deterministic. Single-symbol words contribute no pairs; a pair
     repeated inside one word counts once per position per occurrence.
     """
-    wf = (
+    wf = word_freqs(docs, text_col)
+    return pair_counts_from_vocab(wf, top_k)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, wc) vocabulary table, one fully map-side-
+    combined aggregation — the stage-1 collapse every tokenizer plan
+    here starts from (a trillion-token corpus becomes a few-million-
+    row relation)."""
+    return (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
     )
+
+
+def pair_counts_from_vocab(wf: DataFrame, top_k: int = 20) -> DataFrame:
+    """Adjacent-char pair counts weighted by word frequency over an
+    existing (word, wc) vocabulary — the merge-selection stage split
+    out so a caller that already built the vocabulary (bpe_encode)
+    shares one corpus scan with it."""
     # adjacent (char i, char i+1) pairs; sequence() must be guarded —
     # sequence(1, 0) steps DOWNWARD in Spark, it is not empty
     pairs = F.when(
@@ -470,6 +486,103 @@ def bpe_pair_counts(
     # the single-task window below only ever sees top_k rows
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )
+
+
+# Symbol separator for the packed-string BPE fold. A control char no
+# whitespace tokenizer emits (regex \s does NOT match \x1f, but the
+# corpus contract is printable text — tokens can never contain it), so
+# symbol boundaries survive arbitrary token content.
+BPE_SEP = "\x1f"
+
+
+def _bpe_merge_pass(packed: Column, left: Column, right: Column) -> Column:
+    """ONE left-to-right greedy merge pass of (left, right) -> the
+    concatenated symbol, over a BPE_SEP-packed symbol string. The fold
+    appends symbols one at a time; when the incoming symbol equals
+    ``right`` and the accumulator's LAST symbol is exactly ``left``,
+    it appends WITHOUT a separator — which is precisely the merge
+    (the trailing symbol becomes left||right). Greedy-non-overlapping
+    falls out ('aaa' under (a,a) -> [aa, a], the merged symbol never
+    re-matches as its own left within the same pass). A NULL merge
+    (fewer learned merges than passes) is a no-op: every comparison
+    is NULL, every branch falls through to plain append — identically
+    in the DuckDB restatement's CASE. Packed strings, not arrays,
+    because DuckDB's list_reduce needs a type-homogeneous fold; the
+    Spark side mirrors the representation so both engines run the
+    character-identical recurrence."""
+    return F.aggregate(
+        F.split(packed, BPE_SEP),
+        F.lit(""),
+        lambda acc, s: F.when(acc == "", s)
+        .when(
+            (s == right)
+            & ((acc == left) | acc.endswith(F.concat(F.lit(BPE_SEP), left))),
+            F.concat(acc, s),
+        )
+        .otherwise(F.concat(acc, F.lit(BPE_SEP), s)),
+    )
+
+
+def bpe_encode_rollup(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned BPE merge table — the encode step that
+    completes the tokenizer story bpe_pair_counts (merge selection)
+    begins: every vocabulary word is segmented to characters, the
+    top-``n_merges`` corpus pair-merges are applied in rank order
+    (each one greedy left-to-right pass — the fixed-merge-table
+    simplification of Sennrich et al. 2016's iterative re-count), and
+    the encoded vocabulary rolls up per word length:
+    ``(word_len, n_words, total_wc, total_tokens_wc, avg_tokens,
+    example_word, example_enc)`` — corpus-weighted token counts a
+    tokenizer owner reads as the compression curve.
+
+    Scale shape: ONE corpus scan builds the (word, wc) vocabulary
+    (map-side combined), localCheckpointed because BOTH the merge
+    table and the encode read it — without the checkpoint each branch
+    would re-scan the corpus. The merge table collapses to ONE row
+    (max-CASE pivot of the top-k pairs) and broadcast-joins back over
+    the vocabulary; all encode work is vocabulary-sized
+    (corpus-size-independent) and the n_merges nested folds run in
+    whole-stage codegen — no Python, no explode of the corpus. The
+    final rollup keys on word length (bounded by max word length).
+    """
+    wf = word_freqs(docs, text_col).localCheckpoint(eager=False)
+    ranked = pair_counts_from_vocab(wf, top_k=n_merges)
+    mrow = ranked.agg(
+        *[
+            agg
+            for i in range(1, n_merges + 1)
+            for agg in (
+                F.max(F.when(F.col("rank") == i, F.col("left_sym"))).alias(f"l{i}"),
+                F.max(F.when(F.col("rank") == i, F.col("right_sym"))).alias(f"r{i}"),
+            )
+        ]
+    )
+    joined = wf.crossJoin(F.broadcast(mrow))
+    packed = F.array_join(F.split(F.col("word"), ""), BPE_SEP)
+    for i in range(1, n_merges + 1):
+        packed = _bpe_merge_pass(packed, F.col(f"l{i}"), F.col(f"r{i}"))
+    enc = joined.select(
+        F.length("word").cast("int").alias("word_len"),
+        F.col("word"),
+        F.col("wc"),
+        packed.alias("packed"),
+    ).withColumn("n_tokens", F.size(F.split(F.col("packed"), BPE_SEP)))
+    return enc.groupBy("word_len").agg(
+        F.count("*").alias("n_words"),
+        F.sum("wc").cast("long").alias("total_wc"),
+        F.sum(F.col("wc") * F.col("n_tokens")).cast("long").alias("total_tokens_wc"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count("*"), 4
+        ).alias("avg_tokens"),
+        F.min("word").alias("example_word"),
+        F.min_by(
+            F.replace(F.col("packed"), F.lit(BPE_SEP), F.lit("+")), F.col("word")
+        ).alias("example_enc"),
     )
 
 

@@ -116,6 +116,34 @@ def canonical_url(url) -> "F.Column":
     )
 
 
+def registrable_domain(host) -> "F.Column":
+    """eTLD+1 of an (already lowercased, port-free) hostname — the
+    rollup key of every crawl-side corpus census (per-domain quotas,
+    robots policy, source weighting group by THIS, never by raw host:
+    cdn1.example.com and www.example.com are one publisher). Public-
+    suffix heuristic, stated exactly so the SQL restatement can agree:
+    the last TWO labels, or the last THREE when the second-to-last
+    label is a multi-label-suffix second level (``co``/``ac``/``gov``,
+    the common ccTLD pattern — example.co.uk); a host with fewer than
+    two labels is returned unchanged. A full implementation swaps this
+    CASE for a broadcast join against the public-suffix list — same
+    plan shape, the heuristic keeps the operator dependency-free.
+    Pure scan-side expression (split + slice), whole-stage codegen.
+    """
+    host = F.col(host) if isinstance(host, str) else host
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second_last = F.element_at(labels, -2)
+    return (
+        F.when(n < 2, host)
+        .when(
+            (n >= 3) & second_last.isin("co", "ac", "gov"),
+            F.concat_ws(".", F.slice(labels, -3, 3)),
+        )
+        .otherwise(F.concat_ws(".", F.slice(labels, -2, 2)))
+    )
+
+
 def dedup_url(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

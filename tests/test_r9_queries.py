@@ -1,0 +1,172 @@
+"""Crafted-input tests for round 9's growth operators: the BPE merge
+pass (greedy non-overlap, merge ordering, merged-symbol re-matching in
+LATER passes, NULL-merge no-op), the registrable-domain public-suffix
+rule (label counts, multi-label suffixes, degenerate hosts), and the
+quality classifier's exact-integer contract (empty/NULL docs, weight
+law pinned to hashlib, keep/drop boundary)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sparkclif.operators.corpus import BPE_SEP, _bpe_merge_pass
+
+
+def _encode(spark, words, merges):
+    """Apply `merges` (list of (l, r)) in order to each word; return
+    {word: [tokens]}."""
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    packed = F.array_join(F.split("word", ""), BPE_SEP)
+    for l, r in merges:
+        packed = _bpe_merge_pass(
+            packed,
+            F.lit(l).cast("string") if l is not None else F.lit(None).cast("string"),
+            F.lit(r).cast("string") if r is not None else F.lit(None).cast("string"),
+        )
+    out = df.select("word", F.split(packed, BPE_SEP).alias("toks")).collect()
+    return {r["word"]: r["toks"] for r in out}
+
+
+def test_bpe_merge_pass_greedy_non_overlapping(spark):
+    enc = _encode(spark, ["banana", "aaa", "b", "nan"], [("a", "n")])
+    assert enc["banana"] == ["b", "an", "an", "a"]
+    # greedy left-to-right: 'aaa' under (a,n) untouched
+    assert enc["aaa"] == ["a", "a", "a"]
+    assert enc["b"] == ["b"]
+    assert enc["nan"] == ["n", "an"]
+
+
+def test_bpe_merge_pass_overlap_is_left_greedy(spark):
+    # 'aaa' under (a,a): positions 1 and 2 overlap; greedy takes 1
+    enc = _encode(spark, ["aaa", "aaaa"], [("a", "a")])
+    assert enc["aaa"] == ["aa", "a"]
+    assert enc["aaaa"] == ["aa", "aa"]
+
+
+def test_bpe_later_merge_sees_earlier_symbol(spark):
+    # pass 1 makes 'an'; pass 2 merges the two 'an' symbols
+    enc = _encode(spark, ["banana"], [("a", "n"), ("an", "an")])
+    assert enc["banana"] == ["b", "anan", "a"]
+    # and a merged symbol never re-matches its own left in one pass:
+    # (a,a) on 'aaaa' -> [aa,aa], the new 'aa' does not re-pair; the
+    # LATER (aa,a) pass then merges the trailing [aa, a] of 'aaaaa'
+    enc2 = _encode(spark, ["aaaa", "aaaaa"], [("a", "a"), ("aa", "a")])
+    assert enc2["aaaa"] == ["aa", "aa"]
+    assert enc2["aaaaa"] == ["aa", "aaa"]
+
+
+def test_bpe_null_merge_is_noop(spark):
+    enc = _encode(spark, ["banana"], [("a", "n"), (None, None)])
+    assert enc["banana"] == ["b", "an", "an", "a"]
+
+
+def test_registrable_domain_rules(spark):
+    from sparkclif.operators.dedup import registrable_domain
+
+    hosts = [
+        "docs.example.com",
+        "www.example.com",
+        "example.com",
+        "api.site.co.uk",
+        "cdn1.site.gov.uk",
+        "deep.sub.host.ac.jp",
+        "co.uk",          # exactly 2 labels: last-2 rule, never last-3
+        "localhost",      # 1 label: unchanged
+        "a.b.c.d.e",      # plain deep host: last 2
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    out = {
+        r["host"]: r["d"]
+        for r in df.select("host", registrable_domain("host").alias("d")).collect()
+    }
+    assert out["docs.example.com"] == "example.com"
+    assert out["www.example.com"] == "example.com"
+    assert out["example.com"] == "example.com"
+    assert out["api.site.co.uk"] == "site.co.uk"
+    assert out["cdn1.site.gov.uk"] == "site.gov.uk"
+    assert out["deep.sub.host.ac.jp"] == "host.ac.jp"
+    assert out["co.uk"] == "co.uk"
+    assert out["localhost"] == "localhost"
+    assert out["a.b.c.d.e"] == "d.e"
+
+
+def test_quality_classifier_weight_law_pinned_to_hashlib(spark, sf_dir):
+    """Recompute one doc's score with hashlib + pure Python and pin
+    the engine to it — the md5-bits basis contract."""
+    from sparkclif.queries.group_r9 import i_quality_classifier
+    from sparkclif.io import table
+
+    out = {
+        r["doc_id"]: r
+        for r in i_quality_classifier(spark, sf_dir).collect()
+    }
+    doc = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    toks = [t for t in doc.split() if t]
+    score = 0
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[24:32], 16) % 64
+        score += (b * 2654435761) % 2001 - 1000
+    row = out[0]
+    assert row["n_tokens"] == len(toks)
+    assert row["score_int"] == score
+    assert row["label"] == ("keep" if score > 0 else "drop")
+    assert row["score"] == score / (1000.0 * max(len(toks), 1))
+
+
+def test_quality_classifier_empty_and_null_docs(spark):
+    from sparkclif.operators.hashing import md5_bits
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != ""
+    )
+    score_int = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc
+        + (
+            (F.pmod(md5_bits(tok, 25, 8), F.lit(64)) * F.lit(2654435761))
+            % F.lit(2001)
+            - F.lit(1000)
+        ),
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["s"])
+        for r in df.select(
+            "doc_id", F.size(toks).alias("n"), score_int.alias("s")
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4][0] == 1
+
+
+def test_bpe_encode_rollup_token_accounting(spark):
+    """Tiny corpus with a known merge outcome: total_tokens_wc must
+    equal the hand-computed corpus token count after the top merges."""
+    from sparkclif.operators.corpus import bpe_encode_rollup
+
+    # 'aa' x3, 'ab' x1 -> pair counts: (a,a)=3, (a,b)=1 -> both merge
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aa",)], "doc_id long, text string"
+    )
+    out = {r["word_len"]: r for r in bpe_encode_rollup(docs, n_merges=2).collect()}
+    row = out[2]
+    # vocab at len 2: 'aa' (wc 3) -> ['aa'], 'ab' (wc 1) -> ['ab']
+    assert row["n_words"] == 2
+    assert row["total_wc"] == 4
+    assert row["total_tokens_wc"] == 4  # every word one token after merges
+    assert row["avg_tokens"] == 1.0
+    assert row["example_word"] == "aa"
+    assert row["example_enc"] == "aa"
