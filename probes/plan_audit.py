@@ -1,7 +1,14 @@
 """Plan-quality audit — regenerates PLANS.json: per-query physical-
-plan metrics for every PURE query (cache_plan=True; impure builders —
-sinks, streaming harnesses, iterative collects — build plans at run
-time and are recorded as skipped).
+plan metrics for every query. PURE queries (cache_plan=True) are
+audited statically (plan built, never executed). IMPURE builders —
+sinks, streaming harnesses, iterative/materializing kernels — build
+plans at run time, so they are EXECUTED (noop sink) and the final
+adaptive plan is captured post-run (VERDICT r8 item 4: the audit net
+previously had a hole exactly where plans are most complex). Their
+rows carry ``"runtime": true``; note a runtime row covers the
+RETURNED DataFrame's plan — for a streaming harness that is the
+read-back batch plan, not the micro-batch plans inside the stream
+(those are covered by the per-query plan assertions in tests/).
 
 Metrics: exchange count, Python row-eval presence (must be false off
 the J-group UDF surface), Arrow/pandas kernels, nested-loop/cartesian
@@ -39,9 +46,12 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name, spec in sorted(all_queries().items()):
         if not spec.cache_plan:
-            out[name] = {
-                "skipped": "impure build (sink/stream/iterative) — plan built at run time"
-            }
+            # impure build: execute, then audit the FINAL adaptive plan
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            row = plan_metrics(formatted_plan(df))
+            row["runtime"] = True
+            out[name] = row
             continue
         out[name] = plan_metrics(formatted_plan(spec.fn(spark, sf_dir)))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -52,6 +62,7 @@ def main() -> None:
         json.dumps(
             {
                 "audited": len(audited),
+                "runtime_audited": len([v for v in out.values() if v.get("runtime")]),
                 "skipped": len(out) - len(audited),
                 "python_eval": [k for k, v in out.items() if v.get("python_eval")],
                 "cartesian": [k for k, v in out.items() if v.get("cartesian")],
