@@ -257,7 +257,7 @@ def i_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH u AS (
         SELECT doc_id, lang, n_chars,
-               CASE doc_id % 4
+               CASE (doc_id // 20) % 4
                  WHEN 0 THEN 'https://docs.' || source || '.com/p/'
                       || CAST(doc_id % 50 AS VARCHAR)
                  WHEN 1 THEN 'https://WWW.' || upper(source) || '.COM:443/p/'
@@ -318,7 +318,13 @@ def i_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     but partial aggregation collapses each to (domain, value)
     cardinality before the shuffle (the hash_features argument)."""
     docs = table(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 4
+    # variant from doc_id DIV 20, never doc_id % 4: the testbed's
+    # source cycles with doc_id % 20, and a mod-4 variant would be
+    # CONSTANT per source — every domain would see exactly one host
+    # and the subdomain-collapse rule would never fire (the
+    # correlated-modulus trap i_dedup_url's synthesis documents; the
+    # round-9 scale probe caught this as n_hosts=1 on every row)
+    m = F.expr("doc_id div 20") % 4
     p = F.concat(F.lit("/p/"), (F.col("doc_id") % 50).cast("string"))
     url = (
         F.when(m == 0, F.concat(F.lit("https://docs."), F.col("source"), F.lit(".com"), p))
