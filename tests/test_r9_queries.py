@@ -192,3 +192,73 @@ def test_weighted_median_paths_identical_and_array_single_exchange(
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------- property
+
+
+def _py_merge_pass(syms, l, r):
+    """Python model of one greedy left-to-right merge pass."""
+    if l is None or r is None:
+        return list(syms)
+    out = []
+    for s in syms:
+        if s == r and out and out[-1] == l:
+            out[-1] = out[-1] + s
+        else:
+            out.append(s)
+    return out
+
+
+def test_bpe_merge_pass_matches_python_model(spark):
+    """Randomized words/merges vs the pure-Python fold model — the
+    packed-string representation must be invisible."""
+    import itertools
+    import random
+
+    rng = random.Random(909)
+    alphabet = "ab"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    pairs = ["".join(p) for p in itertools.product("ab", repeat=2)]
+    merges = []
+    for _ in range(4):
+        merges.append((rng.choice(pairs + list("ab")), rng.choice(list("ab"))))
+    got = _encode(spark, sorted(set(words)), merges)
+    for w in sorted(set(words)):
+        syms = list(w)
+        for l, r in merges:
+            syms = _py_merge_pass(syms, l, r)
+        assert got[w] == syms, (w, merges)
+
+
+def test_registrable_domain_matches_python_model(spark):
+    import random
+
+    from sparkclif.operators.dedup import registrable_domain
+
+    def py_model(host):
+        labels = host.split(".")
+        if len(labels) < 2:
+            return host
+        if len(labels) >= 3 and labels[-2] in ("co", "ac", "gov"):
+            return ".".join(labels[-3:])
+        return ".".join(labels[-2:])
+
+    rng = random.Random(1717)
+    parts = ["www", "api", "cdn1", "x", "site", "co", "ac", "gov", "com", "uk", "jp"]
+    hosts = sorted(
+        {
+            ".".join(rng.choice(parts) for _ in range(rng.randint(1, 5)))
+            for _ in range(60)
+        }
+    )
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = {
+        r["host"]: r["d"]
+        for r in df.select("host", registrable_domain("host").alias("d")).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_model(h), h
