@@ -46,11 +46,24 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name, spec in sorted(all_queries().items()):
         if not spec.cache_plan:
-            # impure build: execute, then audit the FINAL adaptive plan
+            # impure build: execute, then audit the FINAL adaptive plan.
+            # The action must drive THIS DataFrame's own QueryExecution
+            # — a noop write (or .count()) plans a SEPARATE execution
+            # and leaves df's plan isFinalPlan=false, i.e. the static
+            # upper bound mislabeled as post-AQE (caught by review:
+            # collect() flips isFinalPlan=true, a sink write does not).
+            # Audit runs at sf0.01 where every result is driver-sized.
             df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            row = plan_metrics(formatted_plan(df))
+            df.collect()
+            plan = formatted_plan(df)
+            row = plan_metrics(plan)
             row["runtime"] = True
+            # a plan with no AdaptiveSparkPlan node (single-stage /
+            # no-exchange reads, e.g. the streaming harnesses' output
+            # read-back) has nothing for AQE to finalize — it IS final
+            row["final_plan"] = (
+                "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan
+            )
             out[name] = row
             continue
         out[name] = plan_metrics(formatted_plan(spec.fn(spark, sf_dir)))

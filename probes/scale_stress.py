@@ -703,72 +703,31 @@ def main() -> None:
     # quality classifier at kx docs: ZERO-exchange map-only fold —
     # wall must track the scan linearly (the 100 TB filter contract:
     # one pass, no network)
-    from sparkclif.queries.group_r9 import i_quality_classifier  # noqa: F401
+    from sparkclif.operators.corpus import bpe_encode_rollup
+    from sparkclif.queries.group_r9 import (
+        domain_stats_plan,
+        quality_classifier_plan,
+    )
 
-    qfn = _aq()["i_quality_classifier"].fn
-    dfn = _aq()["i_domain_stats"].fn
     docs_k_path = f"{scratch}/documents_x{k}.parquet"
     docs_k = (
         spark.read.parquet(docs_k_path)
         if os.path.exists(docs_k_path)
         else spark.read.parquet(replicate("documents", "doc_id", k))
     )
-    from sparkclif.operators.corpus import bpe_encode_rollup
-    from sparkclif.operators.text import tokens as _toks
-    from sparkclif.operators.hashing import md5_bits as _md5b
+    docs_1x = table(spark, sf_dir, "documents")
 
-    def classifier_plan(docs):
-        t = F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
-            lambda x: x != "",
-        )
-        d = docs.select("doc_id", t.alias("toks"))
-        s = F.aggregate(
-            F.col("toks"),
-            F.lit(0).cast("long"),
-            lambda acc, tok: acc
-            + (
-                (F.pmod(_md5b(tok, 25, 8), F.lit(64)) * F.lit(2654435761))
-                % F.lit(2001)
-                - F.lit(1000)
-            ),
-        )
-        return d.select("doc_id", F.size("toks").alias("n"), s.alias("s"))
-
-    timed("quality_classifier_1x", lambda: force_all(qfn(spark, sf_dir)))
+    timed("quality_classifier_1x", lambda: force_all(quality_classifier_plan(docs_1x)))
     timed(
         f"quality_classifier_{k}x_docs",
-        lambda: force_all(classifier_plan(docs_k)),
+        lambda: force_all(quality_classifier_plan(docs_k)),
     )
 
     # domain census at kx docs: scan-side parse + ONE bounded agg —
     # output cardinality (publisher count) is replication-invariant,
     # so wall must track the scan and the shuffle stays domain-sized
-    timed("domain_stats_1x", lambda: force_all(dfn(spark, sf_dir)))
-
-    def domain_plan(docs):
-        m = F.expr("doc_id div 20") % 4
-        p = F.concat(F.lit("/p/"), (F.col("doc_id") % 50).cast("string"))
-        url = (
-            F.when(m == 0, F.concat(F.lit("https://docs."), F.col("source"), F.lit(".com"), p))
-            .when(m == 1, F.concat(F.lit("https://WWW."), F.upper("source"), F.lit(".COM:443"), p))
-            .when(m == 2, F.concat(F.lit("https://api."), F.col("source"), F.lit(".co.uk"), p))
-            .otherwise(F.concat(F.lit("https://cdn"), (F.col("doc_id") % 3).cast("string"),
-                                F.lit("."), F.col("source"), F.lit(".gov.uk"), p))
-        )
-        from sparkclif.operators.dedup import registrable_domain
-
-        u = docs.select("doc_id", "lang", "n_chars", url.alias("url"))
-        host = F.regexp_replace(
-            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]*)", 1)),
-            r":\d+$", "")
-        h = u.select("lang", "n_chars", host.alias("host")).withColumn(
-            "domain", registrable_domain("host"))
-        return h.groupBy("domain").agg(
-            F.count("*").alias("n"), F.countDistinct("host").alias("nh"),
-            F.countDistinct("lang").alias("nl"), F.sum("n_chars").alias("tc"))
-
-    timed(f"domain_stats_{k}x_docs", lambda: force_all(domain_plan(docs_k)))
+    timed("domain_stats_1x", lambda: force_all(domain_stats_plan(docs_1x)))
+    timed(f"domain_stats_{k}x_docs", lambda: force_all(domain_stats_plan(docs_k)))
 
     # BPE encode at kx docs: clones share content, so the VOCABULARY
     # is replication-INVARIANT — all encode/merge work is constant;

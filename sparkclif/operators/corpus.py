@@ -592,9 +592,14 @@ def bpe_encode_rollup(
         F.count("*").alias("n_words"),
         F.sum("wc").cast("long").alias("total_wc"),
         F.sum(F.col("wc") * F.col("n_tokens")).cast("long").alias("total_tokens_wc"),
-        F.round(
-            F.sum("n_tokens").cast("double") / F.count("*"), 4
-        ).alias("avg_tokens"),
+        # UNROUNDED by design: one IEEE division of exact small
+        # integers is bit-identical cross-engine, while round(4) sits
+        # on decimal half-boundaries where Spark's BigDecimal HALF_UP
+        # and DuckDB's raw-double rounding diverge by one last-digit
+        # ulp (the i_quality_classifier score rule; review r9 —
+        # sum/count quotients like 113/800 = 0.14125 DO terminate
+        # exactly on the boundary)
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
         F.min("word").alias("example_word"),
         F.min_by(
             F.replace(F.col("packed"), F.lit(BPE_SEP), F.lit("+")), F.col("word")

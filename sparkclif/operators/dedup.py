@@ -155,7 +155,10 @@ def dedup_url(
     A URL the canonicalizer cannot parse (malformed scheme/authority —
     ``parse_url`` yields NULL components, so ``canon_url`` is NULL) is
     NOBODY's duplicate: each such row forms its own singleton group
-    (kept, group_size 1, keeper itself). Without this the window would
+    (kept, group_size 1, keeper itself) — and so does any row whose
+    ``id_col`` is NULL (it could neither be a keeper nor lose to one
+    deterministically; it surfaces kept=1 with a NULL keeper_id
+    instead of being silently dropped). Without this the window would
     lump every malformed URL into one NULL-key "dup group" — the same
     NULL-divergence class the theta/percentile/distinct dispatchers
     guard against — and, worse at scale, funnel all of them into one
@@ -170,24 +173,29 @@ def dedup_url(
     key-partitioned, AQE skew-splittable), same result by the
     dedup_exact argument."""
     u = df.withColumn("canon_url", canonical_url(url_col))
-    # NULL canon => per-row sentinel key => singleton group. The
-    # sentinel never collides with a real canonical (those start with
-    # a scheme, never "\x00"). ADVICE r8: a NULL id would make the
-    # concat NULL and collapse every (NULL id, unparseable URL) row
-    # into ONE NULL group — coalesce to a per-row physical id so the
-    # singleton guarantee holds even for NULL ids (the fallback never
-    # leaves this grouping key; results for non-NULL ids are
-    # untouched).
-    grp = F.coalesce(
-        F.col("canon_url"),
+    # Two singleton classes, both keyed per-row so they can never
+    # collapse into a shared NULL group (the sentinels never collide
+    # with a real canonical — those start with a scheme, never
+    # "\x00"):
+    # - NULL canon (malformed URL): nobody's duplicate.
+    # - NULL id (ADVICE r8 + review r9): a row with no id can neither
+    #   BE a keeper (keeper_id would be NULL) nor lose to one
+    #   deterministically — in a real dup group whose ids were ALL
+    #   NULL, min(id) is NULL and every kept flag would read 0, so
+    #   the "dedup" would keep NOTHING. Such rows are therefore
+    #   excluded from grouping entirely: always their own singleton,
+    #   kept=1, keeper_id NULL — the caller sees them flagged intact
+    #   rather than silently dropped.
+    grp = F.when(
+        F.col(id_col).isNull(),
         F.concat(
-            F.lit("\x00uncanonical|"),
-            F.coalesce(
-                F.col(id_col).cast("string"),
-                F.concat(F.lit("\x00row"),
-                         F.monotonically_increasing_id().cast("string")),
-            ),
+            F.lit("\x00noid|"), F.monotonically_increasing_id().cast("string")
         ),
+    ).otherwise(
+        F.coalesce(
+            F.col("canon_url"),
+            F.concat(F.lit("\x00uncanonical|"), F.col(id_col).cast("string")),
+        )
     )
     w = Window.partitionBy(grp)
     return u.select(

@@ -109,7 +109,12 @@ def weighted_median_plan(li: DataFrame, force: str | None = None) -> DataFrame:
 
         def step(acc, x):
             ncw = acc["cw"] + F.coalesce(x["w"], F.lit(0))
-            is_new = acc["pv"].isNull() | (x["v"] != acc["pv"])
+            # null-SAFE distinct count: nv == 0 marks the first row
+            # (pv.isNull() cannot — a NULL v stores pv = NULL, and the
+            # next NULL-v row must NOT count again; the window path
+            # groups (g, NULL) once, and the dispatcher may never
+            # change the answer — review r9)
+            is_new = (acc["nv"] == F.lit(0)) | ~x["v"].eqNullSafe(acc["pv"])
             med2 = F.when(acc["med"].isNotNull(), acc["med"]).when(
                 (2 * ncw >= F.col("tw")) & (2 * acc["cw"] < F.col("tw")), x["v"]
             )

@@ -42,9 +42,109 @@ from sparkclif.io import table
 from sparkclif.operators.corpus import BPE_SEP, bpe_encode_rollup
 from sparkclif.operators.dedup import registrable_domain
 from sparkclif.operators.hashing import md5_bits
+from sparkclif.operators.text import tokens
 from sparkclif.registry import register
 
 _N_MERGES = 20
+
+
+# df-parametrized plan builders — the ONE definition of each shape,
+# shared by the registered queries below and by the scale probes
+# (probes/scale_stress.py): a probe that re-declared the plan inline
+# would silently keep measuring the old shape after a query fix (the
+# group_r7 rule; review r9 found exactly that drift risk here).
+
+
+def quality_classifier_plan(docs: DataFrame) -> DataFrame:
+    """See i_quality_classifier. Tokenization is the shared corpus
+    ``tokens()`` helper — the same basis as i_text_hash_features and
+    word_freqs, never a local copy."""
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    d = docs.select("doc_id", toks.alias("toks"))
+    score_int = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc
+        + (
+            (F.pmod(md5_bits(tok, 25, 8), F.lit(64)) * F.lit(2654435761))
+            % F.lit(2001)
+            - F.lit(1000)
+        ),
+    )
+    s = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        score_int.alias("score_int"),
+    )
+    # score is UNROUNDED by design: both engines run the identical
+    # IEEE division of exact small integers, so the doubles are
+    # bit-identical — while round(4) would sit exactly ON decimal
+    # half-boundaries (score_int/(1000n) often terminates: -13560/96000
+    # = -0.14125) where Spark's BigDecimal HALF_UP and DuckDB's
+    # raw-double rounding disagree by one ulp of the last digit.
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score_int",
+        (
+            F.col("score_int").cast("double")
+            / (F.lit(1000.0) * F.greatest(F.col("n_tokens"), F.lit(1)))
+        ).alias("score"),
+        F.when(F.col("score_int") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+def domain_stats_plan(docs: DataFrame) -> DataFrame:
+    """See i_domain_stats: synthesized host variants + eTLD+1 census."""
+    # variant from doc_id DIV 20, never doc_id % 4: the testbed's
+    # source cycles with doc_id % 20, and a mod-4 variant would be
+    # CONSTANT per source — every domain would see exactly one host
+    # and the subdomain-collapse rule would never fire (the
+    # correlated-modulus trap i_dedup_url's synthesis documents; the
+    # round-9 scale probe caught this as n_hosts=1 on every row)
+    m = F.expr("doc_id div 20") % 4
+    p = F.concat(F.lit("/p/"), (F.col("doc_id") % 50).cast("string"))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://docs."), F.col("source"), F.lit(".com"), p))
+        .when(
+            m == 1,
+            F.concat(F.lit("https://WWW."), F.upper("source"), F.lit(".COM:443"), p),
+        )
+        .when(m == 2, F.concat(F.lit("https://api."), F.col("source"), F.lit(".co.uk"), p))
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("."),
+                F.col("source"),
+                F.lit(".gov.uk"),
+                p,
+            )
+        )
+    )
+    u = docs.select("doc_id", "lang", "n_chars", url.alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]*)", 1)),
+        r":\d+$",
+        "",
+    )
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1)
+    h = u.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        host.alias("host"),
+        path.alias("path"),
+    ).withColumn("domain", registrable_domain("host"))
+    return h.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
 
 
 def _bpe_encode_oracle(n_merges: int = _N_MERGES) -> str:
@@ -131,7 +231,7 @@ def _bpe_encode_oracle(n_merges: int = _N_MERGES) -> str:
            count(*) AS n_words,
            CAST(sum(wc) AS BIGINT) AS total_wc,
            CAST(sum(wc * n_tokens) AS BIGINT) AS total_tokens_wc,
-           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
            min(word) AS example_word,
            arg_min(enc, word) AS example_enc
     FROM fin GROUP BY word_len
@@ -205,46 +305,7 @@ def i_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen), no explode, no shuffle, no Python. The 44-query bench
     tail is dominated by per-stage constants; this is the shape that
     avoids them entirely: filter 100 TB with a map-only stage."""
-    docs = table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )
-    # bind the token array once (toks appears in size + fold)
-    d = docs.select("doc_id", toks.alias("toks"))
-    score_int = F.aggregate(
-        F.col("toks"),
-        F.lit(0).cast("long"),
-        lambda acc, tok: acc
-        + (
-            (F.pmod(md5_bits(tok, 25, 8), F.lit(64)) * F.lit(2654435761))
-            % F.lit(2001)
-            - F.lit(1000)
-        ),
-    )
-    s = d.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        score_int.alias("score_int"),
-    )
-    # score is UNROUNDED by design: both engines run the identical
-    # IEEE division of exact small integers, so the doubles are
-    # bit-identical — while round(4) would sit exactly ON decimal
-    # half-boundaries (score_int/(1000n) often terminates: -13560/96000
-    # = -0.14125) where Spark's BigDecimal HALF_UP and DuckDB's
-    # raw-double rounding disagree by one ulp of the last digit.
-    return s.select(
-        "doc_id",
-        "n_tokens",
-        "score_int",
-        (
-            F.col("score_int").cast("double")
-            / (F.lit(1000.0) * F.greatest(F.col("n_tokens"), F.lit(1)))
-        ).alias("score"),
-        F.when(F.col("score_int") > 0, F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
-    )
+    return quality_classifier_plan(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -317,51 +378,4 @@ def i_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the publisher count — the 3 count-distincts expand the stream 3x
     but partial aggregation collapses each to (domain, value)
     cardinality before the shuffle (the hash_features argument)."""
-    docs = table(spark, sf_dir, "documents")
-    # variant from doc_id DIV 20, never doc_id % 4: the testbed's
-    # source cycles with doc_id % 20, and a mod-4 variant would be
-    # CONSTANT per source — every domain would see exactly one host
-    # and the subdomain-collapse rule would never fire (the
-    # correlated-modulus trap i_dedup_url's synthesis documents; the
-    # round-9 scale probe caught this as n_hosts=1 on every row)
-    m = F.expr("doc_id div 20") % 4
-    p = F.concat(F.lit("/p/"), (F.col("doc_id") % 50).cast("string"))
-    url = (
-        F.when(m == 0, F.concat(F.lit("https://docs."), F.col("source"), F.lit(".com"), p))
-        .when(
-            m == 1,
-            F.concat(F.lit("https://WWW."), F.upper("source"), F.lit(".COM:443"), p),
-        )
-        .when(m == 2, F.concat(F.lit("https://api."), F.col("source"), F.lit(".co.uk"), p))
-        .otherwise(
-            F.concat(
-                F.lit("https://cdn"),
-                (F.col("doc_id") % 3).cast("string"),
-                F.lit("."),
-                F.col("source"),
-                F.lit(".gov.uk"),
-                p,
-            )
-        )
-    )
-    u = docs.select("doc_id", "lang", "n_chars", url.alias("url"))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]*)", 1)),
-        r":\d+$",
-        "",
-    )
-    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1)
-    h = u.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        host.alias("host"),
-        path.alias("path"),
-    ).withColumn("domain", registrable_domain("host"))
-    return h.groupBy("domain").agg(
-        F.count("*").alias("n_urls"),
-        F.countDistinct("host").alias("n_hosts"),
-        F.countDistinct("path").alias("n_paths"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-    )
+    return domain_stats_plan(table(spark, sf_dir, "documents"))

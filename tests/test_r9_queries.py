@@ -121,34 +121,19 @@ def test_quality_classifier_weight_law_pinned_to_hashlib(spark, sf_dir):
 
 
 def test_quality_classifier_empty_and_null_docs(spark):
-    from sparkclif.operators.hashing import md5_bits
+    from sparkclif.queries.group_r9 import quality_classifier_plan
 
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   "), (4, "x")],
         "doc_id long, text string",
     )
-    toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != ""
-    )
-    score_int = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, tok: acc
-        + (
-            (F.pmod(md5_bits(tok, 25, 8), F.lit(64)) * F.lit(2654435761))
-            % F.lit(2001)
-            - F.lit(1000)
-        ),
-    )
     out = {
-        r["doc_id"]: (r["n"], r["s"])
-        for r in df.select(
-            "doc_id", F.size(toks).alias("n"), score_int.alias("s")
-        ).collect()
+        r["doc_id"]: (r["n_tokens"], r["score_int"], r["label"])
+        for r in quality_classifier_plan(df).collect()
     }
-    assert out[1] == (0, 0)
-    assert out[2] == (0, 0)
-    assert out[3] == (0, 0)
+    assert out[1] == (0, 0, "drop")
+    assert out[2] == (0, 0, "drop")
+    assert out[3] == (0, 0, "drop")
     assert out[4][0] == 1
 
 
@@ -262,3 +247,46 @@ def test_registrable_domain_matches_python_model(spark):
     }
     for h in hosts:
         assert got[h] == py_model(h), h
+
+
+def test_weighted_median_null_value_group_paths_agree(spark):
+    """NULL l_extendedprice rows: the window path counts the (g, NULL)
+    bucket once; the array fold must too (review r9 — pv.isNull()
+    cannot mark first-row, a nv==0 test can)."""
+    from sparkclif.queries.group_r7 import weighted_median_plan
+
+    df = spark.createDataFrame(
+        [("g", None, 2.0), ("g", None, 3.0), ("g", 5.0, 4.0), ("g", 7.0, 1.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    a = sorted(map(tuple, weighted_median_plan(df, force="array").collect()))
+    w = sorted(map(tuple, weighted_median_plan(df, force="window").collect()))
+    assert a == w
+    # 3 distinct values: NULL, 5.0, 7.0 — counted once each
+    assert a[0][2] == 3
+
+
+def test_dedup_url_null_id_rows_are_always_singletons(spark):
+    """A dup group whose ids are ALL NULL used to keep NOTHING
+    (min(id) NULL -> every kept flag 0); NULL-id rows are now
+    unconditional per-row singletons, kept=1 (review r9)."""
+    from sparkclif.operators.dedup import dedup_url
+
+    df = spark.createDataFrame(
+        [
+            (None, "https://a.com/x"),
+            (None, "https://a.com/x"),   # same canonical, both NULL id
+            (7, "https://a.com/x"),      # real id, same canonical
+            (None, "%%%not a url"),      # NULL id AND unparseable
+        ],
+        "doc_id long, url string",
+    )
+    rows = dedup_url(df).collect()
+    by_id_null = [r for r in rows if r["doc_id"] is None]
+    assert len(by_id_null) == 3
+    for r in by_id_null:
+        assert r["group_size"] == 1
+        assert r["kept"] == 1
+        assert r["keeper_id"] is None
+    real = [r for r in rows if r["doc_id"] == 7][0]
+    assert real["group_size"] == 1 and real["kept"] == 1 and real["keeper_id"] == 7
