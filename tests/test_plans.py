@@ -487,3 +487,37 @@ def test_bloom_prefilter_force_distributed_takes_bloom_path(spark, sf_dir):
         spark.conf.unset("spark.sparkclif.forceDistributed")
     want = {tuple(r) for r in bloom_prefilter_plan(o, li, force="plain").collect()}
     assert got == want
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """The fastText-filter shape contract: the whole query is one
+    projection — tokenize + aggregate() fold, md5 inside the lambda.
+    NO Exchange (a 100 TB filter pass touches no network), NO Python
+    eval (the fold is whole-stage codegen, not a UDF)."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r9 import quality_classifier_plan
+
+    df = quality_classifier_plan(table(spark, sf_dir, "documents"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, "quality classifier must be map-only"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_stats_single_aggregation(spark, sf_dir):
+    """Registrable-domain census: scan-side parse + ONE aggregation.
+    The 3 count-distincts expand the plan but partial aggregation must
+    be present, and the only exchanges are the expand's two."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r9 import domain_stats_plan
+
+    df = domain_stats_plan(table(spark, sf_dir, "documents"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"census must stay one (expanded) aggregation, got {n_ex}"
+    assert "HashAggregate" in plan
