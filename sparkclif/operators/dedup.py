@@ -155,14 +155,22 @@ def dedup_url(
     A URL the canonicalizer cannot parse (malformed scheme/authority —
     ``parse_url`` yields NULL components, so ``canon_url`` is NULL) is
     NOBODY's duplicate: each such row forms its own singleton group
-    (kept, group_size 1, keeper itself) — and so does any row whose
-    ``id_col`` is NULL (it could neither be a keeper nor lose to one
-    deterministically; it surfaces kept=1 with a NULL keeper_id
-    instead of being silently dropped). Without this the window would
+    (kept, group_size 1, keeper itself). Without this the window would
     lump every malformed URL into one NULL-key "dup group" — the same
     NULL-divergence class the theta/percentile/distinct dispatchers
     guard against — and, worse at scale, funnel all of them into one
     hot partition.
+
+    A row whose ``id_col`` is NULL stays in its canonical group
+    (ADVICE r9 — the r8 unconditional-singleton rule let true URL
+    duplicates with missing ids survive a kept=1 filter): it can never
+    BE the keeper (``min`` ignores NULLs), so when the group holds a
+    non-NULL id it loses to that keeper like any other duplicate
+    (kept=0). Only when the whole group's ids are NULL (min(id) NULL —
+    no deterministic winner exists) do its rows surface kept=1 with
+    keeper_id NULL, explicitly UNRESOLVED rather than silently
+    dropped; downstream consumers must treat ``keeper_id IS NULL``
+    kept rows as such.
 
     Plan: canonicalization is scan-side (one projection); one window
     over the group key — the dedup_exact shape, one shuffle carrying
@@ -173,41 +181,32 @@ def dedup_url(
     key-partitioned, AQE skew-splittable), same result by the
     dedup_exact argument."""
     u = df.withColumn("canon_url", canonical_url(url_col))
-    # Two singleton classes, both keyed per-row so they can never
-    # collapse into a shared NULL group (the sentinels never collide
-    # with a real canonical — those start with a scheme, never
-    # "\x00"):
-    # - NULL canon (malformed URL): nobody's duplicate.
-    # - NULL id (ADVICE r8 + review r9): a row with no id can neither
-    #   BE a keeper (keeper_id would be NULL) nor lose to one
-    #   deterministically — in a real dup group whose ids were ALL
-    #   NULL, min(id) is NULL and every kept flag would read 0, so
-    #   the "dedup" would keep NOTHING. Such rows are therefore
-    #   excluded from grouping entirely: always their own singleton,
-    #   kept=1, keeper_id NULL — the caller sees them flagged intact
-    #   rather than silently dropped.
-    grp = F.when(
-        F.col(id_col).isNull(),
+    # Malformed URLs are keyed per-row so they can never collapse into
+    # a shared NULL group (the sentinel never collides with a real
+    # canonical — those start with a scheme, never "\x00"; it is built
+    # from monotonically_increasing_id, not id_col, so a NULL id
+    # cannot NULL the sentinel out). NULL-id rows keep their canonical
+    # key: they lose to the group's keeper when one exists (see
+    # docstring / ADVICE r9).
+    grp = F.coalesce(
+        F.col("canon_url"),
         F.concat(
-            F.lit("\x00noid|"), F.monotonically_increasing_id().cast("string")
+            F.lit("\x00uncanonical|"),
+            F.monotonically_increasing_id().cast("string"),
         ),
-    ).otherwise(
-        F.coalesce(
-            F.col("canon_url"),
-            F.concat(F.lit("\x00uncanonical|"), F.col(id_col).cast("string")),
-        )
     )
     w = Window.partitionBy(grp)
+    keeper = F.min(id_col).over(w)
     return u.select(
         "*",
         F.count("*").over(w).cast("long").alias("group_size"),
-        F.min(id_col).over(w).alias("keeper_id"),
-        # a NULL-id singleton is its own keeper: NULL == NULL would
-        # yield NULL, not 1 — a singleton is kept by definition.
-        F.coalesce(
-            (F.col(id_col) == F.min(id_col).over(w)),
-            F.count("*").over(w) == 1,
-        ).cast("long").alias("kept"),
+        keeper.alias("keeper_id"),
+        # NULL == keeper yields NULL, never true/false, for NULL-id
+        # rows; they fall to the coalesce arm: kept only when the
+        # group has NO resolvable keeper at all (all ids NULL).
+        F.coalesce(F.col(id_col) == keeper, keeper.isNull())
+        .cast("long")
+        .alias("kept"),
     )
 
 

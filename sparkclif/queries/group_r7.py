@@ -136,7 +136,15 @@ def weighted_median_plan(li: DataFrame, force: str | None = None) -> DataFrame:
         li.groupBy(
             F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
         )
-        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("w"))
+        .agg(
+            # NULL weights coalesce to 0 per row, matching the array
+            # path's fold (ADVICE r9: an all-NULL-quantity group must
+            # yield total_w = 0 on BOTH dispatch paths, not NULL on
+            # this one — the dispatcher may never change the answer).
+            F.sum(F.coalesce(F.round("l_quantity").cast("long"), F.lit(0)))
+            .cast("long")
+            .alias("w")
+        )
     )
     w_cum = Window.partitionBy("g").orderBy("v")
     w_all = Window.partitionBy("g")
@@ -220,7 +228,8 @@ def zscore_plan(ev: DataFrame) -> DataFrame:
     oracle="""
     WITH pv AS (
         SELECT l_returnflag AS g, l_extendedprice AS v,
-               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+               CAST(sum(COALESCE(CAST(round(l_quantity) AS BIGINT), 0))
+                    AS BIGINT) AS w
         FROM lineitem GROUP BY 1, 2
     ),
     c AS (

@@ -249,6 +249,27 @@ def test_registrable_domain_matches_python_model(spark):
         assert got[h] == py_model(h), h
 
 
+def test_weighted_median_all_null_weight_group_paths_agree(spark):
+    """ADVICE r9: a group whose EVERY l_quantity is NULL must yield
+    total_w = 0 on both dispatch paths (the window path used to sum
+    over all-NULL weights and publish NULL where the array fold's
+    per-row coalesce published 0)."""
+    from sparkclif.queries.group_r7 import weighted_median_plan
+
+    df = spark.createDataFrame(
+        [("g", 5.0, None), ("g", 7.0, None), ("h", 1.0, 2.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    a = sorted(map(tuple, weighted_median_plan(df, force="array").collect()))
+    w = sorted(map(tuple, weighted_median_plan(df, force="window").collect()))
+    assert a == w
+    g_row = [r for r in a if r[0] == "g"][0]
+    assert g_row[1] == 0          # total_w: 0, not NULL, on both paths
+    assert g_row[3] is None       # no half-total crossing -> no median
+    h_row = [r for r in a if r[0] == "h"][0]
+    assert h_row[1] == 2 and h_row[3] == 1.0
+
+
 def test_weighted_median_null_value_group_paths_agree(spark):
     """NULL l_extendedprice rows: the window path counts the (g, NULL)
     bucket once; the array fold must too (review r9 — pv.isNull()
@@ -266,27 +287,38 @@ def test_weighted_median_null_value_group_paths_agree(spark):
     assert a[0][2] == 3
 
 
-def test_dedup_url_null_id_rows_are_always_singletons(spark):
-    """A dup group whose ids are ALL NULL used to keep NOTHING
-    (min(id) NULL -> every kept flag 0); NULL-id rows are now
-    unconditional per-row singletons, kept=1 (review r9)."""
+def test_dedup_url_null_id_rows_lose_to_a_real_keeper(spark):
+    """ADVICE r9: a NULL-id row whose canonical URL matches a group
+    with a real keeper is a RESOLVED duplicate (kept=0) — the r8
+    unconditional-singleton rule let true URL duplicates with missing
+    ids survive a kept=1 filter. Only an ALL-NULL-id group (no
+    deterministic winner) surfaces kept=1 / keeper_id NULL, explicitly
+    unresolved rather than silently dropped."""
     from sparkclif.operators.dedup import dedup_url
 
     df = spark.createDataFrame(
         [
-            (None, "https://a.com/x"),
-            (None, "https://a.com/x"),   # same canonical, both NULL id
-            (7, "https://a.com/x"),      # real id, same canonical
+            (None, "https://a.com/x"),   # loses to keeper 7
+            (None, "https://a.com/x"),   # loses to keeper 7
+            (7, "https://a.com/x"),      # the group's keeper
+            (None, "https://b.com/y"),   # all-NULL-id group: unresolved
+            (None, "https://b.com/y"),
             (None, "%%%not a url"),      # NULL id AND unparseable
         ],
         "doc_id long, url string",
     )
     rows = dedup_url(df).collect()
-    by_id_null = [r for r in rows if r["doc_id"] is None]
-    assert len(by_id_null) == 3
-    for r in by_id_null:
-        assert r["group_size"] == 1
-        assert r["kept"] == 1
-        assert r["keeper_id"] is None
-    real = [r for r in rows if r["doc_id"] == 7][0]
-    assert real["group_size"] == 1 and real["kept"] == 1 and real["keeper_id"] == 7
+    a_group = [r for r in rows if r["canon_url"] == "https://a.com/x"]
+    assert len(a_group) == 3
+    for r in a_group:
+        assert r["group_size"] == 3 and r["keeper_id"] == 7
+        assert r["kept"] == (1 if r["doc_id"] == 7 else 0)
+    b_group = [r for r in rows if r["canon_url"] == "https://b.com/y"]
+    assert len(b_group) == 2
+    for r in b_group:
+        assert r["group_size"] == 2
+        assert r["kept"] == 1 and r["keeper_id"] is None  # unresolved
+    bad = [r for r in rows if r["canon_url"] is None]
+    assert len(bad) == 1
+    assert bad[0]["group_size"] == 1 and bad[0]["kept"] == 1
+    assert bad[0]["keeper_id"] is None
