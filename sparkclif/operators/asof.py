@@ -3,7 +3,7 @@ right_time <= left_time for the same key (SURVEY.md §2.2 c_join_asof;
 the longitudinal-ICU alignment pattern the reference consortium's data
 format exists for).
 
-Spark has no native ASOF JOIN. Two implementations:
+Spark has no native ASOF JOIN. Four variants, one shared plan shape:
 
 1. ``asof_join`` (default, the scale path): the union-sort trick.
    Tag right rows 0 / left rows 1, union, then one window pass per key
@@ -35,8 +35,14 @@ Spark has no native ASOF JOIN. Two implementations:
    docstring declared: the carry trick composes, it doesn't have to
    run once.
 
+4. FORWARD-direction as-of (``asof_join_forward``, round 10 — closes
+   the family): earliest right with right_time >= left_time
+   (inclusive, min-tiebreak, optional look-ahead tolerance) via one
+   DESCENDING carry window over the same tag-union.
+
 Determinism: ties on right_time break by descending ``tiebreak``
-(largest wins), matching the oracle's
+(largest wins; the forward variant mirrors to ascending/min), matching
+the oracle's
 ``row_number() OVER (... ORDER BY time DESC, tiebreak DESC) = 1``.
 """
 
@@ -199,6 +205,92 @@ def asof_join(
             F.col("__t") - F.expr(f"INTERVAL {tolerance}")
         )
         picked = [F.when(fresh, F.col(f"__carried.{p}")) for p in payload]
+    return lefts.select(
+        *lcols,
+        *[c.alias(f"{prefix}{p}") for c, p in zip(picked, payload)],
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of join (round 10 — closes the direction family:
+    backward/tolerance/nearest exist since r5/r8): each left row gets
+    the EARLIEST right row with ``right_time >= left_time`` (inclusive,
+    pandas ``merge_asof(direction='forward')``'s convention) for its
+    key; ties on right_time resolve to the MIN ``tiebreak`` (the
+    backward variant's max-tiebreak mirror); NULL when no later right
+    exists.
+
+    Plan: the same single-shuffle tag-union as ``asof_join``, carried
+    by ONE DESCENDING window — traversing each key's timeline from the
+    future backward, the running ``last`` non-null right payload at a
+    left row is exactly the earliest right at-or-after it. Identical
+    cost profile to the backward variant: one exchange of (|L|+|R|)
+    rows on the key + a per-partition sort, no row blowup.
+
+    ``tolerance`` (optional): a SQL interval body bounding how far
+    ahead the match may be — kept only when ``right_time <= left_time
+    + INTERVAL tolerance``. Applied AFTER the carry, which is exact by
+    the mirrored staleness argument: the carried row is the EARLIEST
+    later right, every other candidate is later still.
+    """
+    lcols = left.columns
+    tagged_r, tagged_l = _tag_union(
+        left, right,
+        left_key=left_key, right_key=right_key,
+        left_time=left_time, right_time=right_time,
+        payload=payload, tiebreak=tiebreak,
+        r_seq=F.lit(1), l_seq=F.lit(2),
+    )
+    # Descending traversal, INCLUSIVE >=: rights sort BEFORE the left
+    # at equal time (__is_left asc keeps 0 < 1 even under __t desc), so
+    # an equal-time right IS in the left's frame — the inclusive
+    # boundary (the nearest variant's w_f flips __is_left desc to get
+    # its exclusive > instead). Among equal-time rights desc_nulls_first
+    # puts NULL tiebreaks first (they lose to any non-null) and the MIN
+    # tiebreak last => carried = min-tiebreak row, the backward mirror.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(
+            F.col("__t").desc(),
+            F.col("__is_left").asc(),
+            F.col("__tb").desc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged_r.unionByName(tagged_l).withColumn(
+        "__carried", F.last("__payload", ignorenulls=True).over(w)
+    )
+    lefts = carried.filter(F.col("__is_left") == 1)
+    # A NULL left_time can never satisfy rt >= t — but the DESCENDING
+    # sort puts NULL __t LAST (desc default nulls_last), where the
+    # frame spans every right and the carry would leak a spurious
+    # "earliest" match (the ascending backward variant gets this guard
+    # for free from nulls_first). Same guard as asof_join_nearest.
+    matchable = F.col("__t").isNotNull()
+    if tolerance is None:
+        picked = [
+            F.when(matchable, F.col(f"__carried.{p}")) for p in payload
+        ]
+    else:
+        near = F.col("__carried.__rt") <= (
+            F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+        )
+        picked = [
+            F.when(matchable & near, F.col(f"__carried.{p}"))
+            for p in payload
+        ]
     return lefts.select(
         *lcols,
         *[c.alias(f"{prefix}{p}") for c, p in zip(picked, payload)],

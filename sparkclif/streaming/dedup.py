@@ -12,6 +12,7 @@ distinct event set, which is what the SQL oracle states.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,3 +65,79 @@ def stream_dedup_events(
         "value double",
     )
     return out.select(*DEDUP_COLS)
+
+
+def stream_dedup_against_store(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_dir: str,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Streaming incremental dedup against a PERSISTED fingerprint
+    store (round 10) — the micro-batch form of
+    ``operators.dedup.dedup_incremental`` and the production
+    crawl-ingest shape: each arriving document batch is probed against
+    every hash the corpus has ever kept, then its own kept hashes are
+    appended to the store before the next batch runs.
+
+    Plan per micro-batch (foreachBatch): read the store parquet (the
+    snapshot BEFORE this batch), run the batch through
+    ``dedup_incremental`` (scan-side sha256, map-side-combinable
+    within-batch min(id) winner, shuffle join probe into the store
+    with runtime bloom pruning at scale), land the status rows in a
+    per-epoch directory, and only THEN append the kept rows' hashes as
+    the store delta — materialize-before-append, so the delta write
+    can never race the probe's own scan of ``store_dir``. State lives
+    in the store parquet, not the state store: restart-safe, shared
+    across pipelines, and exactly how a 100 TB corpus keeps years of
+    ingest history probe-able (hashes only — the store never holds
+    text).
+
+    foreachBatch (not a stateful operator) is the right Spark shape
+    here: the dedup state must OUTLIVE the query and be a queryable
+    table in its own right; dropDuplicates state is private to one
+    checkpoint. Returns the accumulated (doc_id, content_hash, status)
+    rows as a batch DataFrame.
+    """
+    from sparkclif.io import has_data_files
+    from sparkclif.operators.dedup import dedup_incremental
+    from sparkclif.streaming.source import stream_shuffle
+
+    if out_dir is None:
+        out_dir = source_dir.rstrip("/") + "_store_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        store = spark.read.parquet(store_dir)
+        res = dedup_incremental(batch_df, store)
+        epoch_out = f"{out_dir}/batch-{epoch_id:04d}"
+        res.write.mode("overwrite").parquet(epoch_out)
+        # store delta strictly AFTER the statuses are on disk, re-read
+        # from them (never recomputed against a moving store_dir)
+        from pyspark.sql import functions as F
+
+        spark.read.parquet(epoch_out).where(
+            F.col("status") == "kept"
+        ).select("content_hash").write.mode("append").parquet(store_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    if not os.path.exists(out_dir) or not has_data_files(out_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, content_hash string, status string"
+        )
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

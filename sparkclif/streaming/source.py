@@ -171,3 +171,46 @@ def write_time_chunks(
     # underscore-prefixed: invisible to Spark's file source
     with open(manifest, "w") as fh:
         json.dump(want, fh)
+
+
+def write_id_chunks(
+    src_parquet: str, src: str, n_chunks: int = 3, modulus: int = 100
+) -> None:
+    """Write the ingest-batch documents of ``src_parquet`` (doc_id % 3
+    == 0, the i_dedup_incremental batch convention) as ``n_chunks``
+    mtime-ordered parquet files for the file streaming source — one
+    micro-batch per ingest batch, batch index ``(doc_id // modulus) %
+    n_chunks``. The index interleaves ids ACROSS batches (a contiguous
+    doc_id split would make "first occurrence" collapse to min(doc_id)
+    and never exercise the earlier-batch store probe). Only (doc_id,
+    text) ride the stream — the probe needs nothing else.
+
+    Same TEST-SCALE-ONLY status as write_time_chunks (driver-side
+    pyarrow writer, deterministic bytes, bounded input — documents at
+    sf0.1 is ~600 KB); production replaces this module with the real
+    feed. Idempotent per (src_parquet, n_chunks, modulus) manifest.
+    """
+    manifest = os.path.join(src, "_manifest.json")
+    want = {"key": src_parquet, "n_chunks": n_chunks, "modulus": modulus}
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                if json.load(fh) == want and all(
+                    os.path.exists(f"{src}/chunk-{i:04d}.parquet")
+                    for i in range(n_chunks)
+                ):
+                    return
+        except (OSError, ValueError):
+            pass
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    tbl = pq.read_table(src_parquet, columns=["doc_id", "text"])
+    pdf = tbl.to_pandas()
+    pdf = pdf[pdf["doc_id"] % 3 == 0].sort_values("doc_id")
+    b = (pdf["doc_id"] // modulus) % n_chunks
+    for i in range(n_chunks):
+        path = f"{src}/chunk-{i:04d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf[b == i], preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    with open(manifest, "w") as fh:
+        json.dump(want, fh)
