@@ -4,6 +4,13 @@ bench scale factor and prints ONE JSON line (driver contract).
 Execution is ``df.write.format("noop")`` so the full plan runs without
 driver-side collection cost. DuckDB wall-clock per query is recorded
 alongside (it is both the oracle and the baseline timer — SURVEY.md §6).
+
+Round 10: Spark and DuckDB are timed INTERLEAVED per query (each
+query's warm Spark run immediately followed by its DuckDB baseline
+run), so every per-query ratio is measured inside one VM weather phase
+— the old sequential blocks let a multi-minute slow phase land on one
+engine only and spread identical-code aggregate ratios 1.43-2.44
+(SCALE.md round-9 spread table).
 """
 
 from __future__ import annotations
@@ -65,27 +72,93 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
+    # DuckDB baseline: ONE connection with the views registered ONCE,
+    # OUTSIDE the timed region (the late-r8 honesty correction — a
+    # per-call connect + CREATE VIEW binds inside the timing inflated
+    # every baseline by a fixed ~2-10 ms). Opened BEFORE the timing
+    # loop because round 10 interleaves the two engines per query (see
+    # below). Any baseline failure is RECORDED in the summary instead
+    # of silently shrinking the gate set.
+    duck: dict[str, float] = {}
+    duck_warmed: set[str] = set()
+    baseline_error = None
+    con = None
+    try:
+        import duckdb
+
+        from sparkclif.io import TABLES
+
+        con = duckdb.connect()
+        for t_name in TABLES:
+            con.execute(
+                f"CREATE VIEW {t_name} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t_name}.parquet')"
+            )
+    except Exception as e:
+        baseline_error = f"{type(e).__name__}: {e}"[:300]
+        print(f"baseline error: {baseline_error}", file=sys.stderr)
+        con = None
+
+    def run_duck(name: str) -> None:
+        """One timed DuckDB run of ``name``'s oracle (warm-then-timed:
+        the first call per query runs the oracle once untimed first),
+        folded into the per-query minimum. Baseline failures are
+        recorded once and stop further baseline timing — partial gate
+        sets must never be silent (the r7 swallowed-exception lesson)."""
+        nonlocal baseline_error, con
+        spec = specs[name]
+        if con is None or spec.oracle is None or not spec.oracle_in_bench:
+            return
+        try:
+            if name not in duck_warmed:
+                con.execute(spec.oracle).fetchdf()
+                duck_warmed.add(name)
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchdf()
+            t = round(time.perf_counter() - t0, 4)
+            if name not in duck or t < duck[name]:
+                duck[name] = t
+        except Exception as e:
+            baseline_error = f"{type(e).__name__}: {e}"[:300]
+            print(f"baseline error: {baseline_error}", file=sys.stderr)
+            con.close()
+            con = None
+
     # Soft wall-clock budget: degrade gracefully (drop the second timed
     # pass, then the cold pass's role as warm-up is already paid) rather
     # than risk a harness timeout producing no JSON line at all.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_t0 = time.perf_counter()
 
+    # INTERLEAVED protocol (round 10 — VERDICT r9 item 1): each query's
+    # Spark runs and its DuckDB baseline run back-to-back, inside ONE
+    # VM weather phase. The old block protocol (all Spark, then all
+    # DuckDB) let a multi-minute slow phase hit one engine's block and
+    # not the other's; identical code spread fa 1.433 -> 2.438 across
+    # 11 runs (SCALE.md round-9 spread table), with the ~2x gate
+    # deciding on weather. Interleaving makes each PER-QUERY ratio
+    # weather-paired; the aggregate ratio inherits that stability.
+    #
     # Pass 0 runs each query COLD then immediately WARM (back-to-back:
     # the second run reuses the cached plan + hot codegen/worker pool
     # for that exact query shape), so one warm measurement per query is
     # GUARANTEED before any budget gate fires — the round-5 driver run
     # tripped the old gate after the cold sweep alone and published
-    # cold numbers as "warm, best-of-0" (VERDICT r5 item 1). Passes
-    # 1..2 add warm best-of-N candidates when budget allows. Per-query
-    # noise on this shared VM is ±2-5x on Python-worker-heavy kernels
-    # (worker pool churn, GC) and the VM itself has multi-minute slow
-    # phases; min-of-N measures the engine, not the weather. The
-    # DuckDB baseline below gets the same warm-then-timed protocol.
+    # cold numbers as "warm, best-of-0" (VERDICT r5 item 1) — then that
+    # query's DuckDB baseline (warm-then-timed, same two-run shape).
+    # Passes 1..2 add warm best-of-N candidates for BOTH engines when
+    # budget allows. Per-query noise on this shared VM is ±2-5x on
+    # Python-worker-heavy kernels (worker pool churn, GC); min-of-N
+    # measures the engine, not the weather.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     n_passes = 0
-    _gates = {1: 0.5, 2: 0.62}
+    # Gates re-leveled for the interleaved shape: pass 0 (cold + warm
+    # Spark + warm + timed DuckDB per query) is ~255-270 s of the
+    # budget by itself; a warm-only pass adds ~110 s. 0.70 lets the
+    # second pass start whenever it can finish near the budget; 0.85
+    # effectively reserves pass 2 for fast-weather runs.
+    _gates = {1: 0.70, 2: 0.85}
     for _pass in range(3):
         if _pass > 0 and time.perf_counter() - bench_t0 > budget * _gates[_pass]:
             break
@@ -96,6 +169,7 @@ def main() -> None:
                 t = run_spark(name)  # guaranteed warm run, same shape
             if name not in timings or t < timings[name]:
                 timings[name] = t
+            run_duck(name)  # adjacent: same weather phase as the Spark run
         n_passes += 1
 
     # Fixed per-query floors of local-mode Spark, reported so total
@@ -121,53 +195,11 @@ def main() -> None:
         ).count().write.format("noop").mode("overwrite").save()
         floor_shuffle = min(floor_shuffle, round(time.perf_counter() - t0, 4))
 
-    # DuckDB baseline: ONE connection with the views registered ONCE,
-    # OUTSIDE the timed region — a per-call connect + 10 CREATE VIEW
-    # parquet binds inside the timing inflated every baseline by a
-    # fixed ~2-10 ms, systematically flattering the spark/duck ratio on
-    # fast queries (the Spark side amortizes its own session setup, so
-    # the comparison was not apples-to-apples). Any baseline failure is
-    # RECORDED in the summary instead of silently shrinking the gate
-    # set — a swallowed exception previously published partial gate
-    # metrics with no trace.
-    duck: dict[str, float] = {}
-    baseline_error = None
-    con = None
-    try:
-        import duckdb
-
-        from sparkclif.io import TABLES
-
-        con = duckdb.connect()
-        for t_name in TABLES:
-            con.execute(
-                f"CREATE VIEW {t_name} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t_name}.parquet')"
-            )
-        for _pass in ("warm", "timed1", "timed2", "timed3"):
-            if _pass in ("timed2", "timed3") and time.perf_counter() - bench_t0 > budget * (
-                0.8 if _pass == "timed2" else 0.9
-            ):
-                break
-            for name in sorted(specs):
-                if specs[name].oracle is None or not specs[name].oracle_in_bench:
-                    continue
-                t0 = time.perf_counter()
-                con.execute(specs[name].oracle).fetchdf()
-                t = round(time.perf_counter() - t0, 4)
-                if _pass == "warm":
-                    continue
-                if name not in duck or t < duck[name]:
-                    duck[name] = t
-    except Exception as e:  # recorded, never silently dropped
-        baseline_error = f"{type(e).__name__}: {e}"[:300]
-        print(f"baseline error: {baseline_error}", file=sys.stderr)
-    finally:
-        # ADVICE r8: close on the failure path too — a mid-loop oracle
-        # error used to leak the connection (and its views) for the
-        # rest of the bench run.
-        if con is not None:
-            con.close()
+    # ADVICE r8: close on every path — run_duck already closes on a
+    # mid-loop oracle error (and nulls con so later queries skip).
+    if con is not None:
+        con.close()
+        con = None
 
     total = round(sum(timings.values()), 4)
     # self-report the BASELINE.md bench gate (spark <= 2x duckdb per
@@ -211,8 +243,9 @@ def main() -> None:
         ),
         "duckdb_total": duck_total,
         "cpus": cpus,
-        "mode": f"warm, best-of-{n_passes}; details+baselines in "
-        "BENCH_DETAILS.json",
+        "mode": f"warm, best-of-{n_passes}, spark/duckdb interleaved "
+        "per query (weather-paired ratios; round 10); "
+        "details+baselines in BENCH_DETAILS.json",
         "cold_total": round(sum(cold.values()), 4),
         "per_query_floor": floor,
         "floor_shuffle": floor_shuffle,
