@@ -150,6 +150,41 @@ def main() -> None:
     # budget allows. Per-query noise on this shared VM is ±2-5x on
     # Python-worker-heavy kernels (worker pool churn, GC); min-of-N
     # measures the engine, not the weather.
+    # Fixed per-query floors of local-mode Spark, reported so total
+    # wall-clock decomposes into engine work vs harness floor (the
+    # floor is unavoidable at any data size and amortizes away on
+    # minutes-long cluster queries). Two shapes:
+    # - floor: one empty single-stage job (pure scheduler round-trip)
+    # - floor_shuffle: a near-empty scan -> exchange -> agg with AQE
+    #   (stage barrier + AQE re-plan + shuffle machinery) — the shape
+    #   every relational query in this suite pays at least once, so
+    #   (spark_time - floor_shuffle) is the defensible data-dependent
+    #   cost to hold against the DuckDB baseline.
+    # SAMPLED THROUGHOUT the run and aggregated as the MEDIAN (round
+    # 10): the floor is subtracted ~127 times, so a single-instant
+    # measurement leveraged VM weather into the headline ratio — the
+    # first two interleaved runs had raw gate totals within 3%
+    # (47.1 vs 45.8 s Spark, 18.3 vs 18.4 s DuckDB) yet published fa
+    # 1.92 vs 1.46 purely because one run's end-of-run floor probe
+    # (0.096 s) hit a different weather instant than the other's
+    # (0.160 s): 127 x 0.064 s IS the entire 8 s fa gap. A median of
+    # samples interspersed with the timed queries measures the floor
+    # in the same weather mix the queries paid.
+    from pyspark.sql import functions as _F
+
+    floor_samples: list[float] = []
+    floor_shuffle_samples: list[float] = []
+
+    def sample_floors() -> None:
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_samples.append(round(time.perf_counter() - t0, 4))
+        t0 = time.perf_counter()
+        spark.range(1000).repartition(4).groupBy(
+            (_F.col("id") % 4).alias("g")
+        ).count().write.format("noop").mode("overwrite").save()
+        floor_shuffle_samples.append(round(time.perf_counter() - t0, 4))
+
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     n_passes = 0
@@ -162,7 +197,9 @@ def main() -> None:
     for _pass in range(3):
         if _pass > 0 and time.perf_counter() - bench_t0 > budget * _gates[_pass]:
             break
-        for name in sorted(specs):
+        for i, name in enumerate(sorted(specs)):
+            if i % 25 == 0:
+                sample_floors()  # floor in the queries' own weather
             t = run_spark(name)
             if _pass == 0:
                 cold[name] = t
@@ -170,30 +207,13 @@ def main() -> None:
             if name not in timings or t < timings[name]:
                 timings[name] = t
             run_duck(name)  # adjacent: same weather phase as the Spark run
+        sample_floors()
         n_passes += 1
 
-    # Fixed per-query floors of local-mode Spark, reported so total
-    # wall-clock decomposes into engine work vs harness floor (the
-    # floor is unavoidable at any data size and amortizes away on
-    # minutes-long cluster queries). Two shapes, best-of-3 each:
-    # - floor: one empty single-stage job (pure scheduler round-trip)
-    # - floor_shuffle: a near-empty scan -> exchange -> agg with AQE
-    #   (stage barrier + AQE re-plan + shuffle machinery) — the shape
-    #   every relational query in this suite pays at least once, so
-    #   (spark_time - floor_shuffle) is the defensible data-dependent
-    #   cost to hold against the DuckDB baseline.
-    from pyspark.sql import functions as _F
+    import statistics
 
-    floor = floor_shuffle = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(1).write.format("noop").mode("overwrite").save()
-        floor = min(floor, round(time.perf_counter() - t0, 4))
-        t0 = time.perf_counter()
-        spark.range(1000).repartition(4).groupBy(
-            (_F.col("id") % 4).alias("g")
-        ).count().write.format("noop").mode("overwrite").save()
-        floor_shuffle = min(floor_shuffle, round(time.perf_counter() - t0, 4))
+    floor = round(statistics.median(floor_samples), 4)
+    floor_shuffle = round(statistics.median(floor_shuffle_samples), 4)
 
     # ADVICE r8: close on every path — run_duck already closes on a
     # mid-loop oracle error (and nulls con so later queries skip).
@@ -255,6 +275,8 @@ def main() -> None:
     details = {
         "run_id": run_id,
         "floor_shuffle": floor_shuffle,
+        "floor_samples": floor_samples,
+        "floor_shuffle_samples": floor_shuffle_samples,
         "duckdb_baseline": duck,
         "floor_adjusted": fa,
         "gate_2x_over": gate_over,

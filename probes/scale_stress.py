@@ -758,6 +758,55 @@ def main() -> None:
         lambda: force_all(weighted_median_plan(li_wmk, force="array")),
     )
 
+    # ---- round-10 growth probes ----
+    # forward as-of at kx events (users shifted so keys spread, same
+    # orders side): the union-sort operator's wall must track
+    # (|L|+|R|) through its ONE exchange — same law as backward as-of
+    from sparkclif.operators.asof import asof_join_forward
+
+    ev_af = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o_af = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ev_afk = (
+        ev_af.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+        )
+    )
+
+    def fwd(ev):
+        return asof_join_forward(
+            ev, o_af, left_key="user_id", right_key="o_custkey",
+            left_time="ts", right_time="o_orderdate",
+            payload=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+        )
+
+    timed("asof_forward_1x", lambda: force_all(fwd(ev_af)))
+    timed(f"asof_forward_{k}x_events", lambda: force_all(fwd(ev_afk)))
+
+    # embed normalize at kx vectors (ids shifted; clones share values
+    # so the MOMENTS are scaled but the moment-row stays ONE broadcast
+    # row): wall must track the two scans linearly — the projection is
+    # per-row arithmetic, the moment shuffle stays partitions x D
+    from sparkclif.queries.group_r10 import embed_normalize_plan
+
+    emb_1x = table(spark, sf_dir, "embeddings")
+    emb_k = (
+        emb_1x.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("vec_id") + F.col("__c") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+    )
+    timed("embed_normalize_1x", lambda: force_all(embed_normalize_plan(emb_1x)))
+    timed(
+        f"embed_normalize_{k}x_vecs",
+        lambda: force_all(embed_normalize_plan(emb_k)),
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 
