@@ -41,7 +41,13 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # PINNED, never env-derived (round-10 review): PLANS.json is the
+    # canonical sf0.01 baseline that tests/test_plan_budgets.py
+    # hard-compares against — a stray SPARK_GRAFT_SF_DIR exported from
+    # a bench run would silently regenerate it at the wrong sf (plan
+    # choices depend on file-size stats) and commit a poisoned
+    # baseline neither side could detect.
+    sf_dir = "/root/testdata/sf0.01"
 
     out: dict[str, dict] = {}
     for name, spec in sorted(all_queries().items()):

@@ -72,8 +72,26 @@ def embed_normalize_plan(emb: DataFrame) -> DataFrame:
         ).alias("m")
     )
     q = int_basis(F.col("embedding"))
-    e = emb.select("vec_id", q.alias("q")).crossJoin(F.broadcast(m))
-    c = F.zip_with("q", "m", lambda qi, mi: mi["n"] * qi - mi["sum_q"])
+    # Ragged/NULL hygiene, stating exactly the oracle's semantics
+    # (round-10 review — latent on the uniformly-length-64 testbed):
+    # - a NULL/empty vector produces no unnested rows in the oracle
+    #   (WHERE d.i < len(v)), so its vec_id is ABSENT from the output
+    #   — filtered here (size(NULL) is -1, so > 0 covers both);
+    # - a SHORTER vector must fold over its own dims only — zip_with
+    #   against the full corpus-width moment array would NULL-pad and
+    #   poison the folds, so m is sliced to the vector's length;
+    # - a NULL element yields a NULL centered value, which SQL's
+    #   sum/CASE skip — the folds coalesce it to the same effect.
+    e = (
+        emb.select("vec_id", q.alias("q"))
+        .where(F.size("q") > 0)
+        .crossJoin(F.broadcast(m))
+    )
+    c = F.zip_with(
+        F.col("q"),
+        F.slice(F.col("m"), F.lit(1), F.size("q")),
+        lambda qi, mi: mi["n"] * qi - mi["sum_q"],
+    )
     z0_det = (
         F.col("m")[0]["n"] * F.col("m")[0]["sumsq_q"]
         - F.col("m")[0]["sum_q"] * F.col("m")[0]["sum_q"]
@@ -88,12 +106,14 @@ def embed_normalize_plan(emb: DataFrame) -> DataFrame:
         "vec_id",
         "n_dims",
         F.aggregate(
-            "c", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+            "c",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(F.abs(x), F.lit(0)),
         ).alias("c_abs_sum"),
         F.aggregate(
             "c",
             F.lit(0).cast("long"),
-            lambda acc, x: acc + (x > 0).cast("long"),
+            lambda acc, x: acc + F.coalesce((x > 0).cast("long"), F.lit(0)),
         ).alias("n_pos"),
         F.when(
             F.col("__det0") > 0,

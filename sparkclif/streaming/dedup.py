@@ -12,7 +12,6 @@ distinct event set, which is what the SQL oracle states.
 
 from __future__ import annotations
 
-import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,7 +101,7 @@ def stream_dedup_against_store(
     """
     from sparkclif.io import has_data_files
     from sparkclif.operators.dedup import dedup_incremental
-    from sparkclif.streaming.source import stream_shuffle
+    from sparkclif.streaming.source import run_append_stream
 
     if out_dir is None:
         out_dir = source_dir.rstrip("/") + "_store_out"
@@ -113,6 +112,14 @@ def stream_dedup_against_store(
         res = dedup_incremental(batch_df, store)
         epoch_out = f"{out_dir}/batch-{epoch_id:04d}"
         res.write.mode("overwrite").parquet(epoch_out)
+        # An EMPTY micro-batch (or one whose hashes all drop, e.g.
+        # all-NULL text) commits no part files — the delta read below
+        # would raise UNABLE_TO_INFER_SCHEMA inside foreachBatch and
+        # fail the whole StreamingQuery (round-10 review; latent on
+        # the testbed, whose three buckets are all non-empty). No
+        # statuses => no kept rows => no delta to append.
+        if not has_data_files(epoch_out):
+            return
         # store delta strictly AFTER the statuses are on disk, re-read
         # from them (never recomputed against a moving store_dir)
         from pyspark.sql import functions as F
@@ -126,18 +133,11 @@ def stream_dedup_against_store(
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
     )
-    with stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(probe_batch)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    if not os.path.exists(out_dir) or not has_data_files(out_dir):
-        return spark.createDataFrame(
-            [], "doc_id long, content_hash string, status string"
-        )
-    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    return run_append_stream(
+        spark,
+        stream,
+        out_dir,
+        "doc_id long, content_hash string, status string",
+        batch_fn=probe_batch,
+        recursive=True,
+    )

@@ -42,11 +42,15 @@ def stream_shuffle(spark, n: int = STREAM_SHUFFLE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_append_stream(spark, stream_df, out_dir: str, empty_schema: str):
-    """Run an append-mode stream to completion through a plain parquet
+def run_append_stream(
+    spark, stream_df, out_dir: str, empty_schema: str,
+    batch_fn=None, recursive: bool = False,
+):
+    """Run an append-mode stream to completion through a parquet
     foreachBatch sink and read the accumulated output back — the ONE
     implementation of the lifecycle four harnesses used to copy
-    (dedup/join/late/rollup), with the two guards that drifted apart
+    (dedup/join/late/rollup; round-10 review stopped a fifth copy in
+    the store-dedup harness), with the two guards that drifted apart
     in the copies applied uniformly:
 
     - q.stop() in a ``finally``: a failing batch (or an interrupted
@@ -60,6 +64,12 @@ def run_append_stream(spark, stream_df, out_dir: str, empty_schema: str):
       file-less — spark.read.parquet would raise PATH_NOT_FOUND /
       UNABLE_TO_INFER_SCHEMA where the contract is an empty frame with
       ``empty_schema``.
+
+    ``batch_fn`` (optional): replaces the default plain-append sink
+    with a custom per-micro-batch body ``(batch_df, epoch_id) -> None``
+    (e.g. the store-probe harness); the lifecycle and both guards stay
+    here. ``recursive``: read the output back with recursiveFileLookup
+    (for batch_fns that land each epoch in its own subdirectory).
     """
     from sparkclif.io import has_data_files
 
@@ -68,7 +78,7 @@ def run_append_stream(spark, stream_df, out_dir: str, empty_schema: str):
 
     with stream_shuffle(spark):
         q = (
-            stream_df.writeStream.foreachBatch(append_batch)
+            stream_df.writeStream.foreachBatch(batch_fn or append_batch)
             .outputMode("append")
             .start()
         )
@@ -78,7 +88,10 @@ def run_append_stream(spark, stream_df, out_dir: str, empty_schema: str):
             q.stop()
     if not os.path.exists(out_dir) or not has_data_files(out_dir):
         return spark.createDataFrame([], empty_schema)
-    return spark.read.parquet(out_dir)
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.parquet(out_dir)
 
 
 def write_time_chunks(

@@ -34,7 +34,13 @@ import pytest
 from sparkclif.registry import all_queries
 
 PLANS_PATH = os.path.join(os.path.dirname(__file__), "..", "PLANS.json")
-AUDIT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# PINNED, never env-derived (round-10 review): PLANS.json is recorded
+# at sf0.01 and plan choices in the recorded metrics (broadcast vs
+# sort-merge, pushed filters, cost dispatch) depend on file-size
+# stats — a stray SPARK_GRAFT_SF_DIR left over from a bench run would
+# rebuild plans at a different sf and hard-compare them against
+# sf0.01 baselines. probes/plan_audit.py pins the same constant.
+AUDIT_SF_DIR = "/root/testdata/sf0.01"
 
 with open(PLANS_PATH) as _fh:
     PLANS = json.load(_fh)
@@ -67,18 +73,31 @@ def test_pure_plan_metrics_match_audit(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", _IMPURE)
+# Impure queries whose fn() RUNS the whole harness at build time and
+# returns a bare scan of its own accumulated output (streaming
+# harnesses, roundtrip sinks): asserting cartesian/python_eval on that
+# scan is cost without coverage — test_oracle_parity already executes
+# each once per suite run, and the audit's runtime row records the
+# same scan. Excluded here (round-10 review).
+_SCAN_RETURN_PREFIXES = ("h_stream", "h_stateful", "a_sink")
+_IMPURE_RICH = [
+    n for n in _IMPURE if not n.startswith(_SCAN_RETURN_PREFIXES)
+]
+
+
+@pytest.mark.parametrize("name", _IMPURE_RICH)
 def test_impure_plan_has_no_new_scale_killers(spark, name):
+    """The returned frame's plan for these impure builders is rich
+    (the real join/agg/kernel shape); building it does bounded driver
+    work (broadcast seeds, kmeans iterations) but never runs a sink or
+    stream — those are excluded above. AQE neither inserts nor removes
+    CartesianProduct/Python-eval nodes, so the static booleans compare
+    against the audit's runtime row exactly."""
     from sparkclif.plans import formatted_plan, plan_metrics
 
     if name not in PLANS:
         pytest.skip("covered by test_every_query_has_an_audit_row")
-    spec = _SPECS[name]
-    # static BUILD only — never executes the sink/stream; for several
-    # impure builders even the build does bounded driver work
-    # (broadcast seeds, chunk writes), which is exactly what the
-    # audit's runtime row covers elsewhere.
-    got = plan_metrics(formatted_plan(spec.fn(spark, AUDIT_SF_DIR)))
+    got = plan_metrics(formatted_plan(_SPECS[name].fn(spark, AUDIT_SF_DIR)))
     want = PLANS[name]
     assert got["cartesian"] == want["cartesian"], (
         f"{name}: cartesian product drift vs PLANS.json"

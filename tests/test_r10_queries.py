@@ -177,6 +177,82 @@ def test_embed_normalize_constant_dim_yields_null_z0(spark):
     assert all(r["n_pos"] <= 1 for r in rows)
 
 
+def test_embed_normalize_ragged_and_null_vectors_match_oracle_semantics(spark):
+    """Round-10 review: the oracle unnests WHERE d.i < len(v) — a
+    NULL/empty vector is ABSENT from the output, a shorter vector
+    folds over its own dims only, and a NULL element is skipped by
+    SQL's sum/CASE. The Spark plan must state the same rules (the
+    original zip_with NULL-padded against the corpus-width moment
+    array and poisoned the folds)."""
+    from sparkclif.queries.group_r10 import embed_normalize_plan
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.5, 0.2, 0.1]),
+            (1, [0.3, 0.4, 0.2]),
+            (2, [0.1, 0.6]),          # shorter: folds over 2 dims
+            (3, None),                # NULL vector: absent from output
+            (4, []),                  # empty vector: absent from output
+            (5, [0.2, None, 0.3]),    # NULL element: skipped, not poison
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in embed_normalize_plan(emb).collect()}
+    assert set(got) == {0, 1, 2, 5}
+    assert got[2]["n_dims"] == 2
+    assert got[2]["c_abs_sum"] is not None and got[2]["n_pos"] is not None
+    # NULL element counts toward n_dims (the oracle's count(*) does)
+    # but contributes nothing to the folds
+    assert got[5]["n_dims"] == 3
+    assert got[5]["c_abs_sum"] is not None
+    # dim 0 is present on every surviving row, so z0 is computable
+    # wherever the corpus dim-0 variance is positive
+    assert got[0]["z0"] is not None
+
+
+def test_stream_dedup_store_survives_empty_micro_batch(spark, tmp_path):
+    """Round-10 review: an empty source chunk commits no part files;
+    the store-delta read-back must skip it rather than raise
+    UNABLE_TO_INFER_SCHEMA inside foreachBatch and kill the stream."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.operators.dedup import fingerprint_sha256
+    from sparkclif.streaming.dedup import stream_dedup_against_store
+
+    src = str(tmp_path / "src")
+    store_dir = str(tmp_path / "store")
+    os.makedirs(src)
+    batches = [
+        [(0, "alpha")],
+        [],                      # empty micro-batch mid-stream
+        [(3, "alpha"), (6, "beta")],
+    ]
+    for i, rows in enumerate(batches):
+        p = f"{src}/chunk-{i:04d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    spark.createDataFrame([("seed",)], "text string").select(
+        fingerprint_sha256("text").alias("content_hash")
+    ).write.mode("overwrite").parquet(store_dir)
+
+    out = stream_dedup_against_store(
+        spark, src, "doc_id long, text string", store_dir
+    )
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {0: "kept", 3: "dup_store", 6: "kept"}
+
+
 def test_stream_dedup_store_statuses_across_batches(spark, tmp_path):
     """Crafted 3-micro-batch ingest against a seeded store, every
     status class exercised:
