@@ -680,3 +680,64 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, lefts, rights):
     else:
         want = {i: None for i in range(len(lefts))}
     assert got == want
+
+
+@given(
+    lefts=st.lists(st.integers(0, 120), min_size=1, max_size=12),
+    rights=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 5)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@_settings
+def test_asof_forward_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join_forward == pandas merge_asof(direction='forward') on
+    random single-key data — the independent reference implementation,
+    mirroring the nearest-direction property test above. Convention
+    alignment: pandas matches equal times (allow_exact_matches default
+    => inclusive >=) and duplicate right times resolve to the FIRST
+    sorted row (= our min tiebreak) provided rights are pre-sorted by
+    (time, tiebreak)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkclif.operators.asof import asof_join_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(i, 1, ts(s)) for i, s in enumerate(lefts)],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(s), v) for s, v in rights] or [(2, ts(0), 0)],
+        "k long, rt timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join_forward(
+            left, right, left_key="k", right_key="k", left_time="t",
+            right_time="rt", payload=["v"], tiebreak="v",
+        ).collect()
+    }
+    pl = pd.DataFrame(
+        {"lid": range(len(lefts)), "t": [ts(s) for s in lefts]}
+    ).sort_values(["t", "lid"])
+    pr = pd.DataFrame(
+        [(ts(s), v) for s, v in rights], columns=["rt", "v"]
+    ).sort_values(["rt", "v"])
+    if len(pr):
+        m = pd.merge_asof(pl, pr, left_on="t", right_on="rt",
+                          direction="forward")
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in m.itertuples()
+        }
+    else:
+        want = {i: None for i in range(len(lefts))}
+    assert got == want
