@@ -125,9 +125,11 @@ def registrable_domain(host) -> "F.Column":
     the last TWO labels, or the last THREE when the second-to-last
     label is a multi-label-suffix second level (``co``/``ac``/``gov``,
     the common ccTLD pattern — example.co.uk); a host with fewer than
-    two labels is returned unchanged. A full implementation swaps this
-    CASE for a broadcast join against the public-suffix list — same
-    plan shape, the heuristic keeps the operator dependency-free.
+    two labels is returned unchanged. For real crawl hosts use
+    ``registrable_domain_psl`` below — the broadcast join against a
+    caller-supplied public-suffix list (ADVICE r9's upgrade path,
+    landed round 10); this CASE form keeps the oracle-checked census
+    query dependency-free and its SQL restatement exact.
     Pure scan-side expression (split + slice), whole-stage codegen.
     """
     host = F.col(host) if isinstance(host, str) else host
@@ -141,6 +143,108 @@ def registrable_domain(host) -> "F.Column":
             F.concat_ws(".", F.slice(labels, -3, 3)),
         )
         .otherwise(F.concat_ws(".", F.slice(labels, -2, 2)))
+    )
+
+
+# A representative multi-label public-suffix subset (the PSL itself is
+# public data; callers point ``registrable_domain_psl`` at the full
+# ~9k-entry list in production — this default keeps the operator
+# usable offline and the tests meaningful). Single-label TLDs need no
+# entry: the fallback already takes the last two labels.
+DEFAULT_MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "com.br", "org.br", "gov.br", "net.br",
+    "com.cn", "org.cn", "net.cn", "gov.cn",
+    "com.mx", "org.mx", "co.in", "org.in", "gov.in", "co.za",
+    "com.sg", "com.hk", "com.tw", "com.ar", "com.tr", "co.kr",
+    # three-label suffixes exist too (PSL wildcard classes)
+    "pvt.k12.ma.us", "act.edu.au",
+]
+
+
+def registrable_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    suffixes: "DataFrame | list[str] | None" = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """eTLD+1 via broadcast join against a public-suffix list — the
+    production form of ``registrable_domain`` (ADVICE r9's upgrade
+    path): ``example.com.au`` rolls up to ``example.com.au``'s
+    publisher, not to the suffix ``com.au`` the 3-label heuristic
+    collapses it to.
+
+    PSL semantics implemented: the public suffix of a host is its
+    LONGEST suffix present in the list; every label sequence of 1-4
+    trailing labels is a candidate, generated scan-side as an array
+    and exploded (<=4 rows per host, bounded); one broadcast hash join
+    marks which candidates are listed suffixes; a groupBy on the host
+    keeps the longest listed match (map-side combinable — the
+    re-aggregation key is the input row id, so cardinality never
+    exceeds the input). eTLD+1 = one label more than the winning
+    suffix; a host that IS a bare suffix (or has no listed suffix and
+    fewer than two labels) returns unchanged; unlisted hosts fall back
+    to the last-two-labels rule, the PSL's own default (`*` rule).
+
+    Plan at 100 TB: the suffix list is ~9k rows — always broadcast;
+    the explode is a bounded x4; the winner agg shuffles (host-row,
+    best) pairs only. No Python, no window.
+
+    ``suffixes``: a one-column (``suffix``) DataFrame, a list of
+    suffix strings, or None for DEFAULT_MULTI_SUFFIXES."""
+    spark = df.sparkSession
+    if suffixes is None:
+        suffixes = DEFAULT_MULTI_SUFFIXES
+    if isinstance(suffixes, list):
+        suffixes = spark.createDataFrame(
+            [(s,) for s in suffixes], "suffix string"
+        )
+    sfx = suffixes.select(F.col("suffix").alias("__sfx")).dropDuplicates()
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # candidate suffixes: last 1..4 labels (PSL entries are <= 4 labels
+    # in practice; extend the literal if a longer list entry appears)
+    cands = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(4))),
+            lambda k: F.concat_ws(".", F.slice(labels, -k, k)),
+        ),
+        lambda c: c != "",
+    )
+    rid = F.monotonically_increasing_id()
+    base = df.select(
+        "*", rid.alias("__rid"), cands.alias("__cands")
+    )
+    exploded = base.select(
+        "__rid", host.alias("__host"), F.explode("__cands").alias("__cand")
+    )
+    hits = (
+        exploded.join(F.broadcast(sfx), exploded["__cand"] == sfx["__sfx"])
+        .groupBy("__rid")
+        .agg(
+            F.max_by(
+                "__cand", F.length("__cand")
+            ).alias("__best_sfx")
+        )
+    )
+    joined = base.join(hits, "__rid", "left")
+    best = F.col("__best_sfx")
+    # labels in the winning suffix; +1 label = the registrable domain
+    k_sfx = F.size(F.split(best, r"\."))
+    listed = F.when(
+        n > k_sfx,
+        F.concat_ws(".", F.slice(labels, -(k_sfx + 1), k_sfx + 1)),
+    ).otherwise(host)  # host IS a bare public suffix: unchanged
+    fallback = F.when(n < 2, host).otherwise(
+        F.concat_ws(".", F.slice(labels, -2, 2))
+    )
+    return joined.select(
+        *[c for c in df.columns],
+        F.when(best.isNotNull(), listed).otherwise(fallback).alias(out_col),
     )
 
 

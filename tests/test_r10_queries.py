@@ -310,3 +310,100 @@ def test_stream_dedup_store_statuses_across_batches(spark, tmp_path):
     # the store now holds exactly: seed + the 3 kept rows' hashes
     n_store = spark.read.parquet(store_dir).distinct().count()
     assert n_store == 4
+
+
+def test_registrable_domain_psl_longest_match_and_fallback(spark):
+    """registrable_domain_psl against a straight Python model of PSL
+    longest-suffix-match semantics — including the cases ADVICE r9
+    flagged the heuristic collapses (example.com.au, example.or.jp,
+    example.net.nz), bare-suffix hosts, unlisted-TLD fallback and
+    single-label hosts."""
+    from sparkclif.operators.dedup import (
+        DEFAULT_MULTI_SUFFIXES,
+        registrable_domain_psl,
+    )
+
+    hosts = [
+        "www.example.co.uk",       # 2-label suffix + subdomain
+        "example.com.au",          # heuristic collapsed this to com.au
+        "a.b.example.or.jp",
+        "cdn1.example.net.nz",
+        "deep.sub.x.pvt.k12.ma.us",  # 4-label suffix
+        "com.au",                  # host IS a bare public suffix
+        "example.com",             # unlisted TLD -> last-two fallback
+        "www.example.com",
+        "localhost",               # single label: unchanged
+        "example.io",
+    ]
+    sfx = set(DEFAULT_MULTI_SUFFIXES)
+
+    def model(h):
+        labels = h.split(".")
+        best = None
+        for k in range(1, min(len(labels), 4) + 1):
+            cand = ".".join(labels[-k:])
+            if cand in sfx:
+                best = k
+        if best is not None:
+            if len(labels) > best:
+                return ".".join(labels[-(best + 1):])
+            return h
+        if len(labels) < 2:
+            return h
+        return ".".join(labels[-2:])
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(df, "host").collect()
+    }
+    for h in hosts:
+        assert got[h] == model(h), (h, got[h], model(h))
+    assert got["example.com.au"] == "example.com.au"
+    assert got["www.example.co.uk"] == "example.co.uk"
+    assert got["com.au"] == "com.au"
+
+
+def test_stream_dedup_store_state_outlives_the_query(spark, tmp_path):
+    """The design claim behind h_stream_dedup_store: the fingerprint
+    store is a parquet table that OUTLIVES the streaming query — a
+    second, later stream run against the same store must see the first
+    run's kept hashes as dup_store (the recurring-crawl refresh)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkclif.operators.dedup import fingerprint_sha256
+    from sparkclif.streaming.dedup import stream_dedup_against_store
+
+    store_dir = str(tmp_path / "store")
+    spark.createDataFrame([("seed",)], "text string").select(
+        fingerprint_sha256("text").alias("content_hash")
+    ).write.mode("overwrite").parquet(store_dir)
+
+    def run(srcname, batches):
+        src = str(tmp_path / srcname)
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            p = f"{src}/chunk-{i:04d}.parquet"
+            pq.write_table(
+                pa.table(
+                    {"doc_id": [r[0] for r in rows],
+                     "text": [r[1] for r in rows]}
+                ),
+                p,
+            )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        out = stream_dedup_against_store(
+            spark, src, "doc_id long, text string", store_dir
+        )
+        return {r["doc_id"]: r["status"] for r in out.collect()}
+
+    first = run("src1", [[(0, "crawl one doc")], [(3, "another doc")]])
+    assert first == {0: "kept", 3: "kept"}
+    second = run(
+        "src2",
+        [[(6, "crawl one doc"), (9, "fresh in run two")], [(12, "seed")]],
+    )
+    assert second == {6: "dup_store", 9: "kept", 12: "dup_store"}
