@@ -178,20 +178,31 @@ def registrable_domain_psl(
     collapses it to.
 
     PSL semantics implemented: the public suffix of a host is its
-    LONGEST suffix present in the list; every label sequence of 1-4
-    trailing labels is a candidate, generated scan-side as an array
-    and exploded (<=4 rows per host, bounded); one broadcast hash join
-    marks which candidates are listed suffixes; a groupBy on the host
-    keeps the longest listed match (map-side combinable — the
-    re-aggregation key is the input row id, so cardinality never
-    exceeds the input). eTLD+1 = one label more than the winning
-    suffix; a host that IS a bare suffix (or has no listed suffix and
-    fewer than two labels) returns unchanged; unlisted hosts fall back
-    to the last-two-labels rule, the PSL's own default (`*` rule).
+    LONGEST suffix present in the list; every label sequence of 1..K
+    trailing labels is a candidate, where K is the label count of the
+    LONGEST supplied suffix (derived from the list, not hardcoded —
+    ADVICE r10: a fixed cap of 4 silently never matched longer
+    private-section PSL entries). The best suffix is derived per
+    DISTINCT host — the output is a pure function of the host string,
+    so the probe side is ``df.select(host).dropDuplicates()`` and the
+    result joins back ON THE HOST, never on a synthetic row id
+    (ADVICE r10: ``monotonically_increasing_id`` referenced from both
+    branches of a self-join is evaluated independently per subtree and
+    diverges after an upstream shuffle — silent wrong matches).
+    Candidates explode (<= K rows per distinct host, bounded); one
+    broadcast hash join marks listed suffixes; a groupBy on the host
+    keeps the longest listed match. eTLD+1 = one label more than the
+    winning suffix; a host that IS a bare suffix (or has no listed
+    suffix and fewer than two labels) returns unchanged; unlisted
+    hosts fall back to the last-two-labels rule, the PSL's own
+    default (`*` rule).
 
     Plan at 100 TB: the suffix list is ~9k rows — always broadcast;
-    the explode is a bounded x4; the winner agg shuffles (host-row,
-    best) pairs only. No Python, no window.
+    the explode is bounded xK over DISTINCT hosts (crawl host
+    cardinality, orders of magnitude below row count); the join-back
+    keys on the host string — deterministic, AQE can broadcast the
+    per-host map when small and skew-split it when not. No Python,
+    no window, no nondeterministic expressions.
 
     ``suffixes``: a one-column (``suffix``) DataFrame, a list of
     suffix strings, or None for DEFAULT_MULTI_SUFFIXES."""
@@ -199,39 +210,48 @@ def registrable_domain_psl(
     if suffixes is None:
         suffixes = DEFAULT_MULTI_SUFFIXES
     if isinstance(suffixes, list):
+        max_labels = max((s.count(".") + 1 for s in suffixes), default=1)
         suffixes = spark.createDataFrame(
             [(s,) for s in suffixes], "suffix string"
         )
+    else:
+        # one driver-side row off a ~9k-entry broadcastable dim: the
+        # cap must cover the longest supplied entry (ADVICE r10)
+        row = suffixes.agg(
+            F.max(F.size(F.split(F.col("suffix"), r"\."))).alias("m")
+        ).collect()
+        max_labels = row[0]["m"] or 1
     sfx = suffixes.select(F.col("suffix").alias("__sfx")).dropDuplicates()
     host = F.col(host_col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # candidate suffixes: last 1..4 labels (PSL entries are <= 4 labels
-    # in practice; extend the literal if a longer list entry appears)
-    cands = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.least(n, F.lit(4))),
-            lambda k: F.concat_ws(".", F.slice(labels, -k, k)),
-        ),
-        lambda c: c != "",
-    )
-    rid = F.monotonically_increasing_id()
-    base = df.select(
-        "*", rid.alias("__rid"), cands.alias("__cands")
-    )
-    exploded = base.select(
-        "__rid", host.alias("__host"), F.explode("__cands").alias("__cand")
-    )
+
+    def _cands(h):
+        lbls = F.split(h, r"\.")
+        return F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.size(lbls), F.lit(int(max_labels)))
+                ),
+                lambda k: F.concat_ws(".", F.slice(lbls, -k, k)),
+            ),
+            lambda c: c != "",
+        )
+
+    hosts = df.select(host.alias("__host")).dropDuplicates()
     hits = (
-        exploded.join(F.broadcast(sfx), exploded["__cand"] == sfx["__sfx"])
-        .groupBy("__rid")
+        hosts.select(
+            "__host", F.explode(_cands(F.col("__host"))).alias("__cand")
+        )
+        .join(F.broadcast(sfx), F.col("__cand") == F.col("__sfx"))
+        .groupBy("__host")
         .agg(
             F.max_by(
                 "__cand", F.length("__cand")
             ).alias("__best_sfx")
         )
     )
-    joined = base.join(hits, "__rid", "left")
+    joined = df.join(hits, host == F.col("__host"), "left")
     best = F.col("__best_sfx")
     # labels in the winning suffix; +1 label = the registrable domain
     k_sfx = F.size(F.split(best, r"\."))

@@ -135,6 +135,175 @@ def int8_quant_stats(vec: Column) -> dict[str, Column]:
     }
 
 
+def pq_codebook(
+    emb,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[int]]":
+    """The deterministic PQ codebook donors as driver-side metadata:
+    the ``n_codes`` vectors with the smallest ``(md5('pq|' || id),
+    id)``, each as its full integer-basis vector. Shared by
+    ``pq_encode`` and ``pq_adc_search`` so the searcher's lookup
+    tables are built against EXACTLY the encoder's codewords.
+
+    Seed selection carries the RAW vectors through the sort and
+    projects int_basis AFTER the limit: the projection then compiles
+    into TakeOrderedAndProject, so the basis (one definition, the
+    shared helper) runs on only the n_codes survivors instead of
+    every candidate row (~40% of warm build time before)."""
+    seeds = (
+        emb.select(
+            F.col(vec_col).alias("__v"),
+            F.md5(
+                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_codes)
+        .select(int_basis(F.col("__v")).alias("qv"))
+        .collect()
+    )
+    return [[int(x) for x in r["qv"]] for r in seeds]
+
+
+def pq_adc_search(
+    emb,
+    n_queries: int = 4,
+    k: int = 10,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 64,
+):
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011,
+    §III-B) — the step that READS the codes ``pq_encode`` writes and
+    completes the IVF-PQ story: a query is never quantized; instead a
+    per-query lookup table ``lut[sub][code] = ||q_sub - c_code||²``
+    (exact integers, ``n_sub × n_codes`` entries) turns each database
+    vector's 8 code bytes into an approximate distance with ``n_sub``
+    table adds — the 100 TB ANN scan never touches a float vector.
+    Queries are the ``n_queries`` smallest-id vectors (the IVF-anchor
+    convention); a query never matches itself. Returns the top ``k``
+    per query: ``(vec_id, neighbor_id, adc_dist, rank)``, ties by
+    (adc_dist, neighbor_id) — every column exact BIGINT/INT, so the
+    SQL restatement is a full hash check.
+
+    Plan: codes (from the shared encoder, in-row argmin, zero
+    exchanges) fold to one code array per vector (ONE map-side-
+    combined shuffle, the stored-codes table of a real pipeline);
+    the ``n_queries`` LUTs ride the plan as ONE parsed literal
+    (bounded metadata: q × 8 × 16 longs) and each code row explodes
+    into q scored rows scan-side — the ADC sum is an in-row fold over
+    the code array, no join. Top-k is the two-phase window: partial
+    top-k per (query, salt) bucket bounds the q-way hot-key skew —
+    the final per-query window sees ``q × salt_buckets × k`` rows,
+    never the corpus.
+
+    Headroom: |lut entry| <= sub_dim·(2·QUANT)² = 3.2e9; the ADC sum
+    <= n_sub× that = 2.56e10 — exact in BIGINT at any corpus size."""
+    from pyspark.sql import Window
+
+    codes = pq_encode(
+        emb,
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    code_arr = codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("__codes")
+    )
+
+    seed_qvs = pq_codebook(emb, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    queries = (
+        emb.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__v"))
+        .orderBy("__qid")
+        .limit(n_queries)
+        .select("__qid", int_basis(F.col("__v")).alias("qv"))
+        .collect()
+    )
+    if not seed_qvs or not queries:
+        return code_arr.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("long").alias("adc_dist"),
+            F.lit(None).cast("int").alias("rank"),
+        ).where(F.lit(False))
+
+    # per-query ADC tables, driver-side exact ints: lut[q][sub][code]
+    luts = []
+    for qrow in queries:
+        qv = [int(x) for x in qrow["qv"]]
+        lut = [
+            [
+                sum(
+                    (qv[sub * sub_dim + j] - cv[sub * sub_dim + j]) ** 2
+                    for j in range(sub_dim)
+                )
+                for cv in seed_qvs
+            ]
+            for sub in range(n_sub)
+        ]
+        luts.append((int(qrow["__qid"]), lut))
+
+    # ONE parsed literal (the pq_encode py4j-cost rule):
+    # array<struct<q:bigint, lut:array<array<bigint>>>>
+    def _arr(xs):
+        return "array(" + ",".join(f"{v}L" for v in xs) + ")"
+
+    q_lit = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('q',{qid}L,'lut',array("
+            + ",".join(_arr(sub_lut) for sub_lut in lut)
+            + "))"
+            for qid, lut in luts
+        )
+        + ")"
+    )
+
+    scored = code_arr.select(
+        F.col(id_col).alias("neighbor_id"),
+        "__codes",
+        F.explode(q_lit).alias("__q"),
+    ).where(F.col("neighbor_id") != F.col("__q.q"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(F.col("__q.lut"), (sub + 1).cast("int")),
+            (F.element_at("__codes", (sub + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    s = scored.select(
+        F.col("__q.q").alias("vec_id"),
+        "neighbor_id",
+        adc.alias("adc_dist"),
+    )
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("vec_id", "__salt").orderBy("adc_dist", "neighbor_id")
+    partial = (
+        s.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.select("vec_id", "neighbor_id", "adc_dist")
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pq_encode(
     emb,
     n_sub: int = 8,
@@ -186,26 +355,8 @@ def pq_encode(
         ).alias("sub", "sv"),
     ).select(id_col, F.col("sub").cast("int").alias("sub"), "sv")
 
-    # seed selection carries the RAW vectors through the sort and
-    # projects int_basis AFTER the limit: the projection then compiles
-    # into TakeOrderedAndProject, so the basis (one definition, the
-    # shared helper) runs on only the n_codes survivors instead of
-    # every candidate row (~40% of warm build time before)
-    seeds = (
-        emb.select(
-            F.col(vec_col).alias("__v"),
-            F.md5(
-                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_codes)
-        .select(int_basis(F.col("__v")).alias("qv"))
-        .collect()
-    )
-    seed_qvs = [[int(x) for x in r["qv"]] for r in seeds]
-    if not seeds:
+    seed_qvs = pq_codebook(emb, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    if not seed_qvs:
         # empty input: preserve the broadcast-join version's graceful
         # empty result — an all-literal empty codebook would type as
         # array<void> and fail analysis in the lambda field accesses

@@ -86,6 +86,98 @@ def resample_gapfill(
     )
 
 
+def resample_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """LINEAR-interpolation resample — the other half of the
+    hypertable gap-fill story (``resample_gapfill`` forward-fills;
+    this draws the line between neighboring observations, the
+    ``interpolate()`` of timescale-style rollups). One row per (key,
+    ``unit`` bucket) over each key's [first, last] occupied-bucket
+    span: occupied buckets carry their own last-in-bucket value
+    (ties by (ts, id), the gapfill convention); each gap bucket gets
+    ``v0 + (v1 - v0) * (t - t0)/(t1 - t0)`` anchored at the bucket
+    timestamps of the surrounding occupied buckets. The last occupied
+    bucket per key has no right anchor and closes the span — linear
+    interpolation never extrapolates.
+
+    Exactness: anchors are epoch-microsecond BIGINTs and the anchor
+    values are round(value, 4) doubles; the interpolation is stated
+    as the ONE expression ``v0 + (v1 - v0) * (double(t - t0) /
+    double(t1 - t0))`` on both engines — exact integer-valued
+    operands into each IEEE op, so the unrounded double is
+    bit-identical (the i_quality_classifier discipline). Occupied
+    buckets take ``v0`` via the CASE, never via frac = 0, so no
+    reliance on ``x + y*0.0 == x``.
+
+    Plan: the resample_gapfill gap-run expansion verbatim — bucket
+    agg, ONE per-key window (lead of the next occupied bucket and its
+    value instead of a forward-fill frame), per-entry grid-run
+    explode. Two exchanges total; the grid only ever exists as
+    generator output inside a scan stage; per-row explode length is
+    bounded by the longest per-key gap, not the span."""
+    h = F.date_trunc(unit, F.col(ts_col))
+    hourly = events.groupBy(F.col(key_col), h.alias("__h")).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.max_by(
+            F.round(value_col, 4), F.struct(ts_col, id_col)
+        ).alias("__v"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__h")
+    run = hourly.select(
+        key_col,
+        "__h",
+        "__n",
+        "__v",
+        F.lead("__h").over(w).alias("__next"),
+        F.lead("__v").over(w).alias("__nextv"),
+    )
+    # same [this entry, next entry) run as resample_gapfill, same
+    # degenerate-run guard for step > bucket spacing
+    grid_run = F.sequence(
+        F.col("__h"),
+        F.greatest(
+            F.coalesce(F.col("__next") - F.expr(f"interval {step}"), F.col("__h")),
+            F.col("__h"),
+        ),
+        F.expr(f"interval {step}"),
+    )
+    r = run.select(
+        key_col,
+        "__n",
+        "__v",
+        "__nextv",
+        "__h",
+        "__next",
+        F.explode(grid_run).alias("__gh"),
+    )
+    # gap buckets always have a right anchor (__next non-NULL — the
+    # run past the last entry is the entry itself), so the lerp's
+    # denominator is never NULL where the CASE reaches it
+    frac = (
+        (F.unix_micros("__gh") - F.unix_micros("__h")).cast("double")
+        / (F.unix_micros("__next") - F.unix_micros("__h")).cast("double")
+    )
+    lerp = F.col("__v") + (F.col("__nextv") - F.col("__v")) * frac
+    return r.select(
+        key_col,
+        F.unix_micros("__gh").alias("hour_us"),
+        F.when(F.col("__gh") == F.col("__h"), F.col("__n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        F.when(F.col("__gh") == F.col("__h"), F.col("__v"))
+        .otherwise(lerp)
+        .alias("interp_value"),
+    )
+
+
 def cusum_page(
     events,
     target: int = 5000,

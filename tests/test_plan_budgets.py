@@ -66,8 +66,11 @@ def test_pure_plan_metrics_match_audit(spark, name):
     if name not in PLANS:
         pytest.skip("covered by test_every_query_has_an_audit_row")
     got = plan_metrics(formatted_plan(_SPECS[name].fn(spark, AUDIT_SF_DIR)))
-    want = {k: v for k, v in PLANS[name].items() if k in got}
-    assert got == want, (
+    # full-dict compare (ADVICE r10): filtering the recorded row to
+    # got's keys let a removed/renamed metric silently drop out of the
+    # check on both sides. A metric-schema change must regenerate
+    # PLANS.json, not shrink the assertion.
+    assert got == PLANS[name], (
         f"{name}: plan metrics drifted from PLANS.json — if intended, "
         f"regenerate with `python probes/plan_audit.py`"
     )

@@ -1,0 +1,255 @@
+"""Round-11 additions: the PSL-driven census, PQ ADC search, linear
+gap-fill — model tests, the ADVICE r10 determinism/cap regressions,
+recall properties, and plan-shape assertions. Parity vs the DuckDB
+oracle is covered for every registered query by test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- PSL
+
+
+def _psl_model(h: str, sfx: set[str], cap: int) -> str:
+    labels = h.split(".")
+    best = None
+    for k in range(1, min(len(labels), cap) + 1):
+        if ".".join(labels[-k:]) in sfx:
+            best = k
+    if best is not None:
+        if len(labels) > best:
+            return ".".join(labels[-(best + 1):])
+        return h
+    if len(labels) < 2:
+        return h
+    return ".".join(labels[-2:])
+
+
+def test_registrable_domain_psl_deterministic_after_upstream_shuffle(spark):
+    """ADVICE r10 (medium): the old row-id join keyed on
+    monotonically_increasing_id evaluated independently in two
+    self-join branches — an upstream repartition could silently
+    mis-assign suffixes. The host-keyed join must give every row the
+    model answer regardless of upstream partitioning."""
+    from sparkclif.operators.dedup import (
+        DEFAULT_MULTI_SUFFIXES,
+        registrable_domain_psl,
+    )
+
+    hosts = [
+        "www.example.co.uk",
+        "example.com.au",
+        "a.b.example.or.jp",
+        "cdn1.example.net.nz",
+        "deep.sub.x.pvt.k12.ma.us",
+        "com.au",
+        "example.com",
+        "localhost",
+    ]
+    rows = [(i, hosts[i % len(hosts)]) for i in range(256)]
+    df = (
+        spark.createDataFrame(rows, "id long, host string")
+        .repartition(13, "id")  # the hazard: ids/order shuffled upstream
+    )
+    got = registrable_domain_psl(df, "host").collect()
+    sfx = set(DEFAULT_MULTI_SUFFIXES)
+    assert len(got) == 256
+    for r in got:
+        assert r["domain"] == _psl_model(r["host"], sfx, 4), r
+
+
+def test_registrable_domain_psl_cap_derived_from_suffix_list(spark):
+    """ADVICE r10 (low): a fixed 4-label candidate cap silently never
+    matched longer PSL entries. The cap must follow the supplied list
+    — both list and DataFrame inputs — so a 6-label private-section
+    suffix wins over the fallback."""
+    from sparkclif.operators.dedup import registrable_domain_psl
+
+    long_sfx = "a.b.c.d.e.f"  # 6 labels
+    sfx_list = ["co.uk", long_sfx]
+    hosts = [
+        ("www.site.a.b.c.d.e.f",),  # needs cap >= 6 to match
+        ("site.co.uk",),
+        ("plain.example.com",),
+    ]
+    df = spark.createDataFrame(hosts, "host string")
+    for sfx in (sfx_list, spark.createDataFrame([(s,) for s in sfx_list], "suffix string")):
+        got = {r["host"]: r["domain"] for r in registrable_domain_psl(df, "host", sfx).collect()}
+        assert got["www.site.a.b.c.d.e.f"] == "site.a.b.c.d.e.f"
+        assert got["site.co.uk"] == "site.co.uk"
+        assert got["plain.example.com"] == "example.com"
+
+
+def test_domain_stats_psl_plan_shape(spark):
+    """VERDICT r10 item 2's done-bar: the census drives ONE broadcast
+    hash join (the suffix list side), no cartesian product, and no
+    Python eval anywhere in the plan."""
+    from sparkclif.plans import formatted_plan, plan_metrics
+    from sparkclif.registry import REGISTRY
+    import sparkclif.queries  # noqa: F401
+
+    plan = formatted_plan(REGISTRY["i_domain_stats_psl"].fn(spark, SF_DIR))
+    m = plan_metrics(plan)
+    assert m["broadcast_joins"] >= 1, plan
+    assert not m["cartesian"]
+    assert not m["python_eval"]
+
+
+def test_domain_stats_psl_separates_what_heuristic_collapses(spark):
+    """The com.au publishers must NOT roll up to the bare suffix —
+    the exact failure ADVICE r9 flagged in the heuristic census."""
+    from sparkclif.registry import REGISTRY
+    import sparkclif.queries  # noqa: F401
+
+    rows = REGISTRY["i_domain_stats_psl"].fn(spark, SF_DIR).collect()
+    domains = {r["domain"] for r in rows}
+    assert "com.au" not in domains
+    assert "or.jp" not in domains
+    assert any(d.endswith(".com.au") for d in domains)
+    assert any(d.endswith(".pvt.k12.ma.us") for d in domains)
+    # the 4-label-suffix variant rotates 3 cdn hosts per publisher
+    cdn = [r for r in rows if r["domain"].endswith(".pvt.k12.ma.us")]
+    assert cdn and all(r["n_hosts"] == 3 for r in cdn)
+
+
+# ------------------------------------------------------------ PQ ADC
+
+
+def test_pq_adc_search_planted_duplicates_rank_first(spark):
+    """Math guarantee, not a tuning property: an exact duplicate of
+    the query encodes to the query's own argmin cells, so its ADC
+    distance equals sum_sub min_code lut[sub][code] — the global
+    minimum. Planted duplicates must appear in the top-k with the
+    query's minimum ADC distance."""
+    from sparkclif.operators.quantize import pq_adc_search
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # queries: ids 0..3 (smallest ids are the query set)
+    qvecs = {q: rng.uniform(0.5, 1.0, 64).astype("float32") for q in range(4)}
+    for q, v in qvecs.items():
+        rows.append((q, [float(x) for x in v]))
+        # two exact duplicates per query, far-off ids
+        for d in range(2):
+            rows.append((100 + 10 * q + d, [float(x) for x in v]))
+    # 40 far-away fillers
+    for i in range(40):
+        rows.append((200 + i, [float(x) for x in rng.uniform(-1.0, -0.2, 64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_adc_search(emb, n_queries=4, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for q in range(4):
+        res = by_q[q]
+        min_adc = min(r["adc_dist"] for r in res)
+        dups = {100 + 10 * q, 100 + 10 * q + 1}
+        hit = {r["neighbor_id"] for r in res if r["neighbor_id"] in dups}
+        assert hit == dups, (q, res)
+        for r in res:
+            if r["neighbor_id"] in dups:
+                assert r["adc_dist"] == min_adc, (q, r)
+
+
+def test_pq_adc_search_beats_random_on_exact_distance(spark):
+    """Recall-vs-exact property (VERDICT r10 item 3): the mean exact-
+    L2 percentile of ADC's top-10 picks must sit far below random
+    (0.5). Measured 0.175 on the sf0.001 testbed; asserted < 0.35
+    (weather-free: the data and codebook are deterministic)."""
+    import pyarrow.parquet as pq
+    from sparkclif.registry import REGISTRY
+    import sparkclif.queries  # noqa: F401
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    qv = np.vstack(
+        t["embedding"]
+        .apply(lambda a: np.floor(np.asarray(a, dtype=np.float64) * 10000))
+        .to_numpy()
+    ).astype(np.int64)
+    ids = t["vec_id"].to_numpy()
+    order = ids.argsort()
+    ids, qv = ids[order], qv[order]
+
+    rows = REGISTRY["i_embed_pq_search"].fn(spark, SF_DIR).collect()
+    pcts = []
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == set(ids[:4].tolist())
+    for q, neigh in by_q.items():
+        assert len(neigh) == 10
+        qi = int(np.where(ids == q)[0][0])
+        d = ((qv - qv[qi]) ** 2).sum(axis=1)
+        d[qi] = np.iinfo(np.int64).max  # exclude self
+        ranks = d.argsort().argsort()
+        for nid in neigh:
+            ni = int(np.where(ids == nid)[0][0])
+            pcts.append(ranks[ni] / (len(ids) - 1))
+    assert float(np.mean(pcts)) < 0.35, float(np.mean(pcts))
+
+
+def test_pq_adc_search_empty_input(spark):
+    from sparkclif.operators.quantize import pq_adc_search
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq_adc_search(emb).count() == 0
+
+
+# --------------------------------------------------- linear gap-fill
+
+
+def test_resample_interpolate_model(spark):
+    """Hand-built series: occupied buckets keep their own last value;
+    a 3-hour gap splits the line into exact quarters... (1h grid over
+    anchors 4h apart -> fractions 1/4, 2/4, 3/4); single-entry keys
+    emit one row; no extrapolation past the last occupied bucket."""
+    from sparkclif.operators.timeseries import resample_interpolate
+
+    rows = [
+        # user 1: buckets at 00 (v=1.0) and 04 (v=9.0) -> gaps 01,02,03
+        (1, "2024-01-01 00:10:00", 100, 1.0),
+        (1, "2024-01-01 00:20:00", 101, 1.0),  # last-in-bucket tie: later ts wins
+        (1, "2024-01-01 04:30:00", 102, 9.0),
+        # user 2: single bucket
+        (2, "2024-01-01 10:00:00", 200, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["user_id"], r["hour_us"]): (r["n_events"], r["interp_value"])
+        for r in resample_interpolate(ev).collect()
+    }
+    h0 = int(
+        spark.sql("SELECT unix_micros(timestamp'2024-01-01 00:00:00')").collect()[0][0]
+    )
+    hr = 3_600_000_000
+    assert got[(1, h0)] == (2, 1.0)
+    assert got[(1, h0 + 1 * hr)] == (0, 1.0 + 8.0 * (1 / 4))
+    assert got[(1, h0 + 2 * hr)] == (0, 1.0 + 8.0 * (2 / 4))
+    assert got[(1, h0 + 3 * hr)] == (0, 1.0 + 8.0 * (3 / 4))
+    assert got[(1, h0 + 4 * hr)] == (1, 9.0)
+    assert len([k for k in got if k[0] == 1]) == 5  # no extrapolation
+    assert len([k for k in got if k[0] == 2]) == 1
+    assert got[(2, h0 + 10 * hr)] == (1, 5.0)
+
+
+def test_resample_interpolate_two_exchanges(spark):
+    """The gapfill two-exchange budget holds for the linear variant:
+    bucket agg + one per-key window — the grid exists only as
+    generator output."""
+    from sparkclif.io import table
+    from sparkclif.operators.timeseries import resample_interpolate
+    from sparkclif.plans import formatted_plan, plan_metrics
+
+    m = plan_metrics(
+        formatted_plan(resample_interpolate(table(spark, SF_DIR, "events")))
+    )
+    assert m["exchanges"] <= 2, m
+    assert not m["cartesian"] and not m["python_eval"]
