@@ -807,6 +807,67 @@ def main() -> None:
         lambda: force_all(embed_normalize_plan(emb_k)),
     )
 
+    # ---- round-11 growth probes ----
+    # PQ ADC search at kx vectors (ids shifted, clones share values):
+    # the codebook collect + LUT literal are size-invariant, the code
+    # fold is the only corpus-sized shuffle, and the two-phase top-k
+    # sees q x salt x k rows regardless of N — wall must track the
+    # scan+fold linearly
+    from sparkclif.operators.quantize import pq_adc_search
+
+    timed("pq_adc_search_1x", lambda: force_all(pq_adc_search(emb_1x)))
+    timed(
+        f"pq_adc_search_{k}x_vecs",
+        lambda: force_all(pq_adc_search(emb_k)),
+    )
+
+    # PSL census at kx docs (ids shifted, sources shared): the
+    # synthesized host set is CONSTANT under replication, so the
+    # distinct-host probe, the bounded explode, the broadcast join and
+    # the per-host map all stay fixed-size — only the scan and the
+    # host join-back scale; wall must stay well under kx
+    from sparkclif.queries.group_r11 import domain_stats_psl_plan
+
+    docs_1x = table(spark, sf_dir, "documents")
+    docs_k = (
+        docs_1x.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("doc_id") + F.col("__c") * 10_000_000).alias("doc_id"),
+            "source",
+            "lang",
+            "n_chars",
+        )
+    )
+    timed("domain_stats_psl_1x", lambda: force_all(domain_stats_psl_plan(docs_1x)))
+    timed(
+        f"domain_stats_psl_{k}x_docs",
+        lambda: force_all(domain_stats_psl_plan(docs_k)),
+    )
+
+    # linear gap-fill at kx events (users shifted so the key count
+    # grows kx, spans unchanged): the gap-run expansion's grid is sum
+    # of per-key spans — wall and output must both track kx linearly,
+    # same law as the forward-fill gapfill
+    from sparkclif.operators.timeseries import resample_interpolate
+
+    ev_gl = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ev_glk = (
+        ev_gl.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+            "ts",
+            "value",
+        )
+    )
+    timed("gapfill_linear_1x", lambda: force_all(resample_interpolate(ev_gl)))
+    timed(
+        f"gapfill_linear_{k}x_events",
+        lambda: force_all(resample_interpolate(ev_glk)),
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 

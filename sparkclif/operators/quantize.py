@@ -178,6 +178,7 @@ def pq_adc_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt_buckets: int = 64,
+    meta_src=None,
 ):
     """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011,
     §III-B) — the step that READS the codes ``pq_encode`` writes and
@@ -207,6 +208,59 @@ def pq_adc_search(
     <= n_sub× that = 2.56e10 — exact in BIGINT at any corpus size."""
     from pyspark.sql import Window
 
+    # Seeds (pq_codebook's recipe verbatim — md5-ordered donors, basis
+    # projected after the limit) and query vectors collected in ONE
+    # action: both are bounded TakeOrdered subtrees over the same
+    # scan, and unioning them halves the driver job round-trips of
+    # this cache_plan=False build (measured ~0.2 s of the warm pass).
+    # Union output order is not guaranteed, so each subtree's order
+    # key rides along and the split/sort happens driver-side.
+    # ``meta_src``: the frame to run these bounded collects against —
+    # callers that pre-repartition ``emb`` for the heavy encode path
+    # should pass the UN-spread scan here: a TakeOrdered(16) does not
+    # need the repartition exchange the encode does, and paying it
+    # twice under the union tripled the collect job (0.94 -> 0.32 s
+    # measured at sf0.1; at real scale the scan is already parallel
+    # and the choice is neutral).
+    meta = emb if meta_src is None else meta_src
+    seeds_q = (
+        meta.select(
+            F.lit(0).alias("__tag"),
+            F.md5(
+                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
+            ).alias("__o1"),
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__o1", "__sid")
+        .limit(n_codes)
+    )
+    queries_q = (
+        meta.select(
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast("string").alias("__o1"),
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__sid")
+        .limit(n_queries)
+    )
+    collected = (
+        seeds_q.unionAll(queries_q)
+        .select("__tag", "__o1", "__sid", int_basis(F.col("__v")).alias("qv"))
+        .collect()
+    )
+    seed_qvs = [
+        [int(x) for x in r["qv"]]
+        for r in sorted(
+            (r for r in collected if r["__tag"] == 0),
+            key=lambda r: (r["__o1"], r["__sid"]),
+        )
+    ]
+    queries = sorted(
+        (r for r in collected if r["__tag"] == 1), key=lambda r: r["__sid"]
+    )
+
     codes = pq_encode(
         emb,
         n_sub=n_sub,
@@ -214,21 +268,13 @@ def pq_adc_search(
         n_codes=n_codes,
         id_col=id_col,
         vec_col=vec_col,
+        codebook=seed_qvs,
     )
     code_arr = codes.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))),
             lambda s: s["code"],
         ).alias("__codes")
-    )
-
-    seed_qvs = pq_codebook(emb, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
-    queries = (
-        emb.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__v"))
-        .orderBy("__qid")
-        .limit(n_queries)
-        .select("__qid", int_basis(F.col("__v")).alias("qv"))
-        .collect()
     )
     if not seed_qvs or not queries:
         return code_arr.select(
@@ -252,7 +298,7 @@ def pq_adc_search(
             ]
             for sub in range(n_sub)
         ]
-        luts.append((int(qrow["__qid"]), lut))
+        luts.append((int(qrow["__sid"]), lut))
 
     # ONE parsed literal (the pq_encode py4j-cost rule):
     # array<struct<q:bigint, lut:array<array<bigint>>>>
@@ -311,6 +357,7 @@ def pq_encode(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "list[list[int]] | None" = None,
 ):
     """Product-quantization encoding (Jégou et al. 2011): split each
     vector into ``n_sub`` subspaces of ``sub_dim`` dims and assign
@@ -355,7 +402,14 @@ def pq_encode(
         ).alias("sub", "sv"),
     ).select(id_col, F.col("sub").cast("int").alias("sub"), "sv")
 
-    seed_qvs = pq_codebook(emb, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    # ``codebook``: a pq_codebook() result to reuse — pq_adc_search
+    # passes its own so encode+search cost ONE seed-collection job per
+    # plan build, not two (0.17 s of the searcher's warm build time)
+    seed_qvs = (
+        codebook
+        if codebook is not None
+        else pq_codebook(emb, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    )
     if not seed_qvs:
         # empty input: preserve the broadcast-join version's graceful
         # empty result — an all-literal empty codebook would type as

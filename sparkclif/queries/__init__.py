@@ -24,29 +24,39 @@ host string with a list-derived label cap), ``i_embed_pq_search``
 half of the hypertable gap-fill story, on the gapfill two-exchange
 gap-run expansion).
 
-The remaining 47 slots: the r8-stale cohort (the staleness union over
-CORRECTNESS_r01–r10, recomputed this round: exactly 50 queries whose
-latest driver row is r8) minus its three alphabetically-last members
-— ``i_text_stats``, ``i_text_tokenize``, ``j_udtf`` — displaced by
-growth per the pre-planned rule. No other plans were touched this
-round in a way that could move hashes: the ``registrable_domain_psl``
-rewrite (ADVICE r10) had no registered caller before this round's
-growth query, and the ``pq_encode`` seed-collection refactor
-(``operators/quantize.py pq_codebook``) is extraction-only — same
-recipe, same collected values, byte-identical plan for ``i_embed_pq``
-(which is in-window anyway as part of the r8 cohort).
+Then ONE round-11 touched plan whose hashes must not move:
+``i_decontaminate`` — the eval-gram subtree is now MATERIALIZED at
+plan build (localCheckpoint of the static benchmark fingerprint,
+VERDICT r10 item 4's named probe: 1.18 -> 0.63 s warm at sf0.1,
+verified result-identical before adoption; the i_pipeline_end2end
+composition keeps the inline single-pass form by design).
 
-Sums: 3 + 47 = 50. Registered-but-unwindowed surface remains
+The remaining 46 slots: the r8-stale cohort (the staleness union over
+CORRECTNESS_r01–r10, recomputed this round: exactly 50 queries whose
+latest driver row is r8) minus its four alphabetically-last members —
+``i_text_rarity``, ``i_text_stats``, ``i_text_tokenize``, ``j_udtf``
+— displaced by growth + the touched plan per the pre-planned rule.
+No other plans were touched this round in a way that could move
+hashes: the ``registrable_domain_psl`` rewrite (ADVICE r10) had no
+registered caller before this round's growth query; the ``pq_encode``
+seed-collection refactor (``operators/quantize.py pq_codebook``) is
+extraction-only — same recipe, same collected values, byte-identical
+plan for ``i_embed_pq`` (which is in-window anyway as part of the r8
+cohort); and the ``pq_adc_search`` collect-fusion/meta_src/spread-by
+tuning is confined to ``i_embed_pq_search``, which is in-window as
+round-11 growth.
+
+Sums: 3 + 1 + 46 = 50. Registered-but-unwindowed surface remains
 oracle-checked locally every round by tests/test_oracle_parity.py
 under the driver's own row-count+schema+hash comparison, and a
 fresh-process driver simulation (.claude/skills/verify) runs the
 full registry.
 
 Round-12 window plan (stated now so the math is on the record): the
-candidates are the three r11-displaced queries above (r8 rows — the
+candidates are the four r11-displaced queries above (r8 rows — the
 stalest, so they slot FIRST) plus the 48-query r9-stale cohort (the
 50 r9 rows minus d_agg_weighted_median and i_dedup_url, which r10
-re-verified) = 51 for 50 slots; one query is preempted from the r9
+re-verified) = 52 for 50 slots; two queries are preempted from the r9
 cohort's alphabetical tail, and each r12 growth/touched query
 preempts one more from that same tail — everything displaced joins
 the r10 cohort in the r13 window. No new queries are owed first rows
@@ -88,8 +98,11 @@ WINDOW_ORDER = [
     "i_domain_stats_psl",
     "i_embed_pq_search",
     "e_win_gapfill_linear",
-    # -- stalest: the round-8 cohort (50) minus its 3 alphabetically-
-    # -- last members (displaced by growth; first of the r12 window) --
+    # -- round-11 touched plan (hashes must not move) --
+    "i_decontaminate",
+    # -- stalest: the round-8 cohort (50) minus its 4 alphabetically-
+    # -- last members (displaced by growth + the touched plan; first
+    # -- of the r12 window) --
     "a_scan_json_string",
     "a_scan_parquet",
     "a_scan_text_lines",
@@ -136,7 +149,6 @@ WINDOW_ORDER = [
     "i_text_langid",
     "i_text_lm_score",
     "i_text_quality",
-    "i_text_rarity",
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -294,8 +294,14 @@ def i_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two-phase salted top-k window)."""
     from sparkclif.io import spread
 
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    return pq_adc_search(emb)
+    raw = table(spark, sf_dir, "embeddings")
+    # heavy encode path gets the spread, hash-partitioned on vec_id so
+    # the code-fold groupBy(vec_id) satisfies its distribution from
+    # that single exchange (spread's by= reuse rule); the bounded
+    # seed/query collects run on the raw scan (no repartition exchange
+    # under a TakeOrdered(16) — 3x off the build's collect job at
+    # sf0.1)
+    return pq_adc_search(spread(raw, by=["vec_id"]), meta_src=raw)
 
 
 @register(
