@@ -758,23 +758,42 @@ def main() -> None:
         lambda: force_all(weighted_median_plan(li_wmk, force="array")),
     )
 
-    # ---- round-10 growth probes ----
+    # ---- round-10/11 growth probes ----
+    # Replicated inputs are MATERIALIZED to scratch parquet before
+    # timing (round-11 review): a narrow in-plan explode of the
+    # one-file sf0.1 source scans as ONE partition, so the kx side of
+    # every envelope would measure single-task throughput, not the
+    # engine — the exact pitfall replicate()'s write-out exists to
+    # avoid. Both the 1x and kx sides go through the same write+read
+    # so the comparison is scan-parallel on both ends. (The r10
+    # asof_forward/embed_normalize envelopes published before this
+    # fix compared a 1-file 1x scan against an in-plan exploded kx —
+    # re-measured below under the corrected protocol.)
+    def materialize(df, name: str):
+        out = f"{scratch}/{name}.parquet"
+        df.repartition(64).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+
     # forward as-of at kx events (users shifted so keys spread, same
     # orders side): the union-sort operator's wall must track
     # (|L|+|R|) through its ONE exchange — same law as backward as-of
     from sparkclif.operators.asof import asof_join_forward
 
-    ev_af = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev_af = materialize(
+        table(spark, sf_dir, "events").select("event_id", "user_id", "ts"),
+        "ev_af_1x",
+    )
     o_af = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    ev_afk = (
+    ev_afk = materialize(
         ev_af.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .select(
             (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
             (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
             "ts",
-        )
+        ),
+        f"ev_af_{k}x",
     )
 
     def fwd(ev):
@@ -793,13 +812,14 @@ def main() -> None:
     # per-row arithmetic, the moment shuffle stays partitions x D
     from sparkclif.queries.group_r10 import embed_normalize_plan
 
-    emb_1x = table(spark, sf_dir, "embeddings")
-    emb_k = (
+    emb_1x = materialize(table(spark, sf_dir, "embeddings"), "emb_1x")
+    emb_k = materialize(
         emb_1x.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .select(
             (F.col("vec_id") + F.col("__c") * 10_000_000).alias("vec_id"),
             "embedding",
-        )
+        ),
+        f"emb_{k}x",
     )
     timed("embed_normalize_1x", lambda: force_all(embed_normalize_plan(emb_1x)))
     timed(
@@ -828,15 +848,21 @@ def main() -> None:
     # host join-back scale; wall must stay well under kx
     from sparkclif.queries.group_r11 import domain_stats_psl_plan
 
-    docs_1x = table(spark, sf_dir, "documents")
-    docs_k = (
+    docs_1x = materialize(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        ),
+        "docs_psl_1x",
+    )
+    docs_k = materialize(
         docs_1x.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .select(
             (F.col("doc_id") + F.col("__c") * 10_000_000).alias("doc_id"),
             "source",
             "lang",
             "n_chars",
-        )
+        ),
+        f"docs_psl_{k}x",
     )
     timed("domain_stats_psl_1x", lambda: force_all(domain_stats_psl_plan(docs_1x)))
     timed(
@@ -850,17 +876,21 @@ def main() -> None:
     # same law as the forward-fill gapfill
     from sparkclif.operators.timeseries import resample_interpolate
 
-    ev_gl = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "value"
+    ev_gl = materialize(
+        table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        "ev_gl_1x",
     )
-    ev_glk = (
+    ev_glk = materialize(
         ev_gl.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .select(
             (F.col("event_id") + F.col("__c") * 100_000_000).alias("event_id"),
             (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
             "ts",
             "value",
-        )
+        ),
+        f"ev_gl_{k}x",
     )
     timed("gapfill_linear_1x", lambda: force_all(resample_interpolate(ev_gl)))
     timed(

@@ -135,6 +135,33 @@ def int8_quant_stats(vec: Column) -> dict[str, Column]:
     }
 
 
+def _pq_seed_candidates(emb, n_codes, id_col, vec_col):
+    """The md5-ordered donor subtree — the ONE definition of the PQ
+    codebook's seed-selection recipe (order key ``(md5('pq|' || id),
+    id)``, raw vectors carried through the sort so int_basis projects
+    AFTER the limit and compiles into TakeOrderedAndProject). Shared
+    by ``pq_codebook`` (direct collect) and ``pq_adc_search`` (its
+    union-fused metadata collect): the searcher's lookup tables MUST
+    be built against exactly the encoder's codewords, and a second
+    inlined copy of the recipe would let a future edit split them
+    silently — both oracles restate their own recipe, so parity
+    alone would not catch the drift (round-11 review finding).
+    Columns: ``(__o1, __sid, __v)`` — the order keys ride along so a
+    caller that unions this subtree (losing TakeOrdered's row order)
+    can re-sort driver-side."""
+    return (
+        emb.select(
+            F.md5(
+                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
+            ).alias("__o1"),
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__o1", "__sid")
+        .limit(n_codes)
+    )
+
+
 def pq_codebook(
     emb,
     n_codes: int = 16,
@@ -145,26 +172,13 @@ def pq_codebook(
     the ``n_codes`` vectors with the smallest ``(md5('pq|' || id),
     id)``, each as its full integer-basis vector. Shared by
     ``pq_encode`` and ``pq_adc_search`` so the searcher's lookup
-    tables are built against EXACTLY the encoder's codewords.
-
-    Seed selection carries the RAW vectors through the sort and
-    projects int_basis AFTER the limit: the projection then compiles
-    into TakeOrderedAndProject, so the basis (one definition, the
-    shared helper) runs on only the n_codes survivors instead of
-    every candidate row (~40% of warm build time before)."""
-    seeds = (
-        emb.select(
-            F.col(vec_col).alias("__v"),
-            F.md5(
-                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_codes)
-        .select(int_basis(F.col("__v")).alias("qv"))
-        .collect()
-    )
+    tables are built against EXACTLY the encoder's codewords; the
+    selection recipe itself lives in ``_pq_seed_candidates`` (one
+    definition)."""
+    seeds = _pq_seed_candidates(emb, n_codes, id_col, vec_col).select(
+        "__o1", "__sid", int_basis(F.col("__v")).alias("qv")
+    ).collect()
+    seeds.sort(key=lambda r: (r["__o1"], r["__sid"]))
     return [[int(x) for x in r["qv"]] for r in seeds]
 
 
@@ -223,17 +237,8 @@ def pq_adc_search(
     # measured at sf0.1; at real scale the scan is already parallel
     # and the choice is neutral).
     meta = emb if meta_src is None else meta_src
-    seeds_q = (
-        meta.select(
-            F.lit(0).alias("__tag"),
-            F.md5(
-                F.concat(F.lit("pq|"), F.col(id_col).cast("string"))
-            ).alias("__o1"),
-            F.col(id_col).alias("__sid"),
-            F.col(vec_col).alias("__v"),
-        )
-        .orderBy("__o1", "__sid")
-        .limit(n_codes)
+    seeds_q = _pq_seed_candidates(meta, n_codes, id_col, vec_col).select(
+        F.lit(0).alias("__tag"), "__o1", "__sid", "__v"
     )
     queries_q = (
         meta.select(

@@ -102,10 +102,19 @@ def resample_interpolate(
     ``unit`` bucket) over each key's [first, last] occupied-bucket
     span: occupied buckets carry their own last-in-bucket value
     (ties by (ts, id), the gapfill convention); each gap bucket gets
-    ``v0 + (v1 - v0) * (t - t0)/(t1 - t0)`` anchored at the bucket
-    timestamps of the surrounding occupied buckets. The last occupied
-    bucket per key has no right anchor and closes the span — linear
-    interpolation never extrapolates.
+    ``v0 + (v1 - v0) * (t - t0)/(t1 - t0)``.
+
+    Anchor rule (round-11 review): the lerp anchors on the nearest
+    buckets with OBSERVED (non-NULL) values — a bucket whose events
+    all carry NULL values is a real bucket (it emits its own NULL and
+    bounds the grid) but is NOT an interpolation anchor; the line is
+    drawn straight through it, the hypertable ``interpolate()``
+    semantics. (The first cut anchored on the ADJACENT occupied
+    bucket regardless of NULLness — value-identical on the NULL-free
+    testbed, divergent from the IGNORE NULLS oracle on real data:
+    exactly the latent class ADVICE r9/r10 flagged for i_dedup_url.)
+    A gap with no non-NULL anchor on one side interpolates to NULL —
+    never extrapolates.
 
     Exactness: anchors are epoch-microsecond BIGINTs and the anchor
     values are round(value, 4) doubles; the interpolation is stated
@@ -113,15 +122,17 @@ def resample_interpolate(
     double(t1 - t0))`` on both engines — exact integer-valued
     operands into each IEEE op, so the unrounded double is
     bit-identical (the i_quality_classifier discipline). Occupied
-    buckets take ``v0`` via the CASE, never via frac = 0, so no
-    reliance on ``x + y*0.0 == x``.
+    buckets take their own value via the CASE, never via frac = 0,
+    so no reliance on ``x + y*0.0 == x``.
 
     Plan: the resample_gapfill gap-run expansion verbatim — bucket
-    agg, ONE per-key window (lead of the next occupied bucket and its
-    value instead of a forward-fill frame), per-entry grid-run
-    explode. Two exchanges total; the grid only ever exists as
-    generator output inside a scan stage; per-row explode length is
-    bounded by the longest per-key gap, not the span."""
+    agg, ONE per-key window operator (lead of the next occupied
+    bucket plus IGNORE-NULLS last/first frames for the four lerp
+    anchors — different frames, same partition+order, one sort),
+    per-entry grid-run explode. Two exchanges total; the grid only
+    ever exists as generator output inside a scan stage; per-row
+    explode length is bounded by the longest per-key gap, not the
+    span."""
     h = F.date_trunc(unit, F.col(ts_col))
     hourly = events.groupBy(F.col(key_col), h.alias("__h")).agg(
         F.count("*").cast("long").alias("__n"),
@@ -130,13 +141,22 @@ def resample_interpolate(
         ).alias("__v"),
     )
     w = Window.partitionBy(key_col).orderBy("__h")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    obs_h = F.when(F.col("__v").isNotNull(), F.col("__h"))
     run = hourly.select(
         key_col,
         "__h",
         "__n",
         "__v",
         F.lead("__h").over(w).alias("__next"),
-        F.lead("__v").over(w).alias("__nextv"),
+        # non-NULL lerp anchors: last observed at-or-before this entry,
+        # first observed strictly after it (every gap bucket in this
+        # entry's run shares them — no occupied bucket lies between)
+        F.last("__v", ignorenulls=True).over(wb).alias("__v0"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("__t0"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__v1"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("__t1"),
     )
     # same [this entry, next entry) run as resample_gapfill, same
     # degenerate-run guard for step > bucket spacing
@@ -152,19 +172,22 @@ def resample_interpolate(
         key_col,
         "__n",
         "__v",
-        "__nextv",
         "__h",
-        "__next",
+        "__v0",
+        "__t0",
+        "__v1",
+        "__t1",
         F.explode(grid_run).alias("__gh"),
     )
-    # gap buckets always have a right anchor (__next non-NULL — the
-    # run past the last entry is the entry itself), so the lerp's
-    # denominator is never NULL where the CASE reaches it
+    # __t0 < gap bucket < __t1 whenever both anchors exist (they are
+    # distinct observed buckets on opposite sides), so the denominator
+    # is strictly positive; a missing anchor NULLs the lerp through
+    # ordinary NULL arithmetic — the declared no-extrapolation result
     frac = (
-        (F.unix_micros("__gh") - F.unix_micros("__h")).cast("double")
-        / (F.unix_micros("__next") - F.unix_micros("__h")).cast("double")
+        (F.unix_micros("__gh") - F.unix_micros("__t0")).cast("double")
+        / (F.unix_micros("__t1") - F.unix_micros("__t0")).cast("double")
     )
-    lerp = F.col("__v") + (F.col("__nextv") - F.col("__v")) * frac
+    lerp = F.col("__v0") + (F.col("__v1") - F.col("__v0")) * frac
     return r.select(
         key_col,
         F.unix_micros("__gh").alias("hour_us"),

@@ -311,13 +311,15 @@ def i_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly, with lead() + per-entry generate_series, runs 35x
     # slower there: ~1M per-row generator calls vs one per user; both
     # forms emit the identical [first, last] bucket relation). The
-    # anchors are the SAME: t0/v0 = the previous occupied bucket and
-    # its (ts, event_id)-tiebroken last value, t1/v1 = the next; the
-    # lerp is the IDENTICAL IEEE expression (exact integer-valued
-    # operands into each op — unrounded by design, the
-    # i_quality_classifier rule). The last grid bucket is occupied by
-    # construction (date_trunc of max ts), so gaps always have a
-    # right anchor on both engines.
+    # anchors are the SAME: t0/v0 = the previous OBSERVED (non-NULL
+    # valued) bucket and its (ts, event_id)-tiebroken last value,
+    # t1/v1 = the next observed one — a bucket whose events all carry
+    # NULL values emits its own NULL and is skipped as an anchor, on
+    # BOTH engines (round-11 review; the CASE inside the t0/t1
+    # windows is what keeps the timestamp anchors paired with the
+    # value anchors). The lerp is the IDENTICAL IEEE expression
+    # (exact integer-valued operands into each op — unrounded by
+    # design, the i_quality_classifier rule).
     oracle="""
     WITH lastrow AS (
         SELECT user_id, date_trunc('hour', ts) AS h, round(value, 4) AS v
@@ -351,15 +353,16 @@ def i_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                last_value(v IGNORE NULLS) OVER (
                    PARTITION BY user_id ORDER BY gh
                    ROWS UNBOUNDED PRECEDING) AS v0,
-               last_value(h IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY gh
-                   ROWS UNBOUNDED PRECEDING) AS t0,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY gh
+                         ROWS UNBOUNDED PRECEDING) AS t0,
                first_value(v IGNORE NULLS) OVER (
                    PARTITION BY user_id ORDER BY gh
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
-               first_value(h IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY gh
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY gh
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS t1
         FROM j
     )
     SELECT user_id, epoch_us(gh) AS hour_us,
@@ -376,9 +379,10 @@ def e_win_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation time-series resample (the hypertable
     ``interpolate()``): one row per (user, hour) over each user's
     occupied span; gap buckets get the line between the surrounding
-    occupied buckets' last values, anchored at bucket timestamps —
-    where ``e_win_gapfill`` repeats the left value, this draws the
-    trend through the gap. Same two-exchange gap-run expansion; see
+    OBSERVED buckets' last values, anchored at bucket timestamps
+    (NULL-valued buckets are emitted but never anchor) — where
+    ``e_win_gapfill`` repeats the left value, this draws the trend
+    through the gap. Same two-exchange gap-run expansion; see
     operators/timeseries.py resample_interpolate."""
     ev = table(spark, sf_dir, "events")
     return resample_interpolate(ev)

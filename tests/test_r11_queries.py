@@ -240,6 +240,179 @@ def test_resample_interpolate_model(spark):
     assert got[(2, h0 + 10 * hr)] == (1, 5.0)
 
 
+def test_resample_interpolate_null_buckets_are_not_anchors(spark):
+    """Round-11 review finding: a bucket whose events all carry NULL
+    values must emit its own NULL but NOT anchor the lerp — the line
+    is drawn straight through it (the IGNORE NULLS semantics the SQL
+    oracle states). Also covers the no-left-anchor edge: gaps after a
+    leading NULL-only bucket interpolate to NULL, never extrapolate.
+    """
+    from sparkclif.operators.timeseries import resample_interpolate
+
+    rows = [
+        # user 1: h0 v=1.0; h2 NULL-only; h4 v=9.0 -> the lerp spans
+        # [h0, h4] straight through h2
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (1, "2024-01-01 02:00:00", 2, None),
+        (1, "2024-01-01 04:00:00", 3, 9.0),
+        # user 2: leading NULL-only bucket at h0, observed at h2 ->
+        # h0 emits NULL, the h1 gap has no left anchor -> NULL
+        (2, "2024-01-01 00:00:00", 4, None),
+        (2, "2024-01-01 02:00:00", 5, 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["user_id"], r["hour_us"]): (r["n_events"], r["interp_value"])
+        for r in resample_interpolate(ev).collect()
+    }
+    h0 = int(
+        spark.sql("SELECT unix_micros(timestamp'2024-01-01 00:00:00')").collect()[0][0]
+    )
+    hr = 3_600_000_000
+    assert got[(1, h0)] == (1, 1.0)
+    assert got[(1, h0 + 1 * hr)] == (0, 1.0 + 8.0 * (1 / 4))
+    assert got[(1, h0 + 2 * hr)] == (1, None)  # occupied, own NULL
+    assert got[(1, h0 + 3 * hr)] == (0, 1.0 + 8.0 * (3 / 4))
+    assert got[(1, h0 + 4 * hr)] == (1, 9.0)
+    assert got[(2, h0)] == (1, None)
+    assert got[(2, h0 + 1 * hr)] == (0, None)  # no left anchor
+    assert got[(2, h0 + 2 * hr)] == (1, 4.0)
+
+
+def test_resample_interpolate_null_buckets_match_oracle_semantics(spark):
+    """Differential check of the SAME NULL-bucket frame against the
+    registered oracle's SQL idiom run on the identical rows in DuckDB
+    — the parity the fixed testbed (0 NULL values) cannot exercise."""
+    import duckdb
+
+    from sparkclif.operators.timeseries import resample_interpolate
+    from sparkclif.registry import REGISTRY
+    import sparkclif.queries  # noqa: F401
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (1, "2024-01-01 00:30:00", 2, None),  # NULL is last in bucket
+        (1, "2024-01-01 02:00:00", 3, None),
+        (1, "2024-01-01 05:00:00", 4, 7.0),
+        (2, "2024-01-01 00:00:00", 5, None),
+        (2, "2024-01-01 03:00:00", 6, 2.0),
+        (3, "2024-01-01 10:00:00", 7, 3.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r["user_id"], r["hour_us"], r["n_events"], r["interp_value"])
+        for r in resample_interpolate(ev).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, TIMESTAMP '{ts}', {e}, "
+            + ("NULL::DOUBLE" if v is None else repr(v))
+            + ")"
+            for u, ts, e, v in rows
+        )
+        + ") t(user_id, ts, event_id, value)"
+    )
+    want = sorted(
+        map(tuple, con.execute(REGISTRY["e_win_gapfill_linear"].oracle).fetchall())
+    )
+    con.close()
+    assert got == want
+
+
+def _interp_model(rows):
+    """Pure-Python spec of resample_interpolate: bucket to hours,
+    last-in-bucket value by (ts, id), grid over [first, last] occupied
+    hour, gaps lerped between the nearest OBSERVED (non-None) buckets,
+    None when an anchor is missing. Mirrors the operator's IEEE
+    expression order exactly (Python floats are doubles)."""
+    out = {}
+    by_user: dict = {}
+    for u, hr, minute, eid, v in rows:
+        by_user.setdefault(u, []).append((hr, minute, eid, v))
+    for u, evs in by_user.items():
+        buckets: dict = {}
+        for hr, minute, eid, v in evs:
+            n, best = buckets.get(hr, (0, None))
+            if best is None or (minute, eid) > best[0]:
+                best = ((minute, eid), v)
+            buckets[hr] = (n + 1, best)
+        occ = {hr: (n, best[1]) for hr, (n, best) in buckets.items()}
+        obs = sorted(hr for hr, (_, v) in occ.items() if v is not None)
+        lo, hi = min(occ), max(occ)
+        for gh in range(lo, hi + 1):
+            if gh in occ:
+                out[(u, gh)] = occ[gh]
+                continue
+            t0 = max((h for h in obs if h < gh), default=None)
+            t1 = min((h for h in obs if h > gh), default=None)
+            if t0 is None or t1 is None:
+                out[(u, gh)] = (0, None)
+                continue
+            v0, v1 = occ[t0][1], occ[t1][1]
+            us = 3_600_000_000
+            frac = float((gh - t0) * us) / float((t1 - t0) * us)
+            out[(u, gh)] = (0, v0 + (v1 - v0) * frac)
+    return out
+
+
+def test_resample_interpolate_matches_python_model(spark):
+    """Hypothesis property: engine == the 30-line Python spec over
+    random event sets (NULL values included). Examples kept small —
+    one Spark round-trip each."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparkclif.operators.timeseries import resample_interpolate
+
+    event = st.tuples(
+        st.integers(min_value=1, max_value=3),    # user
+        st.integers(min_value=0, max_value=6),    # hour
+        st.integers(min_value=0, max_value=59),   # minute
+        st.integers(min_value=0, max_value=999),  # event_id
+        st.one_of(st.none(), st.sampled_from([1.0, 2.5, -3.25, 0.0, 10.5])),
+    )
+
+    h0 = int(
+        spark.sql("SELECT unix_micros(timestamp'2024-01-01 00:00:00')").collect()[0][0]
+    )
+
+    @given(rows=st.lists(event, min_size=1, max_size=14, unique_by=lambda e: e[3]))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(rows):
+        ev = spark.createDataFrame(
+            [
+                (
+                    u,
+                    f"2024-01-01 {hr:02d}:{minute:02d}:00",
+                    eid,
+                    v,
+                )
+                for u, hr, minute, eid, v in rows
+            ],
+            "user_id long, ts string, event_id long, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r["user_id"], (r["hour_us"] - h0) // 3_600_000_000): (
+                r["n_events"],
+                r["interp_value"],
+            )
+            for r in resample_interpolate(ev).collect()
+        }
+        assert got == _interp_model(rows)
+
+    run()
+
+
 def test_resample_interpolate_two_exchanges(spark):
     """The gapfill two-exchange budget holds for the linear variant:
     bucket agg + one per-key window — the grid exists only as
