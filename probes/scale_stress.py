@@ -841,6 +841,18 @@ def main() -> None:
         lambda: force_all(pq_adc_search(emb_k)),
     )
 
+    # fused IVF-PQ at kx vectors: candidate volume is the probed
+    # fraction of the corpus (2/8 of postings here), the rest of the
+    # corpus never leaves the scan — wall must track the scan+fold,
+    # strictly below a full-corpus ADC pass
+    from sparkclif.operators.quantize import ivf_pq_search
+
+    timed("ivf_pq_search_1x", lambda: force_all(ivf_pq_search(emb_1x)))
+    timed(
+        f"ivf_pq_search_{k}x_vecs",
+        lambda: force_all(ivf_pq_search(emb_k)),
+    )
+
     # PSL census at kx docs (ids shifted, sources shared): the
     # synthesized host set is CONSTANT under replication, so the
     # distinct-host probe, the bounded explode, the broadcast join and

@@ -290,20 +290,11 @@ def pq_adc_search(
         ).where(F.lit(False))
 
     # per-query ADC tables, driver-side exact ints: lut[q][sub][code]
-    luts = []
-    for qrow in queries:
-        qv = [int(x) for x in qrow["qv"]]
-        lut = [
-            [
-                sum(
-                    (qv[sub * sub_dim + j] - cv[sub * sub_dim + j]) ** 2
-                    for j in range(sub_dim)
-                )
-                for cv in seed_qvs
-            ]
-            for sub in range(n_sub)
-        ]
-        luts.append((int(qrow["__sid"]), lut))
+    # (shared _lut_for definition with ivf_pq_search)
+    luts = [
+        (int(qrow["__sid"]), _lut_for([int(x) for x in qrow["qv"]], seed_qvs, n_sub, sub_dim))
+        for qrow in queries
+    ]
 
     # ONE parsed literal (the pq_encode py4j-cost rule):
     # array<struct<q:bigint, lut:array<array<bigint>>>>
@@ -350,6 +341,223 @@ def pq_adc_search(
     w2 = Window.partitionBy("vec_id").orderBy("adc_dist", "neighbor_id")
     return (
         partial.select("vec_id", "neighbor_id", "adc_dist")
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _lut_for(qv, seed_qvs, n_sub, sub_dim):
+    """ADC lookup table for one query: lut[sub][code] = exact integer
+    ||q_sub - c_sub||² — one definition for pq_adc_search and
+    ivf_pq_search."""
+    return [
+        [
+            sum(
+                (qv[sub * sub_dim + j] - cv[sub * sub_dim + j]) ** 2
+                for j in range(sub_dim)
+            )
+            for cv in seed_qvs
+        ]
+        for sub in range(n_sub)
+    ]
+
+
+def ivf_pq_search(
+    emb,
+    n_queries: int = 4,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 64,
+    meta_src=None,
+):
+    """IVF-PQ search — the two stages fused, the actual 100 TB ANN
+    memory layout (Jégou et al. 2011 §V): an IVF coarse quantizer
+    prunes the corpus to the postings of each query's ``n_probe``
+    nearest clusters, and within those postings the ranking is
+    PQ asymmetric distance over the stored code bytes — the scan
+    touches a float vector exactly never, and touches only
+    ~n_probe/n_clusters of the codes.
+
+    Deterministic exact-integer conventions shared with the anchors:
+    centroids are the ``n_clusters`` smallest-id vectors and every
+    vector posts to its argmax-dot cluster, ties to the lowest
+    centroid id (the ``i_sim_ivf_probe_stats`` recipe); queries are
+    the ``n_queries`` smallest-id vectors and the codebook is the
+    md5-ordered seed set (the ``pq_adc_search``/``i_embed_pq``
+    recipe, one definition: ``_pq_seed_candidates``). Returns top
+    ``k`` per query: ``(vec_id, neighbor_id, cluster, adc_dist,
+    rank)``, ties by (adc_dist, neighbor_id) — all exact, full hash
+    check. A (query, neighbor) pair meets at most once (a posting
+    lives in exactly one cluster), so no dedup stage exists.
+
+    Plan: ONE metadata collect (md5 seeds ∪ smallest-id heads — the
+    heads double as centroids and queries); cluster assignment is an
+    in-row argmax over the centroid literal on the same scan; codes
+    fold per vector (the one corpus-sized shuffle, exchange-reused
+    from the caller's id-keyed spread) and join their posting cluster
+    with both sides already hash-partitioned on the id — no new
+    exchange; the (cluster -> [(query, lut)]) probe table rides the
+    plan as ONE parsed map literal, so candidate generation is a
+    map-lookup explode that emits rows ONLY for probed clusters
+    (unprobed postings never leave the scan); two-phase salted top-k
+    as in pq_adc_search. At 100 TB the probe table is
+    queries × n_probe entries of bounded LUTs and the candidate
+    stream is the probed fraction of the corpus."""
+    from pyspark.sql import Window
+
+    meta = emb if meta_src is None else meta_src
+    n_heads = max(n_clusters, n_queries)
+    seeds_q = _pq_seed_candidates(meta, n_codes, id_col, vec_col).select(
+        F.lit(0).alias("__tag"), "__o1", "__sid", "__v"
+    )
+    heads_q = (
+        meta.select(
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast("string").alias("__o1"),
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__sid")
+        .limit(n_heads)
+    )
+    collected = (
+        seeds_q.unionAll(heads_q)
+        .select("__tag", "__o1", "__sid", int_basis(F.col("__v")).alias("qv"))
+        .collect()
+    )
+    seed_qvs = [
+        [int(x) for x in r["qv"]]
+        for r in sorted(
+            (r for r in collected if r["__tag"] == 0),
+            key=lambda r: (r["__o1"], r["__sid"]),
+        )
+    ]
+    heads = sorted(
+        ((int(r["__sid"]), [int(x) for x in r["qv"]]) for r in collected if r["__tag"] == 1),
+        key=lambda t: t[0],
+    )
+    centroids = heads[:n_clusters]
+    queries = heads[:n_queries]
+    if not seed_qvs or not centroids or not queries:
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("adc_dist"),
+            F.lit(None).cast("int").alias("rank"),
+        ).where(F.lit(False))
+
+    def _arr(xs):
+        return "array(" + ",".join(f"{v}L" for v in xs) + ")"
+
+    # in-row cluster assignment: argmax exact dot over the centroid
+    # literal, ties to the lowest centroid id — array_min of
+    # (-score, id) structs, each dot computed exactly once
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('c',{cid}L,'cv',{_arr(cv)})" for cid, cv in centroids
+        )
+        + ")"
+    )
+
+    def dot_to(cw):
+        return F.aggregate(
+            F.zip_with("__qv", cw["cv"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored_c = F.transform(
+        cent_lit,
+        lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
+    )
+    postings = emb.select(
+        F.col(id_col), int_basis(F.col(vec_col)).alias("__qv")
+    ).select(F.col(id_col), F.array_min(scored_c)["c"].alias("__cluster"))
+
+    codes = pq_encode(
+        emb,
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebook=seed_qvs,
+    )
+    code_arr = codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("__codes")
+    )
+    cand_side = code_arr.join(postings, id_col)
+
+    # driver-side probe selection: each query's n_probe best clusters
+    # by the SAME exact integer dot + tiebreak, then the probe table
+    # (cluster -> [(query, lut)]) as one parsed map literal
+    probes: dict = {}
+    for qid, qv in queries:
+        order = sorted(
+            centroids,
+            key=lambda c: (-sum(a * b for a, b in zip(qv, c[1])), c[0]),
+        )[:n_probe]
+        lut = _lut_for(qv, seed_qvs, n_sub, sub_dim)
+        for cid, _ in order:
+            probes.setdefault(cid, []).append((qid, lut))
+    probe_lit = F.expr(
+        "map("
+        + ",".join(
+            f"{cid}L,array("
+            + ",".join(
+                f"named_struct('q',{qid}L,'lut',array("
+                + ",".join(_arr(sub_lut) for sub_lut in lut)
+                + "))"
+                for qid, lut in lst
+            )
+            + ")"
+            for cid, lst in sorted(probes.items())
+        )
+        + ")"
+    )
+
+    scored = cand_side.select(
+        F.col(id_col).alias("neighbor_id"),
+        "__codes",
+        F.col("__cluster").alias("cluster"),
+        F.explode(probe_lit[F.col("__cluster")]).alias("__q"),
+    ).where(F.col("neighbor_id") != F.col("__q.q"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(F.col("__q.lut"), (sub + 1).cast("int")),
+            (F.element_at("__codes", (sub + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    s = scored.select(
+        F.col("__q.q").alias("vec_id"),
+        "neighbor_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        adc.alias("adc_dist"),
+    )
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("vec_id", "__salt").orderBy("adc_dist", "neighbor_id")
+    partial = (
+        s.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.select("vec_id", "neighbor_id", "cluster", "adc_dist")
         .withColumn("rank", F.row_number().over(w2).cast("int"))
         .where(F.col("rank") <= k)
     )

@@ -305,6 +305,118 @@ def i_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i_sim_ivf_pq",
+    # cache_plan=False: plan build collects codebook + heads.
+    cache_plan=False,
+    # Exact restatement fusing the two anchor oracles: the
+    # i_sim_ivf_probe_stats centroid/posting/probe CTEs (8 smallest-id
+    # centroids, argmax integer dot, ties lowest id; queries probe
+    # their 2 nearest) over i_embed_pq's codes CTE with
+    # i_embed_pq_search's lut, ADC summed per (query, posting of a
+    # probed cluster), top-3 by (adc, neighbor). All-integer.
+    oracle=r"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS c_id, qv AS cqv FROM q ORDER BY vec_id LIMIT 8),
+    scores AS (
+        SELECT q.vec_id, c.c_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                   j -> q.qv[j] * c.cqv[j])) AS BIGINT) AS score
+        FROM q CROSS JOIN cent c
+    ),
+    ranked AS (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, c_id) AS pr
+        FROM scores
+    ),
+    posting AS (SELECT vec_id, c_id AS cluster FROM ranked WHERE pr = 1),
+    queries AS (SELECT vec_id AS q_id, qv FROM q ORDER BY vec_id LIMIT 4),
+    probe AS (
+        SELECT r.vec_id AS q_id, r.c_id AS cluster
+        FROM ranked r JOIN queries qs ON qs.q_id = r.vec_id
+        WHERE r.pr <= 2
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, qv
+        FROM (SELECT vec_id, qv, md5('pq|' || vec_id::VARCHAR) AS h
+              FROM q ORDER BY h, vec_id LIMIT 16)
+    ),
+    subs AS (
+        SELECT vec_id, CAST(s.i AS INT) AS sub,
+               qv[s.i * 8 + 1 : s.i * 8 + 8] AS sv
+        FROM q CROSS JOIN (SELECT unnest(range(8)) AS i) s
+    ),
+    cb AS (
+        SELECT CAST(code AS INT) AS code, CAST(s.i AS INT) AS sub,
+               qv[s.i * 8 + 1 : s.i * 8 + 8] AS cv
+        FROM seeds CROSS JOIN (SELECT unnest(range(8)) AS i) s
+    ),
+    codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT subs.vec_id, subs.sub, cb.code,
+                   CAST(list_sum(list_transform(range(1, 9),
+                       j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))
+                       AS BIGINT) AS dist
+            FROM subs JOIN cb USING (sub)
+        ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, code) = 1
+    ),
+    lut AS (
+        SELECT qs.q_id, cb.sub, cb.code,
+               CAST(list_sum(list_transform(range(1, 9),
+                   j -> (qs.qv[cb.sub * 8 + j] - cv[j])
+                        * (qs.qv[cb.sub * 8 + j] - cv[j])))
+                   AS BIGINT) AS d
+        FROM queries qs CROSS JOIN cb
+    ),
+    cand AS (
+        SELECT p.q_id, po.vec_id AS neighbor_id, po.cluster
+        FROM probe p
+        JOIN posting po ON po.cluster = p.cluster AND po.vec_id <> p.q_id
+    ),
+    adc AS (
+        SELECT c.q_id AS vec_id, c.neighbor_id,
+               CAST(c.cluster AS BIGINT) AS cluster,
+               CAST(sum(l.d) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN codes cd ON cd.vec_id = c.neighbor_id
+        JOIN lut l ON l.q_id = c.q_id AND l.sub = cd.sub
+                   AND l.code = cd.code
+        GROUP BY c.q_id, c.neighbor_id, c.cluster
+    )
+    SELECT vec_id, neighbor_id, cluster, adc_dist, CAST(rn AS INT) AS rank
+    FROM (SELECT vec_id, neighbor_id, cluster, adc_dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY adc_dist, neighbor_id) AS rn
+          FROM adc)
+    WHERE rn <= 3
+    """,
+)
+def i_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ fused search — the full 100 TB ANN layout, closing the
+    arc i_cluster_kmeans -> i_sim_ivf* -> i_embed_pq ->
+    i_embed_pq_search built piecewise: the coarse quantizer prunes to
+    each query's 2 probed clusters and the ranking inside them is PQ
+    asymmetric distance over stored code bytes — no float vector and
+    no unprobed posting is ever touched past the scan. Exact integer
+    basis end to end, deterministic centroid/codebook/query
+    conventions shared with the anchors (one definition each). See
+    operators/quantize.py ivf_pq_search for the plan (in-row cluster
+    argmax + code fold on one reused exchange + probe-table map
+    literal + two-phase salted top-k)."""
+    from sparkclif.io import spread
+    from sparkclif.operators.quantize import ivf_pq_search
+
+    raw = table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(spread(raw, by=["vec_id"]), meta_src=raw)
+
+
+@register(
     "e_win_gapfill_linear",
     # Exact restatement via the per-user grid + gap-bounding windows
     # (DuckDB's fast idiom — the engine's gap-run expansion stated

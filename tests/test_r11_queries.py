@@ -201,6 +201,86 @@ def test_pq_adc_search_empty_input(spark):
     assert pq_adc_search(emb).count() == 0
 
 
+def test_ivf_pq_search_matches_numpy_model(spark):
+    """Full independent reimplementation of the fused IVF-PQ search in
+    numpy over the sf0.001 embeddings — centroid assignment (argmax
+    exact dot, ties lowest id), md5-seed codebook, per-subspace code
+    argmin (ties lowest code), probe selection, ADC via the lookup
+    table, top-3 by (adc, neighbor). Exact tuple-for-tuple equality —
+    a third derivation alongside the engine and the SQL oracle."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from sparkclif.registry import REGISTRY
+    import sparkclif.queries  # noqa: F401
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    qv = {
+        int(r.vec_id): [
+            int(np.floor(np.float64(np.float32(x)) * 10000))
+            for x in r.embedding
+        ]
+        for r in t.itertuples()
+    }
+    ids = sorted(qv)
+    # codebook: 16 smallest (md5('pq|'||id), id)
+    seeds = sorted(ids, key=lambda i: (hashlib.md5(f"pq|{i}".encode()).hexdigest(), i))[:16]
+    cb = [qv[i] for i in seeds]
+    # centroids: 8 smallest ids; queries: 4 smallest
+    cents = [(i, qv[i]) for i in ids[:8]]
+    queries = ids[:4]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cluster_of(v):
+        return min(cents, key=lambda c: (-dot(v, c[1]), c[0]))[0]
+
+    posting = {i: cluster_of(qv[i]) for i in ids}
+
+    def codes_of(v):
+        out = []
+        for s in range(8):
+            sv = v[s * 8 : s * 8 + 8]
+            out.append(
+                min(
+                    range(16),
+                    key=lambda c: (
+                        sum((a - b) ** 2 for a, b in zip(sv, cb[c][s * 8 : s * 8 + 8])),
+                        c,
+                    ),
+                )
+            )
+        return out
+
+    codes = {i: codes_of(qv[i]) for i in ids}
+    expected = []
+    for q in queries:
+        probed = sorted(cents, key=lambda c: (-dot(qv[q], c[1]), c[0]))[:2]
+        probed_ids = {c[0] for c in probed}
+        lut = [
+            [
+                sum((qv[q][s * 8 + j] - cb[c][s * 8 + j]) ** 2 for j in range(8))
+                for c in range(16)
+            ]
+            for s in range(8)
+        ]
+        cand = [
+            (sum(lut[s][codes[n][s]] for s in range(8)), n, posting[n])
+            for n in ids
+            if n != q and posting[n] in probed_ids
+        ]
+        cand.sort(key=lambda x: (x[0], x[1]))
+        for rank, (adc, n, cl) in enumerate(cand[:3], start=1):
+            expected.append((q, n, cl, adc, rank))
+
+    got = sorted(
+        (r["vec_id"], r["neighbor_id"], r["cluster"], r["adc_dist"], r["rank"])
+        for r in REGISTRY["i_sim_ivf_pq"].fn(spark, SF_DIR).collect()
+    )
+    assert got == sorted(expected)
+
+
 # --------------------------------------------------- linear gap-fill
 
 
