@@ -281,6 +281,28 @@ def test_ivf_pq_search_matches_numpy_model(spark):
     assert got == sorted(expected)
 
 
+def test_ivf_pq_search_tiny_and_empty_inputs(spark):
+    """Fewer vectors than centroids/queries/codewords: heads and seeds
+    degrade to whatever exists (3 centroids, 3 queries, 3 codewords)
+    and the search still returns each query's neighbors from probed
+    clusters; empty input returns an empty typed frame."""
+    from sparkclif.operators.quantize import ivf_pq_search
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, 64)]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_pq_search(emb).collect()
+    # every query returns only valid neighbors, ranked from 1
+    by_q = {}
+    for r in got:
+        assert r["neighbor_id"] != r["vec_id"]
+        by_q.setdefault(r["vec_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_pq_search(empty).count() == 0
+
+
 # --------------------------------------------------- linear gap-fill
 
 
