@@ -182,6 +182,123 @@ def pq_codebook(
     return [[int(x) for x in r["qv"]] for r in seeds]
 
 
+def _arr_lit(xs):
+    """BIGINT array literal fragment for ONE F.expr parse (the
+    pq_encode py4j-cost rule) — one definition for every searcher
+    literal (codebook, centroid, LUT)."""
+    return "array(" + ",".join(f"{v}L" for v in xs) + ")"
+
+
+def _q_lut_struct(qid, lut):
+    """``named_struct('q', <id>, 'lut', ...)`` literal fragment — the
+    (query, lookup-table) plan-literal element shared by
+    pq_adc_search's query array and ivf_pq_search's probe map."""
+    return (
+        f"named_struct('q',{qid}L,'lut',array("
+        + ",".join(_arr_lit(sub_lut) for sub_lut in lut)
+        + "))"
+    )
+
+
+def _collect_pq_metadata(meta, n_codes, n_heads, id_col, vec_col):
+    """ONE action collecting the md5-ordered codebook donors
+    (``_pq_seed_candidates`` — the encoder's exact recipe) AND the
+    ``n_heads`` smallest-id vectors (queries; for ivf_pq_search the
+    heads double as centroids): both are bounded TakeOrdered subtrees
+    over the same scan, and unioning them halves the driver job
+    round-trips of a cache_plan=False build (measured ~0.2 s of the
+    warm pass). Union output order is not guaranteed, so each
+    subtree's order key rides along and the split/sort happens
+    driver-side. Returns ``(seed_qvs, heads)`` with ``heads`` as
+    id-sorted ``[(id, qv)]`` pairs — one definition for both
+    searchers (round-11 review)."""
+    seeds_q = _pq_seed_candidates(meta, n_codes, id_col, vec_col).select(
+        F.lit(0).alias("__tag"), "__o1", "__sid", "__v"
+    )
+    heads_q = (
+        meta.select(
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast("string").alias("__o1"),
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__sid")
+        .limit(n_heads)
+    )
+    collected = (
+        seeds_q.unionAll(heads_q)
+        .select("__tag", "__o1", "__sid", int_basis(F.col("__v")).alias("qv"))
+        .collect()
+    )
+    seed_qvs = [
+        [int(x) for x in r["qv"]]
+        for r in sorted(
+            (r for r in collected if r["__tag"] == 0),
+            key=lambda r: (r["__o1"], r["__sid"]),
+        )
+    ]
+    heads = sorted(
+        (
+            (int(r["__sid"]), [int(x) for x in r["qv"]])
+            for r in collected
+            if r["__tag"] == 1
+        ),
+        key=lambda t: t[0],
+    )
+    return seed_qvs, heads
+
+
+def _code_fold(codes, id_col):
+    """Stored-codes table: one sub-ordered code array per vector (the
+    one corpus-sized shuffle of a searcher; callers spread by the id
+    so this groupBy reuses that exchange)."""
+    return codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("__codes")
+    )
+
+
+def _adc_fold(n_sub):
+    """In-row ADC sum: fold the exploded ``__q.lut`` over the row's
+    ``__codes`` array — n_sub table adds, no join."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(F.col("__q.lut"), (sub + 1).cast("int")),
+            (F.element_at("__codes", (sub + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+
+
+def _salted_topk(s, k, salt_buckets, carry=()):
+    """Two-phase per-query top-k by (adc_dist, neighbor_id): partial
+    top-k per (query, salt) bucket bounds the q-way hot-key skew; the
+    final per-query window sees q x salt_buckets x k rows, never the
+    corpus. ``carry``: extra columns to keep through to the result
+    (ivf_pq_search carries the posting cluster). One definition for
+    both searchers (round-11 review: an edit to the tiebreak or salt
+    scheme in one inlined copy would silently diverge the other)."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("vec_id", "__salt").orderBy("adc_dist", "neighbor_id")
+    partial = (
+        s.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.select("vec_id", "neighbor_id", *carry, "adc_dist")
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pq_adc_search(
     emb,
     n_queries: int = 4,
@@ -220,52 +337,17 @@ def pq_adc_search(
 
     Headroom: |lut entry| <= sub_dim·(2·QUANT)² = 3.2e9; the ADC sum
     <= n_sub× that = 2.56e10 — exact in BIGINT at any corpus size."""
-    from pyspark.sql import Window
-
-    # Seeds (pq_codebook's recipe verbatim — md5-ordered donors, basis
-    # projected after the limit) and query vectors collected in ONE
-    # action: both are bounded TakeOrdered subtrees over the same
-    # scan, and unioning them halves the driver job round-trips of
-    # this cache_plan=False build (measured ~0.2 s of the warm pass).
-    # Union output order is not guaranteed, so each subtree's order
-    # key rides along and the split/sort happens driver-side.
-    # ``meta_src``: the frame to run these bounded collects against —
-    # callers that pre-repartition ``emb`` for the heavy encode path
-    # should pass the UN-spread scan here: a TakeOrdered(16) does not
-    # need the repartition exchange the encode does, and paying it
-    # twice under the union tripled the collect job (0.94 -> 0.32 s
-    # measured at sf0.1; at real scale the scan is already parallel
-    # and the choice is neutral).
+    # ``meta_src``: the frame to run the bounded metadata collect
+    # against — callers that pre-repartition ``emb`` for the heavy
+    # encode path should pass the UN-spread scan here: a
+    # TakeOrdered(16) does not need the repartition exchange the
+    # encode does, and paying it twice under the union tripled the
+    # collect job (0.94 -> 0.32 s measured at sf0.1; at real scale
+    # the scan is already parallel and the choice is neutral).
     meta = emb if meta_src is None else meta_src
-    seeds_q = _pq_seed_candidates(meta, n_codes, id_col, vec_col).select(
-        F.lit(0).alias("__tag"), "__o1", "__sid", "__v"
+    seed_qvs, queries = _collect_pq_metadata(
+        meta, n_codes, n_queries, id_col, vec_col
     )
-    queries_q = (
-        meta.select(
-            F.lit(1).alias("__tag"),
-            F.lit(None).cast("string").alias("__o1"),
-            F.col(id_col).alias("__sid"),
-            F.col(vec_col).alias("__v"),
-        )
-        .orderBy("__sid")
-        .limit(n_queries)
-    )
-    collected = (
-        seeds_q.unionAll(queries_q)
-        .select("__tag", "__o1", "__sid", int_basis(F.col("__v")).alias("qv"))
-        .collect()
-    )
-    seed_qvs = [
-        [int(x) for x in r["qv"]]
-        for r in sorted(
-            (r for r in collected if r["__tag"] == 0),
-            key=lambda r: (r["__o1"], r["__sid"]),
-        )
-    ]
-    queries = sorted(
-        (r for r in collected if r["__tag"] == 1), key=lambda r: r["__sid"]
-    )
-
     codes = pq_encode(
         emb,
         n_sub=n_sub,
@@ -275,12 +357,7 @@ def pq_adc_search(
         vec_col=vec_col,
         codebook=seed_qvs,
     )
-    code_arr = codes.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("__codes")
-    )
+    code_arr = _code_fold(codes, id_col)
     if not seed_qvs or not queries:
         return code_arr.select(
             F.col(id_col).alias("vec_id"),
@@ -289,25 +366,13 @@ def pq_adc_search(
             F.lit(None).cast("int").alias("rank"),
         ).where(F.lit(False))
 
-    # per-query ADC tables, driver-side exact ints: lut[q][sub][code]
-    # (shared _lut_for definition with ivf_pq_search)
-    luts = [
-        (int(qrow["__sid"]), _lut_for([int(x) for x in qrow["qv"]], seed_qvs, n_sub, sub_dim))
-        for qrow in queries
-    ]
-
-    # ONE parsed literal (the pq_encode py4j-cost rule):
-    # array<struct<q:bigint, lut:array<array<bigint>>>>
-    def _arr(xs):
-        return "array(" + ",".join(f"{v}L" for v in xs) + ")"
-
+    # per-query ADC tables, driver-side exact ints: lut[q][sub][code];
+    # ONE parsed literal: array<struct<q:bigint, lut:array<array<bigint>>>>
     q_lit = F.expr(
         "array("
         + ",".join(
-            f"named_struct('q',{qid}L,'lut',array("
-            + ",".join(_arr(sub_lut) for sub_lut in lut)
-            + "))"
-            for qid, lut in luts
+            _q_lut_struct(qid, _lut_for(qv, seed_qvs, n_sub, sub_dim))
+            for qid, qv in queries
         )
         + ")"
     )
@@ -317,33 +382,12 @@ def pq_adc_search(
         "__codes",
         F.explode(q_lit).alias("__q"),
     ).where(F.col("neighbor_id") != F.col("__q.q"))
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, sub: acc
-        + F.element_at(
-            F.element_at(F.col("__q.lut"), (sub + 1).cast("int")),
-            (F.element_at("__codes", (sub + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
     s = scored.select(
         F.col("__q.q").alias("vec_id"),
         "neighbor_id",
-        adc.alias("adc_dist"),
+        _adc_fold(n_sub).alias("adc_dist"),
     )
-    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
-    w1 = Window.partitionBy("vec_id", "__salt").orderBy("adc_dist", "neighbor_id")
-    partial = (
-        s.withColumn("__salt", salt)
-        .withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") <= k)
-    )
-    w2 = Window.partitionBy("vec_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        partial.select("vec_id", "neighbor_id", "adc_dist")
-        .withColumn("rank", F.row_number().over(w2).cast("int"))
-        .where(F.col("rank") <= k)
-    )
+    return _salted_topk(s, k, salt_buckets)
 
 
 def _lut_for(qv, seed_qvs, n_sub, sub_dim):
@@ -409,38 +453,9 @@ def ivf_pq_search(
     as in pq_adc_search. At 100 TB the probe table is
     queries × n_probe entries of bounded LUTs and the candidate
     stream is the probed fraction of the corpus."""
-    from pyspark.sql import Window
-
     meta = emb if meta_src is None else meta_src
-    n_heads = max(n_clusters, n_queries)
-    seeds_q = _pq_seed_candidates(meta, n_codes, id_col, vec_col).select(
-        F.lit(0).alias("__tag"), "__o1", "__sid", "__v"
-    )
-    heads_q = (
-        meta.select(
-            F.lit(1).alias("__tag"),
-            F.lit(None).cast("string").alias("__o1"),
-            F.col(id_col).alias("__sid"),
-            F.col(vec_col).alias("__v"),
-        )
-        .orderBy("__sid")
-        .limit(n_heads)
-    )
-    collected = (
-        seeds_q.unionAll(heads_q)
-        .select("__tag", "__o1", "__sid", int_basis(F.col("__v")).alias("qv"))
-        .collect()
-    )
-    seed_qvs = [
-        [int(x) for x in r["qv"]]
-        for r in sorted(
-            (r for r in collected if r["__tag"] == 0),
-            key=lambda r: (r["__o1"], r["__sid"]),
-        )
-    ]
-    heads = sorted(
-        ((int(r["__sid"]), [int(x) for x in r["qv"]]) for r in collected if r["__tag"] == 1),
-        key=lambda t: t[0],
+    seed_qvs, heads = _collect_pq_metadata(
+        meta, n_codes, max(n_clusters, n_queries), id_col, vec_col
     )
     centroids = heads[:n_clusters]
     queries = heads[:n_queries]
@@ -453,16 +468,14 @@ def ivf_pq_search(
             F.lit(None).cast("int").alias("rank"),
         ).where(F.lit(False))
 
-    def _arr(xs):
-        return "array(" + ",".join(f"{v}L" for v in xs) + ")"
-
     # in-row cluster assignment: argmax exact dot over the centroid
     # literal, ties to the lowest centroid id — array_min of
     # (-score, id) structs, each dot computed exactly once
     cent_lit = F.expr(
         "array("
         + ",".join(
-            f"named_struct('c',{cid}L,'cv',{_arr(cv)})" for cid, cv in centroids
+            f"named_struct('c',{cid}L,'cv',{_arr_lit(cv)})"
+            for cid, cv in centroids
         )
         + ")"
     )
@@ -491,13 +504,7 @@ def ivf_pq_search(
         vec_col=vec_col,
         codebook=seed_qvs,
     )
-    code_arr = codes.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("__codes")
-    )
-    cand_side = code_arr.join(postings, id_col)
+    cand_side = _code_fold(codes, id_col).join(postings, id_col)
 
     # driver-side probe selection: each query's n_probe best clusters
     # by the SAME exact integer dot + tiebreak, then the probe table
@@ -515,12 +522,7 @@ def ivf_pq_search(
         "map("
         + ",".join(
             f"{cid}L,array("
-            + ",".join(
-                f"named_struct('q',{qid}L,'lut',array("
-                + ",".join(_arr(sub_lut) for sub_lut in lut)
-                + "))"
-                for qid, lut in lst
-            )
+            + ",".join(_q_lut_struct(qid, lut) for qid, lut in lst)
             + ")"
             for cid, lst in sorted(probes.items())
         )
@@ -533,34 +535,13 @@ def ivf_pq_search(
         F.col("__cluster").alias("cluster"),
         F.explode(probe_lit[F.col("__cluster")]).alias("__q"),
     ).where(F.col("neighbor_id") != F.col("__q.q"))
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, sub: acc
-        + F.element_at(
-            F.element_at(F.col("__q.lut"), (sub + 1).cast("int")),
-            (F.element_at("__codes", (sub + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
     s = scored.select(
         F.col("__q.q").alias("vec_id"),
         "neighbor_id",
         F.col("cluster").cast("long").alias("cluster"),
-        adc.alias("adc_dist"),
+        _adc_fold(n_sub).alias("adc_dist"),
     )
-    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
-    w1 = Window.partitionBy("vec_id", "__salt").orderBy("adc_dist", "neighbor_id")
-    partial = (
-        s.withColumn("__salt", salt)
-        .withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") <= k)
-    )
-    w2 = Window.partitionBy("vec_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        partial.select("vec_id", "neighbor_id", "cluster", "adc_dist")
-        .withColumn("rank", F.row_number().over(w2).cast("int"))
-        .where(F.col("rank") <= k)
-    )
+    return _salted_topk(s, k, salt_buckets, carry=("cluster",))
 
 
 def pq_encode(

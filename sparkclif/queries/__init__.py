@@ -108,7 +108,7 @@ WINDOW_ORDER = [
     "i_sim_ivf_pq",
     # -- round-11 touched plan (hashes must not move) --
     "i_decontaminate",
-    # -- stalest: the round-8 cohort (50) minus its 4 alphabetically-
+    # -- stalest: the round-8 cohort (50) minus its 5 alphabetically-
     # -- last members (displaced by growth + the touched plan; first
     # -- of the r12 window) --
     "a_scan_json_string",

@@ -92,8 +92,13 @@ def i_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The eval-benchmark gram fingerprint, memoized per (Spark app,
 # sf_dir): a STATIC artifact in production — computed once, reused by
 # every corpus scan. Keyed by applicationId so a restarted context
-# never serves a dead checkpointed RDD.
+# never serves a dead checkpointed RDD; bounded (round-11 review): a
+# miss first drops dead-context keys and, past the cap, the oldest
+# live entries — each memoized frame pins checkpointed executor
+# blocks for the app's lifetime, so the dict must not grow with every
+# sf_dir a long-lived driver ever touches.
 _EV_GRAMS: dict = {}
+_EV_GRAMS_CAP = 4
 
 
 @register(
@@ -180,9 +185,14 @@ def i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see docstring); i_pipeline_end2end keeps the inline form —
     # there the whole pipeline is declared as one single-pass plan by
     # design
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     ev = _EV_GRAMS.get(key)
     if ev is None:
+        for stale in [k for k in _EV_GRAMS if k[0] != app_id]:
+            del _EV_GRAMS[stale]
+        while len(_EV_GRAMS) >= _EV_GRAMS_CAP:
+            _EV_GRAMS.pop(next(iter(_EV_GRAMS)))
         ev = (
             grams_of(docs.filter(F.col("doc_id") % 101 == 0))
             .select("gram")
