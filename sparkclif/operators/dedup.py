@@ -205,7 +205,14 @@ def registrable_domain_psl(
     no window, no nondeterministic expressions.
 
     ``suffixes``: a one-column (``suffix``) DataFrame, a list of
-    suffix strings, or None for DEFAULT_MULTI_SUFFIXES."""
+    suffix strings, or None for DEFAULT_MULTI_SUFFIXES. NOTE
+    (ADVICE r11): the DataFrame path runs ONE driver-side collect (a
+    Spark job) during plan CONSTRUCTION to derive the label cap from
+    the list — a builder that must stay pure-plan (e.g. a
+    ``cache_plan=True`` registered query) must pass a list, or
+    pre-compute the cap and pass a list-ified suffix set; the
+    registered ``i_domain_stats_psl`` uses the list path and stays
+    job-free at build."""
     spark = df.sparkSession
     if suffixes is None:
         suffixes = DEFAULT_MULTI_SUFFIXES

@@ -529,11 +529,18 @@ def ivf_pq_search(
         + ")"
     )
 
+    # try_element_at, not probe_lit[...]: unprobed clusters (the
+    # common case, ~(1 - n_probe/n_clusters) of postings) must yield
+    # NULL so explode drops them — plain map subscript throws
+    # MAP_KEY_DOES_NOT_EXIST under spark.sql.ansi.enabled (ADVICE
+    # r11; same ANSI discipline as sequence.py / sketch.py)
     scored = cand_side.select(
         F.col(id_col).alias("neighbor_id"),
         "__codes",
         F.col("__cluster").alias("cluster"),
-        F.explode(probe_lit[F.col("__cluster")]).alias("__q"),
+        F.explode(
+            F.try_element_at(probe_lit, F.col("__cluster"))
+        ).alias("__q"),
     ).where(F.col("neighbor_id") != F.col("__q.q"))
     s = scored.select(
         F.col("__q.q").alias("vec_id"),
