@@ -248,11 +248,15 @@ def _collect_pq_metadata(meta, n_codes, n_heads, id_col, vec_col):
     return seed_qvs, heads
 
 
-def _code_fold(codes, id_col):
+def _code_fold(codes, id_col, *extra):
     """Stored-codes table: one sub-ordered code array per vector (the
     one corpus-sized shuffle of a searcher; callers spread by the id
-    so this groupBy reuses that exchange)."""
-    return codes.groupBy(id_col).agg(
+    so this groupBy reuses that exchange). ``extra``: additional
+    per-vector columns to carry through the fold (the residual
+    searcher carries the posting cluster, which its encode derives
+    in-row — folding it here deletes the postings join
+    ivf_pq_search pays)."""
+    return codes.groupBy(id_col, *extra).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))),
             lambda s: s["code"],
@@ -675,3 +679,327 @@ def pq_encode(
             F.col("__best.d").alias("dist_sq"),
         )
     )
+
+
+# ------------------------------------------------- residual IVF-PQ
+
+
+def _coarse_best(qv: "list[int]", centroids):
+    """Driver-side coarse assignment: argmax exact dot over the
+    centroid list, ties to the lowest centroid id — the SAME
+    convention as the in-row assignment (``ivf_pq_search``) and the
+    probe selection, stated once for driver-side metadata (donor
+    residuals, query residuals)."""
+    return min(
+        centroids,
+        key=lambda c: (-sum(a * b for a, b in zip(qv, c[1])), c[0]),
+    )
+
+
+def _residual_cb_lit(cb: "dict[int, list[list[int]]]"):
+    """Trained-codebook plan literal, indexed by subspace:
+    ``array`` (1-based via element_at) of per-sub ``array<struct<c,
+    cv>>`` — n_sub × n_codes × sub_dim longs of bounded metadata,
+    ONE parsed expression (the pq_encode py4j-cost rule)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"named_struct('c',{code},'cv',{_arr_lit(cw)})"
+                for code, cw in enumerate(cb[sub])
+            )
+            + ")"
+            for sub in range(len(cb))
+        )
+        + ")"
+    )
+
+
+def _rs_assign(proj, cb_lit, id_col):
+    """(id, cluster, residual-slices) -> one row per (vector,
+    subspace) with its nearest-codeword assignment: posexplode the
+    per-sub residual slices, then an IN-ROW argmin over that sub's
+    codewords ((dist, code) lexicographic array_min — each distance
+    computed exactly once, ties to the lowest code, the pq_encode
+    discipline). Zero joins: the codebook rides the plan as a
+    literal."""
+    subs = proj.select(
+        id_col, "__cluster", F.posexplode("__rs").alias("sub", "sv")
+    )
+
+    def dist_to(cw):
+        return F.aggregate(
+            F.zip_with("sv", cw["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        F.element_at(cb_lit, (F.col("sub") + 1).cast("int")),
+        lambda cw: F.struct(dist_to(cw).alias("d"), cw["c"].alias("c")),
+    )
+    return (
+        subs.withColumn("__best", F.array_min(scored))
+        .select(
+            id_col,
+            "__cluster",
+            F.col("sub").cast("int").alias("sub"),
+            "sv",
+            F.col("__best.c").alias("code"),
+        )
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """TRUNCATING integer division — the engine-portable centroid-
+    mean convention (operators/kmeans.py module docstring: Python //
+    floors negatives one lower than Spark div / DuckDB integer //)."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _train_residual_codebooks(
+    proj, cb0, n_sub: int, sub_dim: int, n_updates: int, id_col: str
+):
+    """Per-subspace Lloyd training over the residual sub-vectors —
+    ``kmeans_exact``'s loop shape with (sub, code) as the cluster
+    key: per update, ONE map-side-combined aggregation folds the
+    corpus to n_sub × n_codes × sub_dim rows (bounded driver
+    metadata, 512 longs at the registered shape) and the centroid
+    mean truncates (portable). Empty (sub, code) cells keep their
+    previous codeword, exactly as kmeans keeps empty clusters.
+
+    All subspaces train CONCURRENTLY in each pass — the subspace is
+    part of the aggregation key, so k independent per-sub k-means
+    runs cost the same jobs as one (the independence that makes PQ
+    training cheap at 100 TB: n_updates scans, each collapsing
+    map-side to bounded metadata)."""
+    cb = cb0
+    for _ in range(n_updates):
+        assigned = _rs_assign(proj, _residual_cb_lit(cb), id_col)
+        sums = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("dim", "qd")
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("qd").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new: dict = {}
+        for r in sums:
+            vec = new.setdefault(
+                (int(r["sub"]), int(r["code"])), [0] * sub_dim
+            )
+            vec[int(r["dim"])] = _trunc_div(int(r["s"]), int(r["n"]))
+        cb = {
+            sub: [
+                new.get((sub, code), cb[sub][code])
+                for code in range(len(cb[sub]))
+            ]
+            for sub in range(n_sub)
+        }
+    return cb
+
+
+def ivf_pq_residual_search(
+    emb,
+    n_queries: int = 4,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    n_updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 64,
+    meta_src=None,
+    materialize: str = "checkpoint",
+):
+    """IVF-PQ with RESIDUAL encoding and TRAINED codebooks — the
+    actual production layout of Jégou et al. 2011 §V, closing the
+    gap ``ivf_pq_search`` declares (raw vectors, seed-donor
+    codebooks): each vector is quantized as the residual
+    ``r = x − centroid(x)`` against its coarse cluster, and the
+    per-subspace codebooks are Lloyd-TRAINED over those residuals
+    (``_train_residual_codebooks`` — kmeans_exact's loop with
+    (sub, code) as the key). Residuals concentrate near zero once
+    the coarse quantizer absorbs cluster structure, so a trained
+    residual codebook spends its codes where the mass is — the
+    recall-per-byte argument, property-tested in
+    tests/test_r12_queries.py against the raw-PQ baseline at equal
+    code budget.
+
+    Deterministic exact-integer conventions shared with the anchors:
+    centroids/queries are the smallest-id heads, coarse assignment is
+    argmax-dot (ties to lowest centroid id), codebook seeds are the
+    md5-ordered donors' residual sub-vectors (selection recipe:
+    ``_pq_seed_candidates``, one definition), centroid means
+    truncate. The ADC tables are per (query, PROBED CLUSTER): the
+    query is re-expressed as its residual against EACH probed
+    centroid (the §V asymmetric-distance form — a raw-PQ LUT reused
+    across clusters would be wrong under residual encoding). Returns
+    top ``k`` per query: ``(vec_id, neighbor_id, cluster, adc_dist,
+    rank)``, ties by (adc_dist, neighbor_id) — all exact
+    BIGINT/INT, full hash check.
+
+    Plan: ONE metadata collect (donors ∪ heads); the residual
+    projection (in-row coarse argmax + centroid-map residual +
+    per-sub slices) is materialized ONCE (localCheckpoint locally,
+    ``materialize='persist'`` on a cluster — the kmeans_exact rule)
+    so the n_updates training passes and the final encode don't
+    re-read the corpus; each training pass collapses map-side to
+    n_sub × n_codes × sub_dim metadata rows; the final encode folds
+    codes per (vector, cluster) in ONE corpus-sized shuffle (the
+    posting cluster rides the fold — no postings join); the
+    (cluster -> [(query, lut)]) probe table rides the plan as ONE
+    map literal (ANSI-safe try_element_at — unprobed postings never
+    leave the scan); two-phase salted top-k. At 100 TB: training
+    cost is n_updates bounded-metadata scans, search cost is the
+    probed fraction of the codes table — same asymptotics as
+    ivf_pq_search, better recall per code byte.
+
+    Headroom: residual elements are |r| <= 2·QUANT··· bounded by
+    2e4 in practice (unit-norm-ish inputs); per-sub dist <=
+    sub_dim·(4e4)² ≈ 2.6e10, ADC sum <= n_sub× that ≈ 1e11 — exact
+    in BIGINT at any corpus size."""
+    meta = emb if meta_src is None else meta_src
+    seed_qvs, heads = _collect_pq_metadata(
+        meta, n_codes, max(n_clusters, n_queries), id_col, vec_col
+    )
+    centroids = heads[:n_clusters]
+    queries = heads[:n_queries]
+    if not seed_qvs or not centroids or not queries:
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("adc_dist"),
+            F.lit(None).cast("int").alias("rank"),
+        ).where(F.lit(False))
+
+    # seed codebook: each md5-ordered donor contributes its RESIDUAL
+    # sub-vectors (vs its own coarse centroid) — the residual-space
+    # analogue of pq_encode's donor convention
+    cb0: dict = {sub: [] for sub in range(n_sub)}
+    for qv in seed_qvs:
+        _, cqv = _coarse_best(qv, centroids)
+        rv = [a - b for a, b in zip(qv, cqv)]
+        for sub in range(n_sub):
+            cb0[sub].append(rv[sub * sub_dim : (sub + 1) * sub_dim])
+
+    # residual projection: in-row coarse argmax over the centroid
+    # literal, residual via a centroid map-literal lookup (key always
+    # present — assignment picks from the map's own keys), per-sub
+    # slices; materialized once for the training passes + final encode
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('c',{cid}L,'cv',{_arr_lit(cv)})"
+            for cid, cv in centroids
+        )
+        + ")"
+    )
+    cmap_lit = F.expr(
+        "map("
+        + ",".join(f"{cid}L,{_arr_lit(cv)}" for cid, cv in centroids)
+        + ")"
+    )
+
+    def dot_to(cw):
+        return F.aggregate(
+            F.zip_with("__qv", cw["cv"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored_c = F.transform(
+        cent_lit,
+        lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
+    )
+    rv_col = F.zip_with(
+        "__qv",
+        F.element_at(cmap_lit, F.col("__cluster")),
+        lambda a, b: a - b,
+    )
+    proj = (
+        emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("__qv"))
+        .select(
+            F.col(id_col), "__qv", F.array_min(scored_c)["c"].alias("__cluster")
+        )
+        .select(
+            F.col(id_col),
+            "__cluster",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda i: F.slice(
+                    rv_col, (i * sub_dim + 1).cast("int"), sub_dim
+                ),
+            ).alias("__rs"),
+        )
+    )
+    if materialize == "checkpoint":
+        proj = proj.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        proj = proj.persist()
+    elif materialize is not None:
+        raise ValueError(
+            f"materialize must be 'checkpoint'|'persist'|None, got {materialize!r}"
+        )
+
+    cb = _train_residual_codebooks(
+        proj, cb0, n_sub, sub_dim, n_updates, id_col
+    )
+
+    codes = _rs_assign(proj, _residual_cb_lit(cb), id_col)
+    code_arr = _code_fold(codes, id_col, "__cluster")
+
+    # probe table: per query, its n_probe best clusters by the SAME
+    # exact dot + tiebreak; the LUT is per (query, cluster) — the
+    # query residual changes with the probed centroid
+    probes: dict = {}
+    for qid, qv in queries:
+        order = sorted(
+            centroids,
+            key=lambda c: (-sum(a * b for a, b in zip(qv, c[1])), c[0]),
+        )[:n_probe]
+        for cid, cqv in order:
+            rvq = [a - b for a, b in zip(qv, cqv)]
+            lut = [
+                [
+                    sum(
+                        (rvq[sub * sub_dim + j] - cw[j]) ** 2
+                        for j in range(sub_dim)
+                    )
+                    for cw in cb[sub]
+                ]
+                for sub in range(n_sub)
+            ]
+            probes.setdefault(cid, []).append((qid, lut))
+    probe_lit = F.expr(
+        "map("
+        + ",".join(
+            f"{cid}L,array("
+            + ",".join(_q_lut_struct(qid, lut) for qid, lut in lst)
+            + ")"
+            for cid, lst in sorted(probes.items())
+        )
+        + ")"
+    )
+
+    scored = code_arr.select(
+        F.col(id_col).alias("neighbor_id"),
+        "__codes",
+        F.col("__cluster").alias("cluster"),
+        F.explode(
+            F.try_element_at(probe_lit, F.col("__cluster"))
+        ).alias("__q"),
+    ).where(F.col("neighbor_id") != F.col("__q.q"))
+    s = scored.select(
+        F.col("__q.q").alias("vec_id"),
+        "neighbor_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        _adc_fold(n_sub).alias("adc_dist"),
+    )
+    return _salted_topk(s, k, salt_buckets, carry=("cluster",))

@@ -96,6 +96,7 @@ from sparkclif.queries import (  # noqa: F401
     group_r9,
     group_r10,
     group_r11,
+    group_r12,
 )
 from sparkclif.registry import REGISTRY
 

@@ -108,3 +108,226 @@ def test_ev_gram_evict_unpersists():
     g._EV_GRAMS["__t2__"] = _Dead()
     g._evict_ev_gram("__t2__")  # must not raise
     assert "__t2__" not in g._EV_GRAMS
+
+
+# ------------------------------------- residual IVF-PQ (growth, r12)
+
+
+def _residual_ivf_pq_model(
+    vecs_by_id,
+    residual=True,
+    n_queries=4,
+    k=3,
+    n_clusters=8,
+    n_probe=2,
+    n_sub=4,
+    sub_dim=16,
+    n_codes=8,
+    n_updates=1,
+):
+    """Independent Python model of the residual IVF-PQ pipeline (and,
+    with residual=False + no training, of the raw ivf_pq_search
+    encoding at the same code budget) — the third derivation next to
+    the engine and the SQL oracle. Returns sorted (vec_id,
+    neighbor_id, cluster, adc_dist, rank) rows."""
+    import hashlib
+    import math
+
+    ids = sorted(vecs_by_id)
+    qv = {
+        i: [math.floor(float(x) * 10000) for x in vecs_by_id[i]]
+        for i in ids
+    }
+    heads = ids[: max(n_clusters, n_queries)]
+    centroids = [(i, qv[i]) for i in heads[:n_clusters]]
+    queries = [(i, qv[i]) for i in heads[:n_queries]]
+    donors = sorted(
+        ids,
+        key=lambda i: (hashlib.md5(f"pq|{i}".encode()).hexdigest(), i),
+    )[:n_codes]
+
+    def coarse(v):
+        return min(
+            centroids,
+            key=lambda c: (-sum(a * b for a, b in zip(v, c[1])), c[0]),
+        )
+
+    post = {}
+    for i in ids:
+        cid, cv = coarse(qv[i])
+        base = [a - b for a, b in zip(qv[i], cv)] if residual else qv[i]
+        post[i] = (cid, base)
+    cb = {
+        s: [post[d][1][s * sub_dim : (s + 1) * sub_dim] for d in donors]
+        for s in range(n_sub)
+    }
+
+    def assign(bv, s, cbk):
+        return min(
+            (
+                (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(
+                            bv[s * sub_dim : (s + 1) * sub_dim], cw
+                        )
+                    ),
+                    c,
+                )
+                for c, cw in enumerate(cbk[s])
+            )
+        )[1]
+
+    if residual:
+        for _ in range(n_updates):
+            sums = {}
+            for i in ids:
+                bv = post[i][1]
+                for s in range(n_sub):
+                    c = assign(bv, s, cb)
+                    acc = sums.setdefault((s, c), [[0] * sub_dim, 0])
+                    for j in range(sub_dim):
+                        acc[0][j] += bv[s * sub_dim + j]
+                    acc[1] += 1
+            cb = {
+                s: [
+                    (
+                        [
+                            x // n if x >= 0 else -((-x) // n)
+                            for x in sums[(s, c)][0]
+                            for n in (sums[(s, c)][1],)
+                        ]
+                        if (s, c) in sums
+                        else cb[s][c]
+                    )
+                    for c in range(n_codes)
+                ]
+                for s in range(n_sub)
+            }
+    codes = {
+        i: [assign(post[i][1], s, cb) for s in range(n_sub)] for i in ids
+    }
+    out = []
+    for qid, qvv in queries:
+        order = sorted(
+            centroids,
+            key=lambda c: (-sum(a * b for a, b in zip(qvv, c[1])), c[0]),
+        )[:n_probe]
+        cands = []
+        for cid, cv in order:
+            bq = [a - b for a, b in zip(qvv, cv)] if residual else qvv
+            lut = [
+                [
+                    sum(
+                        (bq[s * sub_dim + j] - cw[j]) ** 2
+                        for j in range(sub_dim)
+                    )
+                    for cw in cb[s]
+                ]
+                for s in range(n_sub)
+            ]
+            for i in ids:
+                if i == qid or post[i][0] != cid:
+                    continue
+                cands.append(
+                    (
+                        sum(lut[s][codes[i][s]] for s in range(n_sub)),
+                        i,
+                        cid,
+                    )
+                )
+        cands.sort()
+        for r, (adc, i, cid) in enumerate(cands[:k], 1):
+            out.append((qid, i, cid, adc, r))
+    return sorted(out)
+
+
+def test_ivf_pq_residual_matches_model(spark):
+    """Triple derivation leg: the engine's residual IVF-PQ equals an
+    independent Python model on the test corpus (the SQL oracle is
+    the second leg, checked by test_oracle_parity)."""
+    import duckdb
+
+    from sparkclif.operators.quantize import ivf_pq_residual_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(tuple(r) for r in ivf_pq_residual_search(emb).collect())
+    vecs = {
+        int(r[0]): r[1]
+        for r in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+    want = _residual_ivf_pq_model(vecs)
+    assert got == want
+
+
+def test_ivf_pq_residual_recall_beats_raw():
+    """The point of residual encoding (Jégou et al. 2011 §V): on
+    clustered data, residual+trained codebooks must recall at least
+    as much of the exact top-k as raw seed-donor PQ at the SAME code
+    budget (same n_sub/sub_dim/n_codes, same coarse stage — the
+    comparison isolates the encoding). Deterministic seeded data;
+    measured margin at this shape: 0.44 vs 0.30."""
+    rng = np.random.default_rng(0)
+    n, dim, n_clusters = 256, 64, 8
+    centers = rng.normal(0, 1.0, (n_clusters, dim))
+    vecs = {
+        i: centers[i % n_clusters] + rng.normal(0, 0.15, dim)
+        for i in range(n)
+    }
+    kw = dict(n_queries=8, k=10)
+    res = _residual_ivf_pq_model(vecs, residual=True, **kw)
+    raw = _residual_ivf_pq_model(vecs, residual=False, **kw)
+
+    import math
+
+    qv = {
+        i: [math.floor(float(x) * 10000) for x in vecs[i]] for i in vecs
+    }
+    ids = sorted(vecs)
+
+    def exact_topk(qid, k=10):
+        d = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(qv[qid], qv[i])),
+                i,
+            )
+            for i in ids
+            if i != qid
+        )
+        return {i for _, i in d[:k]}
+
+    def recall(rows):
+        hits = tot = 0
+        for qid in {r[0] for r in rows}:
+            gt = exact_topk(qid)
+            hits += len(gt & {r[1] for r in rows if r[0] == qid})
+            tot += len(gt)
+        return hits / tot
+
+    r_res, r_raw = recall(res), recall(raw)
+    assert r_res >= r_raw, (r_res, r_raw)
+    assert r_res > 0.35  # and it genuinely finds neighbors
+
+
+def test_ivf_pq_residual_tiny_and_empty(spark):
+    """Degenerate inputs: empty corpus returns an empty frame with
+    the searcher schema; a corpus smaller than n_codes/n_clusters
+    still runs (smaller codebook/centroid set)."""
+    from sparkclif.operators.quantize import ivf_pq_residual_search
+
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    out = ivf_pq_residual_search(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "neighbor_id", "cluster", "adc_dist", "rank",
+    ]
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i + j) / 10 for j in range(64)]) for i in range(3)],
+        schema,
+    )
+    rows = ivf_pq_residual_search(tiny, n_queries=2, k=2).collect()
+    assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
