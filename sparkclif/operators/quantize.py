@@ -410,6 +410,47 @@ def _lut_for(qv, seed_qvs, n_sub, sub_dim):
     ]
 
 
+def coarse_postings(
+    emb,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "__cluster",
+):
+    """IVF posting assignment as a pure scan-side plan: in-row argmax
+    exact dot over the centroid literal, ties to the lowest centroid
+    id — array_min of (-score, id) structs, each dot computed exactly
+    once. ONE definition of the coarse-quantizer convention, shared by
+    ``ivf_pq_search`` and the streaming index maintainer
+    (streaming/ann.py); ``ivf_pq_residual_search`` fuses the same
+    expressions into its residual projection. ``centroids``:
+    ``[(cid, qv)]`` driver metadata (bounded — rides the plan as a
+    literal). Returns ``(id_col, out_col)``."""
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('c',{cid}L,'cv',{_arr_lit(cv)})"
+            for cid, cv in centroids
+        )
+        + ")"
+    )
+
+    def dot_to(cw):
+        return F.aggregate(
+            F.zip_with("__qv", cw["cv"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored_c = F.transform(
+        cent_lit,
+        lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
+    )
+    return emb.select(
+        F.col(id_col), int_basis(F.col(vec_col)).alias("__qv")
+    ).select(F.col(id_col), F.array_min(scored_c)["c"].alias(out_col))
+
+
 def ivf_pq_search(
     emb,
     n_queries: int = 4,
@@ -472,32 +513,7 @@ def ivf_pq_search(
             F.lit(None).cast("int").alias("rank"),
         ).where(F.lit(False))
 
-    # in-row cluster assignment: argmax exact dot over the centroid
-    # literal, ties to the lowest centroid id — array_min of
-    # (-score, id) structs, each dot computed exactly once
-    cent_lit = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('c',{cid}L,'cv',{_arr_lit(cv)})"
-            for cid, cv in centroids
-        )
-        + ")"
-    )
-
-    def dot_to(cw):
-        return F.aggregate(
-            F.zip_with("__qv", cw["cv"], lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    scored_c = F.transform(
-        cent_lit,
-        lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
-    )
-    postings = emb.select(
-        F.col(id_col), int_basis(F.col(vec_col)).alias("__qv")
-    ).select(F.col(id_col), F.array_min(scored_c)["c"].alias("__cluster"))
+    postings = coarse_postings(emb, centroids, id_col, vec_col)
 
     codes = pq_encode(
         emb,

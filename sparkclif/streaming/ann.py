@@ -1,0 +1,178 @@
+"""Streaming ANN index maintenance — the continuous form of the
+codes table every searcher reads (VERDICT r11 item 4): micro-batches
+of arriving vectors are coarse-assigned and PQ-encoded against
+FROZEN index parameters (centroids + codebook trained/chosen
+offline — the production discipline: an index's quantizers never
+drift under ingest, they are retrained and the index rebuilt), then
+MERGED into a bucketed ``(vec_id, cluster, codes)`` state table via
+the generic versioned-swap lifecycle (streaming/merge.py). Completes
+the crawl-ingest arc: h_stream_dedup_store (incremental dedup) →
+THIS (incremental index) → ivf_pq_search (reads the codes).
+
+Per-batch work is O(delta) in shuffle bytes: the encode is pure
+scan-side (codebook/centroid literals, operators/quantize.py), the
+per-batch codes fold and postings join touch only the batch, and the
+state side of the MERGE join reads bucket-co-located. Re-delivered
+vectors (at-least-once sources) hit the WHEN MATCHED branch and
+re-encode to the same codes — the merge is idempotent by
+construction, which is the correctness contract that makes the final
+state equal the one-shot batch encode (the SQL oracle).
+
+Reference tie: the reference's event loop folds arriving payloads
+into persisted per-site state (app.py R28-R31, R36); this is that
+discipline applied to the ANN index layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkclif.operators.quantize import (
+    _code_fold,
+    coarse_postings,
+    pq_encode,
+)
+from sparkclif.streaming.merge import STATE_BUCKETS, run_versioned_merge_stream
+
+ANN_STATE_COLS = ["vec_id", "cluster", "codes"]
+
+
+def write_vec_chunks(
+    src_parquet: str,
+    src: str,
+    n_chunks: int = 3,
+    modulus: int = 16,
+    redeliver_mod: int = 11,
+) -> None:
+    """Write the embeddings of ``src_parquet`` as ``n_chunks``
+    mtime-ordered parquet files for the file streaming source —
+    batch index ``(vec_id // modulus) % n_chunks`` (interleaved ids,
+    the write_id_chunks argument: a contiguous split would never
+    exercise cross-batch state). Every chunk after the first also
+    RE-DELIVERS the previous chunk's rows with ``vec_id %
+    redeliver_mod == 0`` — bit-identical duplicates (an at-least-once
+    producer retry), so the merge's WHEN MATCHED branch executes on
+    real input, not just in tests. Only (vec_id, embedding) ride the
+    stream.
+
+    Same TEST-SCALE-ONLY status as write_time_chunks (driver-side
+    pyarrow writer, deterministic bytes, bounded input); production
+    replaces this module's source with the real feed. Idempotent per
+    (src_parquet, n_chunks, modulus, redeliver_mod) manifest."""
+    manifest = os.path.join(src, "_manifest.json")
+    want = {
+        "key": src_parquet,
+        "n_chunks": n_chunks,
+        "modulus": modulus,
+        "redeliver_mod": redeliver_mod,
+    }
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                if json.load(fh) == want and all(
+                    os.path.exists(f"{src}/chunk-{i:04d}.parquet")
+                    for i in range(n_chunks)
+                ):
+                    return
+        except (OSError, ValueError):
+            pass
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    tbl = pq.read_table(src_parquet, columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas().sort_values("vec_id")
+    b = (pdf["vec_id"] // modulus) % n_chunks
+    for i in range(n_chunks):
+        part = pdf[b == i]
+        if i > 0:
+            prev = pdf[b == i - 1]
+            part = pd.concat(
+                [prev[prev["vec_id"] % redeliver_mod == 0], part],
+                ignore_index=True,
+            )
+        path = f"{src}/chunk-{i:04d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False), path
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    with open(manifest, "w") as fh:
+        json.dump(want, fh)
+
+
+def ann_delta(
+    batch_df: DataFrame,
+    centroids,
+    codebook,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """One index row per batch vector: coarse posting cluster
+    (frozen centroid literal, scan-side) + folded PQ code array
+    (frozen codebook literal, scan-side). The fold and the
+    delta-sized postings join touch only the batch — O(delta)."""
+    codes = pq_encode(
+        batch_df,
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        n_codes=len(codebook),
+        codebook=codebook,
+    )
+    arr = _code_fold(codes, "vec_id").withColumnRenamed("__codes", "codes")
+    posts = coarse_postings(batch_df, centroids, out_col="cluster")
+    return arr.join(posts, "vec_id").select("vec_id", "cluster", "codes")
+
+
+def merge_ann_codes(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """The MERGE body: full-outer on vec_id, delta wins on match (a
+    re-delivered or updated vector's latest encode replaces the
+    stored row — WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    INSERT). Pure plan builder, shared by the streaming loop and the
+    plan-shape test asserting the bucketed state side joins without
+    an exchange."""
+    s = state.select(*[F.col(c).alias(f"s_{c}") for c in ANN_STATE_COLS])
+    d = delta.select(*[F.col(c).alias(f"d_{c}") for c in ANN_STATE_COLS])
+    # plain == (not eqNullSafe): vec_id is the embeddings PK and never
+    # NULL; null-safe equality would de-pattern the bucketed-scan-side
+    # exchange elimination (the merge_into_state note)
+    return s.join(
+        d, F.col("s_vec_id") == F.col("d_vec_id"), "full_outer"
+    ).select(
+        F.coalesce("d_vec_id", "s_vec_id").alias("vec_id"),
+        F.coalesce("d_cluster", "s_cluster").alias("cluster"),
+        F.coalesce("d_codes", "s_codes").alias("codes"),
+    )
+
+
+def stream_ann_index(
+    spark: SparkSession,
+    source_dir: str,
+    centroids,
+    codebook,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    buckets: int = STATE_BUCKETS,
+) -> pd.DataFrame:
+    """Run the streaming index maintainer to completion over the
+    file source and return the FINAL (vec_id, cluster, codes) state
+    as pandas — the generic versioned-bucketed-MERGE lifecycle with
+    the ANN delta/merge plugged in."""
+    return run_versioned_merge_stream(
+        spark,
+        source_dir,
+        schema="vec_id long, embedding array<float>",
+        delta_fn=lambda b: ann_delta(
+            b, centroids, codebook, n_sub=n_sub, sub_dim=sub_dim
+        ),
+        merge_fn=merge_ann_codes,
+        state_cols=ANN_STATE_COLS,
+        key_col="vec_id",
+        name_prefix="stream_ann_state",
+        buckets=buckets,
+    )

@@ -96,41 +96,52 @@ def merge_into_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def stream_merge_bucketed(
+def run_versioned_merge_stream(
     spark: SparkSession,
     source_dir: str,
     schema,
+    delta_fn,
+    merge_fn,
+    state_cols: "list[str]",
+    key_col: str,
+    name_prefix: str,
     buckets: int = STATE_BUCKETS,
 ) -> pd.DataFrame:
-    """Run a real Structured Streaming query (file source, one file
-    per trigger) folding micro-batches into a bucketed state table
-    via the accumulating MERGE above. Returns the FINAL state as
-    pandas (presentation collect only — per-batch state never touches
-    the driver) and drops the scratch tables.
+    """The ONE versioned-bucketed-MERGE streaming lifecycle (round-12
+    extraction — the ANN-index harness would otherwise have copied
+    this loop, the exact drift the round-10 run_append_stream
+    extraction exists to prevent): run a real Structured Streaming
+    query (file source, one file per trigger); per micro-batch,
+    ``delta_fn(batch_df)`` folds the batch to one row per touched
+    key and ``merge_fn(state_df, delta_df)`` produces the new state,
+    which is written as ``<name>_v{epoch}`` CLUSTERED BY
+    ``bucketBy(buckets, key_col)`` and swapped in after commit (the
+    copy-on-write Delta/Iceberg MERGE pattern minus the transaction
+    log this container doesn't ship). Returns the FINAL state as
+    pandas, key-sorted (presentation collect only — per-batch state
+    never touches the driver) and drops the scratch tables. Table
+    names are content-addressed from ``source_dir`` so concurrent
+    harness runs in one warehouse can't collide.
 
-    Versioning: each epoch writes ``<name>_v{epoch}`` with
-    ``bucketBy(buckets, user_id)`` and drops the prior version after
-    the new one commits — the same copy-on-write swap as
-    streaming/upsert.py, but through the catalog because bucket
-    metadata lives there. Table names are content-addressed from
-    ``source_dir`` so concurrent harness runs in one warehouse can't
-    collide."""
+    The bucketed layout is the 100 TB point: each batch's merge join
+    reads the O(state) side co-located — only the O(delta) side
+    shuffles (asserted for both callers in tests)."""
     tag = hashlib.sha256(source_dir.encode()).hexdigest()[:12]
-    name = f"stream_merge_state_{tag}"
+    name = f"{name_prefix}_{tag}"
     current: dict[str, str | None] = {"table": None}
 
     def batch_merge(batch_df: DataFrame, epoch_id: int) -> None:
-        delta = _delta(batch_df)
+        delta = delta_fn(batch_df)
         prev = current["table"]
         if prev is None:
             merged = delta
         else:
-            merged = merge_into_state(spark.table(prev), delta)
+            merged = merge_fn(spark.table(prev), delta)
         new_tbl = f"{name}_v{epoch_id}"
         spark.sql(f"DROP TABLE IF EXISTS {new_tbl}")
         (
-            merged.write.bucketBy(buckets, "user_id")
-            .sortBy("user_id")
+            merged.write.bucketBy(buckets, key_col)
+            .sortBy(key_col)
             .mode("overwrite")
             .saveAsTable(new_tbl)
         )
@@ -155,7 +166,31 @@ def stream_merge_bucketed(
             q.stop()
 
     if current["table"] is None:
-        return pd.DataFrame(columns=STATE_COLS)
-    final = spark.table(current["table"]).select(*STATE_COLS).toPandas()
+        return pd.DataFrame(columns=state_cols)
+    final = spark.table(current["table"]).select(*state_cols).toPandas()
     spark.sql(f"DROP TABLE IF EXISTS {current['table']}")
-    return final.sort_values("user_id").reset_index(drop=True)
+    return final.sort_values(key_col).reset_index(drop=True)
+
+
+def stream_merge_bucketed(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    buckets: int = STATE_BUCKETS,
+) -> pd.DataFrame:
+    """The accumulating per-user MERGE over the generic lifecycle
+    above: counts add, newer (ts, event_id) payload wins. Behavior
+    and plans identical to the pre-extraction form (round-12
+    refactor; the per-batch join shape is pinned by
+    tests/test_r8_queries.py)."""
+    return run_versioned_merge_stream(
+        spark,
+        source_dir,
+        schema,
+        delta_fn=_delta,
+        merge_fn=merge_into_state,
+        state_cols=STATE_COLS,
+        key_col="user_id",
+        name_prefix="stream_merge_state",
+        buckets=buckets,
+    )

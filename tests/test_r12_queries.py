@@ -331,3 +331,129 @@ def test_ivf_pq_residual_tiny_and_empty(spark):
     )
     rows = ivf_pq_residual_search(tiny, n_queries=2, k=2).collect()
     assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+
+
+# ----------------------------------- streaming ANN index (growth, r12)
+
+
+def test_ann_merge_state_side_joins_without_exchange(spark):
+    """The O(delta) contract: the bucketed state side of the per-batch
+    index MERGE join carries no Exchange — only the (delta-sized)
+    encode side shuffles (the test_r8 merge discipline applied to the
+    ANN state table)."""
+    import re
+
+    from sparkclif.plans import formatted_plan
+    from sparkclif.streaming.ann import merge_ann_codes
+    from sparkclif.streaming.merge import STATE_BUCKETS
+
+    schema = "vec_id long, cluster long, codes array<int>"
+    rows = [(i, i % 8, [i % 16] * 8) for i in range(100)]
+    tbl = "t_r12_ann_state_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        spark.createDataFrame(rows, schema)
+        .write.bucketBy(STATE_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    try:
+        delta = spark.createDataFrame(rows[:7], schema)
+        plan = formatted_plan(merge_ann_codes(spark.table(tbl), delta))
+        assert "Bucketed: true" in plan, "state scan must be bucket-aware"
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+        assert n_exchanges == 1, (
+            "exactly one shuffle Exchange (the delta side); a second "
+            "means the O(state) side shuffled:\n" + plan
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ann_merge_delta_wins_on_match(spark):
+    """WHEN MATCHED semantics: the delta row replaces the stored one
+    (latest encode wins); unmatched state rows survive; new keys
+    insert."""
+    from sparkclif.streaming.ann import merge_ann_codes
+
+    schema = "vec_id long, cluster long, codes array<int>"
+    state = spark.createDataFrame(
+        [(1, 0, [1, 1]), (2, 3, [2, 2])], schema
+    )
+    delta = spark.createDataFrame(
+        [(2, 5, [9, 9]), (7, 1, [7, 7])], schema
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], list(r["codes"]))
+        for r in merge_ann_codes(state, delta).collect()
+    }
+    assert got == {1: (0, [1, 1]), 2: (5, [9, 9]), 7: (1, [7, 7])}
+
+
+def test_stream_ann_index_equals_batch_encode(spark, tmp_path):
+    """The maintenance contract: after the stream drains (including
+    re-delivered duplicates exercising WHEN MATCHED), the state table
+    equals the one-shot batch encode of the full corpus."""
+    from sparkclif.operators.quantize import _collect_pq_metadata
+    from sparkclif.streaming.ann import (
+        ann_delta,
+        stream_ann_index,
+        write_vec_chunks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    codebook, heads = _collect_pq_metadata(emb, 16, 8, "vec_id", "embedding")
+    centroids = heads[:8]
+
+    src = str(tmp_path / "chunks")
+    write_vec_chunks(f"{SF_DIR}/embeddings.parquet", src, n_chunks=3)
+    state = stream_ann_index(spark, src, centroids, codebook)
+
+    batch = {
+        r["vec_id"]: (r["cluster"], list(r["codes"]))
+        for r in ann_delta(emb, centroids, codebook).collect()
+    }
+    got = {
+        int(r.vec_id): (int(r.cluster), list(r.codes))
+        for r in state.itertuples()
+    }
+    assert got == batch
+    assert len(got) == emb.count()
+
+
+def test_write_vec_chunks_redelivers(tmp_path):
+    """The at-least-once property the chunk writer exists for: every
+    chunk after the first contains its predecessor's redeliver slice
+    verbatim, and the union of chunks covers the corpus exactly."""
+    import duckdb
+
+    src = str(tmp_path / "chunks")
+    write_parquet = f"{SF_DIR}/embeddings.parquet"
+    from sparkclif.streaming.ann import write_vec_chunks
+
+    write_vec_chunks(write_parquet, src, n_chunks=3)
+    chunks = [
+        duckdb.sql(
+            f"SELECT vec_id FROM '{src}/chunk-{i:04d}.parquet'"
+        ).fetchall()
+        for i in range(3)
+    ]
+    ids = [sorted(x[0] for x in c) for c in chunks]
+    all_ids = sorted(
+        x[0]
+        for x in duckdb.sql(
+            f"SELECT vec_id FROM '{write_parquet}'"
+        ).fetchall()
+    )
+    assert sorted(set(ids[0]) | set(ids[1]) | set(ids[2])) == all_ids
+    for i in (1, 2):
+        prev_native = [
+            v for v in ids[i - 1] if (v // 16) % 3 == i - 1
+        ]
+        expect_echo = {v for v in prev_native if v % 11 == 0}
+        native = {v for v in ids[i] if (v // 16) % 3 == i}
+        echoed = set(ids[i]) - native
+        assert echoed == expect_echo, (i, echoed ^ expect_echo)
