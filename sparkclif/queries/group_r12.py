@@ -275,6 +275,13 @@ def h_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw, 16, 8, "vec_id", "embedding"
     )
     centroids = heads[:8]
+    if not codebook or not centroids:
+        # empty corpus: nothing to index — and empty quantizer
+        # literals would fail analysis in the scan-side encode
+        # (round-12 review)
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, sub int, code int"
+        )
 
     src = tmp_dir() + "/stream_ann_src"
     write_vec_chunks(f"{sf_dir}/embeddings.parquet", src, n_chunks=3)

@@ -457,3 +457,46 @@ def test_write_vec_chunks_redelivers(tmp_path):
         native = {v for v in ids[i] if (v // 16) % 3 == i}
         echoed = set(ids[i]) - native
         assert echoed == expect_echo, (i, echoed ^ expect_echo)
+
+
+def test_ivf_pq_residual_ansi_safe(spark):
+    """The residual searcher shares the probe-map-explode hazard the
+    ADVICE r11 fix closed in ivf_pq_search (plus a centroid-map
+    lookup whose keys are always present by construction): results
+    must be identical under spark.sql.ansi.enabled=true."""
+    from sparkclif.operators.quantize import ivf_pq_residual_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = sorted(tuple(r) for r in ivf_pq_residual_search(emb).collect())
+    assert base
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi = sorted(
+            tuple(r) for r in ivf_pq_residual_search(emb).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert ansi == base
+
+
+def test_stream_ann_index_empty_corpus(spark, tmp_path):
+    """Round-12 review: an empty corpus must return an empty typed
+    frame, not fail analysis on empty quantizer literals."""
+    from sparkclif.registry import all_queries
+
+    sf_dir = str(tmp_path)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(empty, os.path.join(sf_dir, "embeddings.parquet"))
+    fn = all_queries()["h_stream_ann_index"].fn
+    out = fn(spark, sf_dir)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cluster", "sub", "code",
+    ]
