@@ -910,6 +910,66 @@ def main() -> None:
         lambda: force_all(resample_interpolate(ev_glk)),
     )
 
+    # ---- round-12 growth probes ----
+    # residual IVF-PQ at kx vectors: training is n_updates bounded-
+    # metadata aggregations over the checkpointed residual projection
+    # and the search touches the probed fraction of the codes fold —
+    # wall must track the scan+fold linearly, same law as the raw
+    # fused searcher (build constants are size-invariant)
+    from sparkclif.operators.quantize import ivf_pq_residual_search
+
+    timed(
+        "ivf_pq_residual_1x",
+        lambda: force_all(ivf_pq_residual_search(emb_1x)),
+    )
+    timed(
+        f"ivf_pq_residual_{k}x_vecs",
+        lambda: force_all(ivf_pq_residual_search(emb_k)),
+    )
+
+    # streaming ANN index pieces at kx: the per-batch encode delta is
+    # a pure scan kernel (frozen quantizer literals) and must track
+    # kx; the merge against a kx bucketed state with a FIXED-size
+    # delta must track the state scan with ONE exchange (the delta
+    # side) — the O(delta)-shuffle contract measured, not just
+    # plan-asserted
+    from sparkclif.operators.quantize import _collect_pq_metadata
+    from sparkclif.streaming.ann import ann_delta, merge_ann_codes
+
+    cbk, ann_heads = _collect_pq_metadata(emb_1x, 16, 8, "vec_id", "embedding")
+    cents = ann_heads[:8]
+    timed("ann_delta_1x", lambda: force_all(ann_delta(emb_1x, cents, cbk)))
+    timed(
+        f"ann_delta_{k}x_vecs",
+        lambda: force_all(ann_delta(emb_k, cents, cbk)),
+    )
+
+    def ann_state(df, tag: str) -> str:
+        tbl = f"probe_ann_state_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            ann_delta(df, cents, cbk)
+            .write.bucketBy(STATE_BUCKETS, "vec_id")
+            .sortBy("vec_id")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        return tbl
+
+    ann_s1 = ann_state(emb_1x, "1x")
+    ann_sk = ann_state(emb_k, f"{k}x")
+    ann_fixed_delta = ann_delta(emb_1x.limit(200), cents, cbk)
+    timed(
+        "ann_merge_1x_state",
+        lambda: force_all(merge_ann_codes(spark.table(ann_s1), ann_fixed_delta)),
+    )
+    timed(
+        f"ann_merge_{k}x_state_fixed_delta",
+        lambda: force_all(merge_ann_codes(spark.table(ann_sk), ann_fixed_delta)),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {ann_s1}")
+    spark.sql(f"DROP TABLE IF EXISTS {ann_sk}")
+
     shutil.rmtree(scratch, ignore_errors=True)
 
 
