@@ -410,22 +410,14 @@ def _lut_for(qv, seed_qvs, n_sub, sub_dim):
     ]
 
 
-def coarse_postings(
-    emb,
-    centroids,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    out_col: str = "__cluster",
-):
-    """IVF posting assignment as a pure scan-side plan: in-row argmax
-    exact dot over the centroid literal, ties to the lowest centroid
-    id — array_min of (-score, id) structs, each dot computed exactly
-    once. ONE definition of the coarse-quantizer convention, shared by
-    ``ivf_pq_search`` and the streaming index maintainer
-    (streaming/ann.py); ``ivf_pq_residual_search`` fuses the same
-    expressions into its residual projection. ``centroids``:
-    ``[(cid, qv)]`` driver metadata (bounded — rides the plan as a
-    literal). Returns ``(id_col, out_col)``."""
+def _cluster_expr(centroids, qv_col: str):
+    """The coarse-quantizer assignment as ONE Column over a quantized
+    vector column: in-row argmax exact dot over the centroid literal,
+    ties to the lowest centroid id — array_min of (-score, id)
+    structs, each dot computed exactly once. The single definition of
+    the convention; every caller (standalone postings, the fused
+    encode carry, the residual projection) binds it to its own qv
+    column name."""
     cent_lit = F.expr(
         "array("
         + ",".join(
@@ -437,7 +429,7 @@ def coarse_postings(
 
     def dot_to(cw):
         return F.aggregate(
-            F.zip_with("__qv", cw["cv"], lambda a, b: a * b),
+            F.zip_with(qv_col, cw["cv"], lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -446,9 +438,30 @@ def coarse_postings(
         cent_lit,
         lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
     )
+    return F.array_min(scored_c)["c"]
+
+
+def coarse_postings(
+    emb,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "__cluster",
+):
+    """IVF posting assignment as a pure scan-side plan
+    (``_cluster_expr`` over a fresh quantized projection) — used by
+    the streaming index maintainer (streaming/ann.py), whose encode
+    batch is delta-sized so the separate projection + join is free;
+    ``ivf_pq_search``/``ivf_pq_residual_search`` instead CARRY the
+    cluster through their encode scan (no postings join on the
+    corpus-sized side). ``centroids``: ``[(cid, qv)]`` driver
+    metadata (bounded — rides the plan as a literal). Returns
+    ``(id_col, out_col)``."""
     return emb.select(
         F.col(id_col), int_basis(F.col(vec_col)).alias("__qv")
-    ).select(F.col(id_col), F.array_min(scored_c)["c"].alias(out_col))
+    ).select(
+        F.col(id_col), _cluster_expr(centroids, "__qv").alias(out_col)
+    )
 
 
 def ivf_pq_search(
@@ -487,17 +500,20 @@ def ivf_pq_search(
 
     Plan: ONE metadata collect (md5 seeds ∪ smallest-id heads — the
     heads double as centroids and queries); cluster assignment is an
-    in-row argmax over the centroid literal on the same scan; codes
-    fold per vector (the one corpus-sized shuffle, exchange-reused
-    from the caller's id-keyed spread) and join their posting cluster
-    with both sides already hash-partitioned on the id — no new
-    exchange; the (cluster -> [(query, lut)]) probe table rides the
-    plan as ONE parsed map literal, so candidate generation is a
-    map-lookup explode that emits rows ONLY for probed clusters
-    (unprobed postings never leave the scan); two-phase salted top-k
-    as in pq_adc_search. At 100 TB the probe table is
-    queries × n_probe entries of bounded LUTs and the candidate
-    stream is the probed fraction of the corpus."""
+    in-row argmax over the centroid literal computed IN the encode
+    scan itself (``pq_encode(cluster_centroids=...)``) and carried
+    through the code fold per (vector, cluster) — the one
+    corpus-sized shuffle, exchange-reused from the caller's id-keyed
+    spread, with NO postings join (round-12 adoption from the
+    residual searcher; the prior second-projection + post-fold join
+    shape measured 1.14 vs 1.03 s build+exec at sf0.1); the
+    (cluster -> [(query, lut)]) probe table rides the plan as ONE
+    parsed map literal, so candidate generation is a map-lookup
+    explode that emits rows ONLY for probed clusters (unprobed
+    postings never leave the scan); two-phase salted top-k as in
+    pq_adc_search. At 100 TB the probe table is queries × n_probe
+    entries of bounded LUTs and the candidate stream is the probed
+    fraction of the corpus."""
     meta = emb if meta_src is None else meta_src
     seed_qvs, heads = _collect_pq_metadata(
         meta, n_codes, max(n_clusters, n_queries), id_col, vec_col
@@ -513,8 +529,12 @@ def ivf_pq_search(
             F.lit(None).cast("int").alias("rank"),
         ).where(F.lit(False))
 
-    postings = coarse_postings(emb, centroids, id_col, vec_col)
-
+    # the posting cluster is computed IN the encode scan and rides
+    # the code fold (round-12 adoption from the residual searcher:
+    # one scan + zero joins instead of a second corpus projection
+    # joined post-fold — interleaved same-session sf0.1 measurement
+    # before adoption: exec 0.51 -> 0.42 s, build+exec 1.14 -> 1.03 s,
+    # results identical; in-window verified this round)
     codes = pq_encode(
         emb,
         n_sub=n_sub,
@@ -523,8 +543,9 @@ def ivf_pq_search(
         id_col=id_col,
         vec_col=vec_col,
         codebook=seed_qvs,
+        cluster_centroids=centroids,
     )
-    cand_side = _code_fold(codes, id_col).join(postings, id_col)
+    cand_side = _code_fold(codes, id_col, "__cluster")
 
     # driver-side probe selection: each query's n_probe best clusters
     # by the SAME exact integer dot + tiebreak, then the probe table
@@ -579,6 +600,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: "list[list[int]] | None" = None,
+    cluster_centroids=None,
 ):
     """Product-quantization encoding (Jégou et al. 2011): split each
     vector into ``n_sub`` subspaces of ``sub_dim`` dims and assign
@@ -611,17 +633,34 @@ def pq_encode(
     dims (a short vector's trailing subspace slices come out ragged
     and zip_with pads NULL into the distances). Fewer than
     ``n_codes`` input rows simply yields a smaller codebook.
+
+    ``cluster_centroids``: optional ``[(cid, qv)]`` metadata — when
+    given, the coarse IVF posting cluster (``_cluster_expr``, the one
+    assignment convention) is computed IN the same scan and carried
+    through as ``__cluster``, so an IVF-PQ caller's code fold can
+    group by (id, cluster) with NO postings join (the round-12
+    residual-searcher shape, adopted by ivf_pq_search). ``None``
+    leaves the default plan byte-identical.
     """
     q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
+    carry: list = []
+    if cluster_centroids is not None:
+        q_df = q_df.select(
+            F.col(id_col),
+            "qv",
+            _cluster_expr(cluster_centroids, "qv").alias("__cluster"),
+        )
+        carry = ["__cluster"]
     subs = q_df.select(
         id_col,
+        *carry,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_sub - 1)),
                 lambda i: F.slice("qv", (i * sub_dim + 1).cast("int"), sub_dim),
             )
         ).alias("sub", "sv"),
-    ).select(id_col, F.col("sub").cast("int").alias("sub"), "sv")
+    ).select(id_col, *carry, F.col("sub").cast("int").alias("sub"), "sv")
 
     # ``codebook``: a pq_codebook() result to reuse — pq_adc_search
     # passes its own so encode+search cost ONE seed-collection job per
@@ -637,6 +676,7 @@ def pq_encode(
         # array<void> and fail analysis in the lambda field accesses
         return subs.select(
             id_col,
+            *carry,
             "sub",
             F.lit(None).cast("int").alias("code"),
             F.lit(None).cast("long").alias("dist_sq"),
@@ -690,6 +730,7 @@ def pq_encode(
         subs.withColumn("__best", F.array_min(scored))
         .select(
             id_col,
+            *carry,
             "sub",
             F.col("__best.c").alias("code"),
             F.col("__best.d").alias("dist_sq"),

@@ -27,7 +27,12 @@ encode, per-batch shuffle O(delta)).
 
 Then TWO round-12 touched surfaces whose hashes must not move:
 ``i_sim_ivf_pq`` — its probe-map lookup is now ANSI-safe
-(try_element_at, ADVICE r11; same rows, same plan metrics) — and
+(try_element_at, ADVICE r11) AND its posting cluster now rides the
+encode scan + code fold with no postings join (the residual
+searcher's shape, adopted on an interleaved same-session
+measurement: build+exec 1.14 -> 1.03 s, exec 0.51 -> 0.42 s at
+sf0.1; results verified identical before adoption; PLANS.json
+7 -> 6 exchanges, 2 -> 0 broadcast joins) — and
 ``h_stream_merge_bucketed`` — its harness now instantiates the
 extracted ``run_versioned_merge_stream`` lifecycle the ANN maintainer
 shares (behavior-identical refactor, r8 plan test green). The other
@@ -35,8 +40,9 @@ round-12 code changes cannot move hashes: the eval-gram memo
 key/eviction change (ADVICE r11) alters driver-side caching only —
 the checkpointed rows and the plan are unchanged (regression-tested);
 ``coarse_postings``/``_code_fold`` extractions are plan-identical
-(PLANS.json byte-stable but for the two new rows); the
-``registrable_domain_psl`` change is docstring-only.
+(PLANS.json byte-stable but for the two new rows and the
+i_sim_ivf_pq fusion above); the ``registrable_domain_psl`` change is
+docstring-only.
 
 Then the five queries displaced in r11, carrying the stalest (r8)
 rows: ``i_text_quality``, ``i_text_rarity``, ``i_text_stats``,
