@@ -615,3 +615,50 @@ def test_residual_codebook_training_reduces_error(spark):
         )
 
     assert err(got) < err(cb0)
+
+
+def test_ivf_pq_residual_oracle_differential_random():
+    """Randomized differential: the registered SQL oracle (DuckDB)
+    must equal the independent Python model on random SMALL corpora —
+    including duplicate vectors (ADC ties) and negative-heavy values
+    (the truncating-division convention on negative sums) that the
+    fixed test corpus may under-exercise. No Spark involved: the
+    engine==oracle and engine==model legs are pinned elsewhere; this
+    leg stresses the oracle's trickier SQL on adversarial shapes."""
+    import duckdb
+    import pandas as pd
+
+    from sparkclif.registry import all_queries
+
+    sql = all_queries()["i_sim_ivf_pq_residual"].oracle
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(12, 40))
+        vecs = {}
+        for i in range(n):
+            if trial == 1:
+                # heavy ties: few distinct vectors, many duplicates
+                base = rng.integers(0, 3)
+                v = np.full(64, -0.5) + base * 0.25
+            elif trial == 2:
+                # negative-dominated: exercises s < 0 truncating means
+                v = -np.abs(rng.normal(0.5, 0.3, 64))
+            else:
+                v = rng.normal(0, 0.6, 64)
+            vecs[i] = v.astype(np.float64)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": list(vecs),
+                "embedding": [
+                    np.asarray(v, dtype=np.float32) for v in vecs.values()
+                ],
+            }
+        )
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        got = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        con.close()
+        want = _residual_ivf_pq_model(
+            {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+        )
+        assert got == want, f"trial {trial}: oracle != model"
