@@ -415,9 +415,9 @@ def _cluster_expr(centroids, qv_col: str):
     vector column: in-row argmax exact dot over the centroid literal,
     ties to the lowest centroid id — array_min of (-score, id)
     structs, each dot computed exactly once. The single definition of
-    the convention; every caller (standalone postings, the fused
-    encode carry, the residual projection) binds it to its own qv
-    column name."""
+    the convention; every caller (the fused encode carry used by both
+    batch searchers and the streaming delta, the residual projection)
+    binds it to its own qv column name."""
     cent_lit = F.expr(
         "array("
         + ",".join(
@@ -439,29 +439,6 @@ def _cluster_expr(centroids, qv_col: str):
         lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
     )
     return F.array_min(scored_c)["c"]
-
-
-def coarse_postings(
-    emb,
-    centroids,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    out_col: str = "__cluster",
-):
-    """IVF posting assignment as a pure scan-side plan
-    (``_cluster_expr`` over a fresh quantized projection) — used by
-    the streaming index maintainer (streaming/ann.py), whose encode
-    batch is delta-sized so the separate projection + join is free;
-    ``ivf_pq_search``/``ivf_pq_residual_search`` instead CARRY the
-    cluster through their encode scan (no postings join on the
-    corpus-sized side). ``centroids``: ``[(cid, qv)]`` driver
-    metadata (bounded — rides the plan as a literal). Returns
-    ``(id_col, out_col)``."""
-    return emb.select(
-        F.col(id_col), int_basis(F.col(vec_col)).alias("__qv")
-    ).select(
-        F.col(id_col), _cluster_expr(centroids, "__qv").alias(out_col)
-    )
 
 
 def ivf_pq_search(
@@ -946,34 +923,15 @@ def ivf_pq_residual_search(
         for sub in range(n_sub):
             cb0[sub].append(rv[sub * sub_dim : (sub + 1) * sub_dim])
 
-    # residual projection: in-row coarse argmax over the centroid
-    # literal, residual via a centroid map-literal lookup (key always
-    # present — assignment picks from the map's own keys), per-sub
-    # slices; materialized once for the training passes + final encode
-    cent_lit = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('c',{cid}L,'cv',{_arr_lit(cv)})"
-            for cid, cv in centroids
-        )
-        + ")"
-    )
+    # residual projection: in-row coarse argmax (``_cluster_expr``,
+    # the one assignment convention), residual via a centroid
+    # map-literal lookup (key always present — assignment picks from
+    # the map's own keys), per-sub slices; materialized once for the
+    # training passes + final encode
     cmap_lit = F.expr(
         "map("
         + ",".join(f"{cid}L,{_arr_lit(cv)}" for cid, cv in centroids)
         + ")"
-    )
-
-    def dot_to(cw):
-        return F.aggregate(
-            F.zip_with("__qv", cw["cv"], lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    scored_c = F.transform(
-        cent_lit,
-        lambda cw: F.struct((-dot_to(cw)).alias("ns"), cw["c"].alias("c")),
     )
     rv_col = F.zip_with(
         "__qv",
@@ -983,7 +941,9 @@ def ivf_pq_residual_search(
     proj = (
         emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("__qv"))
         .select(
-            F.col(id_col), "__qv", F.array_min(scored_c)["c"].alias("__cluster")
+            F.col(id_col),
+            "__qv",
+            _cluster_expr(centroids, "__qv").alias("__cluster"),
         )
         .select(
             F.col(id_col),

@@ -39,7 +39,7 @@ shares (behavior-identical refactor, r8 plan test green). The other
 round-12 code changes cannot move hashes: the eval-gram memo
 key/eviction change (ADVICE r11) alters driver-side caching only —
 the checkpointed rows and the plan are unchanged (regression-tested);
-``coarse_postings``/``_code_fold`` extractions are plan-identical
+the ``_cluster_expr``/``_code_fold`` extractions are plan-identical
 (PLANS.json byte-stable but for the two new rows and the
 i_sim_ivf_pq fusion above); the ``registrable_domain_psl`` change is
 docstring-only.

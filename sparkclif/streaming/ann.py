@@ -35,11 +35,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkclif.operators.quantize import (
-    _code_fold,
-    coarse_postings,
-    pq_encode,
-)
+from sparkclif.operators.quantize import _code_fold, pq_encode
 from sparkclif.streaming.merge import STATE_BUCKETS, run_versioned_merge_stream
 
 ANN_STATE_COLS = ["vec_id", "cluster", "codes"]
@@ -113,20 +109,26 @@ def ann_delta(
     n_sub: int = 8,
     sub_dim: int = 8,
 ) -> DataFrame:
-    """One index row per batch vector: coarse posting cluster
-    (frozen centroid literal, scan-side) + folded PQ code array
-    (frozen codebook literal, scan-side). The fold and the
-    delta-sized postings join touch only the batch — O(delta)."""
+    """One index row per batch vector: coarse posting cluster + PQ
+    code array, both from frozen literals in ONE scan — the cluster
+    rides the encode and the code fold (the round-12 fusion every
+    searcher uses; pq_encode(cluster_centroids=...)), so the
+    per-batch plan is scan + one delta-sized fold, no join.
+    O(delta) throughout."""
     codes = pq_encode(
         batch_df,
         n_sub=n_sub,
         sub_dim=sub_dim,
         n_codes=len(codebook),
         codebook=codebook,
+        cluster_centroids=centroids,
     )
-    arr = _code_fold(codes, "vec_id").withColumnRenamed("__codes", "codes")
-    posts = coarse_postings(batch_df, centroids, out_col="cluster")
-    return arr.join(posts, "vec_id").select("vec_id", "cluster", "codes")
+    return (
+        _code_fold(codes, "vec_id", "__cluster")
+        .withColumnRenamed("__codes", "codes")
+        .withColumnRenamed("__cluster", "cluster")
+        .select("vec_id", "cluster", "codes")
+    )
 
 
 def merge_ann_codes(state: DataFrame, delta: DataFrame) -> DataFrame:
