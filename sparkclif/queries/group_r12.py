@@ -1,6 +1,7 @@
 """Round-12 surface additions (SURVEY.md §2.2 growth set) — the two
-shapes VERDICT r11 items 3 and 4 named, landed BEFORE the round's
-window commit so they take their first driver rows THIS round:
+shapes VERDICT r11 items 3 and 4 named plus the near-dup incremental
+the dedup arc lacked, all landed BEFORE the round's window commit so
+they take their first driver rows THIS round:
 
 - i_sim_ivf_pq_residual — IVF-PQ with RESIDUAL encoding and
   Lloyd-TRAINED per-subspace codebooks (Jégou et al. 2011 §V — the
@@ -19,6 +20,14 @@ window commit so they take their first driver rows THIS round:
   bytes are O(delta), never O(state) (the h_stream_merge_bucketed
   contract); the final state equals the one-shot batch encode, which
   is the oracle.
+- ``i_dedup_simhash_incremental`` — incremental NEAR-dup detection:
+  the ingest batch's simhash fingerprints probed against the
+  persisted store via 4×16-bit BANDED candidates. The pigeonhole
+  guarantee is exact (Hamming ≤ 3 forces a shared band), so unlike
+  MinHash-LSH the banding is a pure-function plan and the row is
+  fully hash-checked — the near-dup counterpart of
+  ``i_dedup_incremental`` (which only catches byte-identical
+  content; this catches the near-misses exact hashing is blind to).
 
 Reference ties: the reference's event loop folds arriving payloads
 into persisted per-site state (app.py R28-R31, R36); these are that
@@ -294,3 +303,106 @@ def h_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.posexplode("codes").alias("sub", "code"),
     )
+
+
+@register(
+    "i_dedup_simhash_incremental",
+    # Exact restatement: i_dedup_simhash's fps CTE chain verbatim
+    # (md5 token basis, per-bit majority, sign-bit packing), split
+    # into batch (doc_id % 3 = 0) and store; bands via the portable
+    # signed-shift-then-mask slice (the mask discards sign-extension
+    # bits — identical on both engines including the sign-bit band);
+    # candidates share an exact band; winner = (hamming, id)-minimal
+    # within threshold; store precedence over batch order (the
+    # i_dedup_incremental convention). bit_count(xor()) on signed
+    # BIGINT counts two's-complement bits identically on both
+    # engines (measured, see tests).
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN 2 * count(*) FILTER (WHERE ((h >> b.bit) & 1) = 1)
+                         > count(*)
+                    THEN 1 ELSE 0 END AS maj
+        FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN bit = 63
+                             THEN -maj * 9223372036854775808
+                             ELSE maj * (1::BIGINT << bit) END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    batchf AS (SELECT doc_id, simhash FROM fps WHERE doc_id % 3 = 0),
+    storef AS (SELECT doc_id, simhash FROM fps WHERE doc_id % 3 <> 0),
+    bands AS (SELECT unnest(range(4)) AS band),
+    bb AS (SELECT doc_id, simhash, band,
+                  (simhash >> (16 * band)) & 65535 AS bv
+           FROM batchf CROSS JOIN bands),
+    sb AS (SELECT doc_id, simhash, band,
+                  (simhash >> (16 * band)) & 65535 AS bv
+           FROM storef CROSS JOIN bands),
+    sm AS (
+      SELECT doc_id, match_id, ham FROM (
+        SELECT DISTINCT bb.doc_id, sb.doc_id AS match_id,
+               bit_count(xor(bb.simhash, sb.simhash)) AS ham
+        FROM bb JOIN sb ON bb.band = sb.band AND bb.bv = sb.bv
+      ) WHERE ham <= 3
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY ham, match_id) = 1
+    ),
+    bm AS (
+      SELECT doc_id, match_id, ham FROM (
+        SELECT DISTINCT a.doc_id, b2.doc_id AS match_id,
+               bit_count(xor(a.simhash, b2.simhash)) AS ham
+        FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bv = b2.bv
+                            AND b2.doc_id < a.doc_id
+      ) WHERE ham <= 3
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY ham, match_id) = 1
+    )
+    SELECT f.doc_id, f.simhash,
+           CASE WHEN sm.match_id IS NOT NULL THEN 'dup_store'
+                WHEN bm.match_id IS NOT NULL THEN 'dup_batch'
+                ELSE 'kept' END AS status,
+           coalesce(sm.match_id, bm.match_id) AS match_id,
+           CAST(coalesce(sm.ham, bm.ham) AS BIGINT) AS hamming
+    FROM batchf f
+    LEFT JOIN sm USING (doc_id)
+    LEFT JOIN bm USING (doc_id)
+    """,
+)
+def i_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: the new ingest batch's simhash
+    fingerprints probed against the persisted store's via BANDED
+    candidate generation (4 × 16-bit bands; pigeonhole makes the
+    Hamming ≤ 3 guarantee exact, so the banding is a pure-function
+    plan, fully hash-checked — unlike MinHash-LSH's probabilistic
+    recall). The near-dup counterpart of ``i_dedup_incremental``:
+    byte-identical content is that query's job; this one catches the
+    near-misses exact hashing is blind to. History/batch simulated by
+    doc_id % 3; each side's filter sits BELOW the simhash kernel
+    (Catalyst cannot push a filter through mapInPandas — the
+    i_decontaminate scan-once lesson). Statuses at sf0.01:
+    88 dup_store / 6 dup_batch / 73 kept — all three paths
+    data-exercised. See operators/dedup.py
+    dedup_simhash_incremental for the 100 TB plan (bounded band
+    explodes, two equi-joins, min-struct winners; runs after exact
+    dedup so band buckets stay small)."""
+    from sparkclif.operators import dedup as D
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    batch_fps = D.simhash64(docs.where(F.col("doc_id") % 3 == 0))
+    store_fps = D.simhash64(docs.where(F.col("doc_id") % 3 != 0))
+    return D.dedup_simhash_incremental(batch_fps, store_fps)

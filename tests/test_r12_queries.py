@@ -662,3 +662,72 @@ def test_ivf_pq_residual_oracle_differential_random():
             {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
         )
         assert got == want, f"trial {trial}: oracle != model"
+
+
+# ------------------------- incremental simhash near-dup (growth, r12)
+
+
+def test_simhash_incremental_threshold_and_precedence(spark):
+    """Crafted fingerprints pin the contract: hamming <= 3 matches
+    (pigeonhole over 4 x 16-bit bands — even with the 3 flips spread
+    across 3 different bands), hamming 4 never matches (threshold,
+    not band luck), store precedence over a closer batch match, and
+    the (hamming, id)-minimal winner."""
+    from sparkclif.operators.dedup import dedup_simhash_incremental
+
+    base = 0x0123456789ABCDEF
+
+    def flip(v, *bits):
+        for b in bits:
+            v ^= 1 << b
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    batch = spark.createDataFrame(
+        [
+            (100, flip(base)),            # exact store dup (ham 0)
+            (101, flip(base, 1, 17, 33)), # ham 3 across 3 bands -> match
+            (102, flip(base, 1, 17, 33, 49)),  # ham 4 -> NOT a match
+            (103, flip(base, 63)),        # sign-bit band flip, ham 1
+            (104, flip(base, 2)),         # ham1 vs store AND ham2 vs 100?
+        ],
+        "doc_id long, simhash long",
+    )
+    store = spark.createDataFrame(
+        [(1, flip(base)), (2, flip(base, 5))],
+        "doc_id long, simhash long",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"], r["hamming"])
+        for r in dedup_simhash_incremental(batch, store).collect()
+    }
+    assert got[100] == ("dup_store", 1, 0)
+    assert got[101] == ("dup_store", 1, 3)
+    # ham 4 to every STORE doc (threshold is exact — no dup_store
+    # despite sharing bands), but ham 1 to batch peer 101 (they
+    # differ only in bit 49): batch path catches it
+    assert got[102] == ("dup_batch", 101, 1)
+    assert got[103] == ("dup_store", 1, 1)
+    # doc 104: ham 1 vs store doc 1 — store wins and is minimal
+    assert got[104] == ("dup_store", 1, 1)
+
+
+def test_simhash_incremental_batch_precedence_and_order(spark):
+    """No store match -> nearest LOWER-id batch doc wins; ties on
+    hamming break to the smaller id; the lowest batch doc of a
+    near-dup cluster stays kept."""
+    from sparkclif.operators.dedup import dedup_simhash_incremental
+
+    base = 0x7123456789ABCDE0
+    batch = spark.createDataFrame(
+        [(10, base), (11, base ^ 2), (12, base ^ 4)],
+        "doc_id long, simhash long",
+    )
+    store = spark.createDataFrame([], "doc_id long, simhash long")
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"], r["hamming"])
+        for r in dedup_simhash_incremental(batch, store).collect()
+    }
+    assert got[10] == ("kept", None, None)
+    assert got[11] == ("dup_batch", 10, 1)
+    # doc 12: ham 1 to 10, ham 2 to 11 -> (1, 10) minimal
+    assert got[12] == ("dup_batch", 10, 1)
