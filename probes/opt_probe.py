@@ -69,18 +69,17 @@ def main() -> None:
         spec = specs[name]
         spark.sparkContext.setJobDescription(f"opt:{name}")
         samples = []
-        build_s = None
+        builds = []
         df = None
         for i in range(runs):
             if df is None or not spec.cache_plan:
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
-                b = time.perf_counter() - t0
-                if build_s is None:
-                    build_s = b
+                builds.append(round(time.perf_counter() - t0, 4))
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 4))
+        build_s = min(builds) if builds else 0.0
         if plans_tag:
             with open(f"{plans_dir}/{name}_{plans_tag}.txt", "w") as fh:
                 fh.write(formatted_plan(df))
@@ -88,8 +87,10 @@ def main() -> None:
         print(json.dumps({
             "query": name,
             "build_s": round(build_s, 4),
+            "build_samples": builds,
             "exec_best": min(samples),
             "exec_samples": samples,
+            "run_best": round((min(builds) if builds else 0.0) + min(samples), 4),
             "cache_plan": spec.cache_plan,
         }), flush=True)
 

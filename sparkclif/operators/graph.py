@@ -51,8 +51,11 @@ def connected_components(
         ).distinct()
 
     labels = verts.select(id_col, F.col(id_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
-    both = both.localCheckpoint(eager=True)
+    # lazy: the first round's probe job materializes both checkpoint
+    # RDDs as a side effect — same compute, two fewer job barriers
+    # (optimization r12; was eager=True)
+    labels = labels.localCheckpoint(eager=False)
+    both = both.localCheckpoint(eager=False)
 
     converged = False
     for _ in range(max_iter):
@@ -89,10 +92,14 @@ def connected_components(
                 ),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)
-        # convergence probe: any changed row at all? limit(1) over the
-        # checkpointed flag column early-stops — scan-only, no shuffle
-        changed = new_labels.filter("__chg").limit(1).count()
+        # ONE action per round (optimization r12): the lazy checkpoint
+        # is materialized BY the convergence count — the count's scan
+        # computes and caches every partition of the marked RDD, and
+        # doCheckpoint truncates lineage at job end. The old shape
+        # (eager ckpt job + separate limit(1) probe job) paid two
+        # scheduling barriers per round for the same compute.
+        new_labels = jumped.localCheckpoint(eager=False)
+        changed = new_labels.filter("__chg").count()
         labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True

@@ -75,4 +75,10 @@ def stream_range_join_events(
         joined,
         out_dir,
         "id_a long, id_b long, user_id long, gap_us long",
+        # an INNER stream-stream join emits only as data batches match
+        # rows; the trailing no-data batch evicts state without output
+        # (outer joins would emit there — this one must stay inner).
+        # Output-identical (verified), saves a full two-state-store
+        # batch cycle: 4.30 -> 3.54 s warm at sf0.1 (optimization r12)
+        no_data_batches=False,
     )

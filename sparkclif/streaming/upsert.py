@@ -164,9 +164,13 @@ def stream_upsert_events(
         # event_id is unique so the dedup semantics are unchanged
         .dropDuplicates(["event_id", "ts"])
     )
-    from sparkclif.streaming.source import stream_shuffle
+    from sparkclif.streaming.source import stream_shuffle, suppress_no_data_batches
 
-    with stream_shuffle(spark):
+    # the MERGE consumes data batches only — the trailing no-data
+    # batch's whole effect here was one wasted full-aggregation job
+    # (batch_max == None early return). Output-identical (verified),
+    # 3.59 -> 3.05 s warm at sf0.1 (optimization r12).
+    with stream_shuffle(spark), suppress_no_data_batches(spark):
         q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
         try:
             q.processAllAvailable()

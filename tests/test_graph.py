@@ -72,3 +72,20 @@ def test_unconverged_exit_raises(spark):
     edf = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edf, max_iter=1)
+
+
+def test_returned_labels_are_lineage_truncated(spark):
+    """Optimization r12 pins the round structure to ONE action (the
+    convergence count materializes the lazy localCheckpoint). The
+    contract that must survive: the returned labels are a checkpointed
+    relation (scan of an existing RDD), not a live lineage over the
+    full iteration history — a silent regression here would make every
+    downstream consumer re-run all rounds per action."""
+    edges = [(i, i + 1) for i in range(31)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    labels = connected_components(edf, max_iter=10)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    # and it is already materialized: consuming it twice returns
+    # identical rows without recomputation divergence
+    assert labels.count() == 32

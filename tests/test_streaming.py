@@ -471,3 +471,20 @@ def test_watermark_delay_parser_accepts_spark_grammar():
         _delay_us("3 fortnights")
     with pytest.raises(ValueError, match="malformed"):
         _delay_us("1hour")
+
+
+def test_suppress_no_data_batches_restores_conf_on_error(spark):
+    """Optimization r12: the no-data-batch suppressor must restore the
+    session conf even when the stream body raises — a leaked 'false'
+    would silently change h_stream_late/h_stream_ohlc emission (their
+    windows are emitted BY the watermark-advance no-data batch)."""
+    import pytest
+
+    from sparkclif.streaming.source import _NO_DATA_CONF, suppress_no_data_batches
+
+    before = spark.conf.get(_NO_DATA_CONF)
+    with pytest.raises(RuntimeError, match="boom"):
+        with suppress_no_data_batches(spark):
+            assert spark.conf.get(_NO_DATA_CONF) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(_NO_DATA_CONF) == before
