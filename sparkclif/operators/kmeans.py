@@ -114,7 +114,10 @@ def kmeans_exact(
     # on executor loss; on a cluster pass materialize='persist'
     # (lineage-recoverable, recomputes lost blocks) or None to skip.
     if materialize == "checkpoint":
-        q_df = q_df.localCheckpoint(eager=True)
+        # lazy: the seed TakeOrdered below scans every partition, so it
+        # materializes the checkpoint as a side effect — same compute,
+        # one fewer job barrier (optimization r12; was eager=True)
+        q_df = q_df.localCheckpoint(eager=False)
     elif materialize == "persist":
         q_df = q_df.persist()
     elif materialize is not None:
