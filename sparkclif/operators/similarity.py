@@ -531,9 +531,11 @@ def ivf_ann(
     - ASSIGN: one scan; mapInPandas argmax against broadcast centroids
       emits (cluster, id, normalized vec) postings, plus n_probe probe
       rows per query. Both sides partition by cluster.
-    - SEARCH: cogrouped applyInPandas per cluster — BLAS matmul of the
-      cluster's probes x postings, emit per-cluster top-k only. Work
-      is bounded per cluster; only k rows per (query, cluster) shuffle.
+    - SEARCH: ONE grouped applyInPandas per cluster over the tagged
+      stream (probes and postings split inside the kernel) — BLAS
+      matmul of the cluster's probes x postings, emit per-cluster
+      top-k only. Work is bounded per cluster; only k rows per
+      (query, cluster) shuffle.
     - MERGE: global window top-k over the probed clusters' candidates.
     """
     import math
@@ -597,10 +599,19 @@ def ivf_ann(
         assign_kernel,
         "cluster long, vec_id long, nv array<double>, is_query boolean",
     )
-    postings = tagged.filter(~F.col("is_query")).drop("is_query")
-    probes = tagged.filter(F.col("is_query")).drop("is_query")
 
-    def search_kernel(key, probe_pdf: pd.DataFrame, post_pdf: pd.DataFrame) -> pd.DataFrame:
+    # ONE grouped kernel over the tagged stream, probes/postings split
+    # INSIDE it (optimization r12) — the old cogroup filtered the
+    # mapInPandas output into two branches, each shuffling separately
+    # by cluster, so the Python assign kernel ran TWICE over the
+    # corpus (the filters sit between the kernel and the exchanges, so
+    # AQE has no identical subtree to reuse; a repartition pin would
+    # not survive filter pushdown either). Same shuffle bytes (N + 2N
+    # rows either way), identical per-cluster computation, one
+    # FlatMapGroupsInPandas instead of two exchanges + cogroup.
+    def search_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        probe_pdf = pdf[pdf["is_query"]]
+        post_pdf = pdf[~pdf["is_query"]]
         if probe_pdf.empty or post_pdf.empty:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine"])
         q_ids = probe_pdf["vec_id"].to_numpy()
@@ -621,11 +632,7 @@ def ivf_ann(
                 rows.append((qid, p_ids[j], float(row[j])))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine"])
 
-    local = (
-        probes.groupBy("cluster")
-        .cogroup(postings.groupBy("cluster"))
-        .applyInPandas(search_kernel, TOPK_SCHEMA)
-    )
+    local = tagged.groupBy("cluster").applyInPandas(search_kernel, TOPK_SCHEMA)
     # single-shuffle global merge (same shape as lsh_ann): per-query
     # dedup + order + top-k inside array expressions over the tiny
     # (<= k * n_probe) candidate list

@@ -232,15 +232,47 @@ def i_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", "text").mapInPandas(
         shingle_kernel, "doc_id long, shingles array<string>"
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+    # pair-slot explode instead of a shifted self-join (optimization
+    # r12): each doc lands in its own pair slot (side 0) and its
+    # predecessor's (side 1), one groupBy stitches the pair. The old
+    # a/b self-join keyed the two branches differently (id_a+1 vs
+    # id_b), so the shingle KERNEL ran twice over the corpus with no
+    # reusable exchange. Same shuffle bytes (each array crosses twice
+    # either way), one exchange + hash agg instead of two exchanges +
+    # sort-merge join, kernel once. Local wall measured neutral at
+    # sf0.1 (0.98 vs 0.99 min, results exceptAll-identical at
+    # sf0.01/0.1) — adopted for the halved Python-boundary CPU, which
+    # is the dominant cost at corpus scale. first(ignorenulls) is
+    # deterministic here: doc_id is unique, so each (pid, side) holds
+    # at most one non-null array.
+    sides = sh.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("pid"),
+                    F.lit(0).alias("side"),
+                    F.col("shingles").alias("sh"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("pid"),
+                    F.lit(1).alias("side"),
+                    F.col("shingles").alias("sh"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.pid", "e.side", "e.sh")
+    paired = (
+        sides.groupBy("pid")
+        .agg(
+            F.first(F.when(F.col("side") == 0, F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == 1, F.col("sh")), ignorenulls=True).alias("sh_b"),
         )
+        .filter(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
+    return paired.select(
+        F.col("pid").alias("id_a"),
+        (F.col("pid") + 1).alias("id_b"),
+        F.round(D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
     )
 
 

@@ -619,10 +619,14 @@ def i_sim_ivf_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = emb.select("vec_id", "embedding").mapInPandas(
         assign, "cluster long, vec_id long, qv array<long>, is_query boolean"
     )
-    postings = tagged.filter(~F.col("is_query")).drop("is_query")
-    probes = tagged.filter(F.col("is_query")).drop("is_query")
-
-    def search(key, probe_pdf: "pd.DataFrame", post_pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # ONE grouped kernel, probes/postings split inside it (optimization
+    # r12; same rewrite as ivf_ann): the old two-branch cogroup ran the
+    # Python assign kernel twice over the corpus — the is_query filters
+    # sat between the kernel and the two exchanges, so no subtree was
+    # reusable. Same shuffle bytes, identical per-cluster computation.
+    def search(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        probe_pdf = pdf[pdf["is_query"]]
+        post_pdf = pdf[~pdf["is_query"]]
         if probe_pdf.empty or post_pdf.empty:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "dot"])
         q_ids = probe_pdf["vec_id"].to_numpy()
@@ -641,10 +645,8 @@ def i_sim_ivf_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((qid, p_ids[j], int(row[j])))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "dot"])
 
-    local = (
-        probes.groupBy("cluster")
-        .cogroup(postings.groupBy("cluster"))
-        .applyInPandas(search, "vec_id long, neighbor_id long, dot long")
+    local = tagged.groupBy("cluster").applyInPandas(
+        search, "vec_id long, neighbor_id long, dot long"
     )
     # single-shuffle global merge (ivf_ann's shape): per query, order +
     # top-k inside array expressions over the <= k * n_probe candidates
