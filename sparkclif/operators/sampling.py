@@ -204,9 +204,11 @@ def pack_sequences(
     # re-SAMPLES boundaries per job (seed involves rdd.id) — once an
     # input partition exceeds the sample size (~10k rows) the two jobs
     # could disagree on boundaries and the offsets would describe the
-    # wrong partitioning. An eager localCheckpoint materializes one
-    # layout both jobs share (reliable checkpoint dir on a cluster).
-    part = part.localCheckpoint(eager=True)
+    # wrong partitioning. A localCheckpoint materializes one layout
+    # both jobs share (reliable checkpoint dir on a cluster); lazy,
+    # because the totals collect RIGHT BELOW is a full scan that
+    # materializes it — one fewer job barrier (optimization r12).
+    part = part.localCheckpoint(eager=False)
 
     pid_totals = {
         r["__pid"]: r["__t"]
@@ -306,8 +308,10 @@ def grouped_rank(
     ).withColumn("__pid", F.spark_partition_id())
     # Pin the physical partitioning: RangePartitioner re-samples
     # boundaries per job (see pack_sequences) — the counts job and the
-    # caller's action must see the SAME layout.
-    part = part.localCheckpoint(eager=True)
+    # caller's action must see the SAME layout. Lazy: the counts
+    # collect right below is the materializing full scan
+    # (optimization r12).
+    part = part.localCheckpoint(eager=False)
 
     # The map probe key and the driver-built map keys must agree
     # EXACTLY, so the group's string form comes from SPARK's cast in
