@@ -283,8 +283,8 @@ def grouped_rank(
     Cost-based dispatch (same constant as pack_sequences): inputs
     under SMALL_INPUT_BYTES take the plain one-task-per-group
     ``row_number`` window — at that size every group fits a task and
-    the 3-stage distributed rank pays two extra barriers plus an eager
-    checkpoint for nothing. Identical output either way. ``force``
+    the 3-stage distributed rank pays two extra barriers plus a
+    layout checkpoint for nothing. Identical output either way. ``force``
     ("window" | "distributed") pins a path; an explicit
     ``num_partitions`` also pins the distributed path (the
     single-task-per-group window cannot honor a partitioning request).
