@@ -1,11 +1,12 @@
-"""Round-12 optimization probe — isolate named queries per guide §1.
+"""Optimization probe — isolate named queries per guide §1.
 
 For each query name given on the command line (or a preset group):
 - builds the plan, times a warm noop-sink execution N times
   (``df.write.format("noop")`` — full plan, no sink cost, guide §1.4),
 - labels the jobs (`setJobDescription`) so event logs stay readable,
-- optionally dumps ``explain("formatted")`` to plans/r12/<q>_<tag>.txt
-  (the judge checks plan claims against these files).
+- optionally dumps ``explain("formatted")`` to
+  plans/$SPARKCLIF_PLANS_ROUND/<q>_<tag>.txt (default r13; the judge
+  checks plan claims against these files).
 
 Usage:
     python probes/opt_probe.py [--plans TAG] [--runs N] q1 q2 ...
@@ -61,8 +62,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARKCLIF_PLANS_ROUND", "r13"),
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:
@@ -84,13 +88,22 @@ def main() -> None:
             with open(f"{plans_dir}/{name}_{plans_tag}.txt", "w") as fh:
                 fh.write(formatted_plan(df))
         spark.sparkContext.setJobDescription(None)
+        # run_best mirrors bench.py exactly: cache_plan=False rebuilds
+        # per pass, so a "run" is one pass's OWN build+exec pair —
+        # min(builds)+min(samples) could pair a fast build from pass 1
+        # with a fast exec from pass 3, a time no pass achieved
+        # (ADVICE r12).
+        if spec.cache_plan:
+            run_best = round(build_s + min(samples), 4)
+        else:
+            run_best = round(min(b + s for b, s in zip(builds, samples)), 4)
         print(json.dumps({
             "query": name,
             "build_s": round(build_s, 4),
             "build_samples": builds,
             "exec_best": min(samples),
             "exec_samples": samples,
-            "run_best": round((min(builds) if builds else 0.0) + min(samples), 4),
+            "run_best": run_best,
             "cache_plan": spec.cache_plan,
         }), flush=True)
 

@@ -182,6 +182,39 @@ def spread(
     return df
 
 
+def spread_by_bytes(
+    df: DataFrame,
+    split_bytes: int = 64 * 1024,
+) -> DataFrame:
+    """``spread()`` with the target derived from the INPUT SIZE instead
+    of the session's core count (optimization r13, guide §2: make
+    partitioning scale-adaptive — derive from input size — rather than
+    a constant tuned for either local mode or the cluster).
+
+    For LIGHT per-row passes (tokenize + map-side count), a
+    core-count target gives each task a few ms of work at small
+    inputs, so the stage wall is task-launch overhead times cores —
+    measured 0.25 s for 32 tasks vs 0.15 s for 8 on the same 270k-token
+    scan (plans/r13 sketch record): the query got SLOWER as cores grew.
+    Sizing by bytes (~64 KB/task of text) keeps per-task work above the
+    launch cost at any core count; the cap at defaultParallelism keeps
+    the big-input case identical to spread() (and at real scale the
+    scan's own splits exceed any target, so this is a no-op exactly
+    like spread). Size comes from plan stats (parquet footer — no job).
+
+    For HEAVY per-row work (pandas kernels, shingling) keep spread():
+    there the per-task work dwarfs launch overhead and idle cores are
+    the waste."""
+    sc = df.sparkSession.sparkContext
+    stats_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    target = max(1, min(sc.defaultParallelism, -(-stats_bytes // split_bytes)))
+    if _num_partitions(df) < target:
+        return df.repartition(target)
+    return df
+
+
 # df.rdd.getNumPartitions() runs the physical planner (~100 ms); the
 # input split count of an immutable plan never changes, so probe once.
 _NPART_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()

@@ -118,12 +118,27 @@ def hll_sketch(
     items: DataFrame,
     col: str = "item",
     p: int = 6,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """HyperLogLog registers over ``col``: one row per register
     ``(reg, max_rho)``, all 2^p registers present (untouched ones 0).
     Build = scan-side hash split + ONE max() aggregation over a
     2^p key space (map-side combined; the combine IS the HLL merge).
-    """
+
+    ``weight_col`` feeds PRE-AGGREGATED values: pass a (value, count)
+    relation instead of raw occurrences — duplicates cannot move a
+    max, so the registers are identical, but the md5/split work runs
+    over the vocabulary, not the stream (the count_min weight_col
+    discipline). The count itself does not affect any register; it is
+    folded into the max as the LOW bits of an encoded long (rho·2^33 +
+    min(count, 2^33−1): rho strictly dominates, so the decoded max is
+    exactly max(rho)) purely so the optimizer cannot drop the
+    pre-aggregation — a bare distinct under max() is removed by
+    RemoveRedundantAggregates (max is duplicate-agnostic), which would
+    silently put the md5 work back on the occurrence stream. Struct
+    max was measured and rejected: it plans as SortAggregate (structs
+    are not hash-aggregable); the encoded long keeps HashAggregate.
+    (optimization r13)"""
     m = _hll_check_p(p)
     h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
     # first 8 bits pick the register (256 % 64 == 0 -> uniform);
@@ -133,13 +148,34 @@ def hll_sketch(
     rho = _hll_rho(
         F.conv(F.substring(h, 3, 6), 16, 10).cast("long"), HLL_SUFFIX_BITS
     )
-    touched = (
-        items.select(idx.alias("reg"), rho.alias("__rho"))
-        .groupBy("reg")
-        .agg(F.max("__rho").alias("max_rho"))
-    )
+    if weight_col is None:
+        touched = (
+            items.select(idx.alias("reg"), rho.alias("__rho"))
+            .groupBy("reg")
+            .agg(F.max("__rho").alias("max_rho"))
+        )
+    else:
+        cap = (1 << 33) - 1
+        enc = rho.cast("long") * (1 << 33) + F.least(
+            F.col(weight_col).cast("long"), F.lit(cap)
+        )
+        touched = (
+            items.select(idx.alias("reg"), enc.alias("__enc"))
+            .groupBy("reg")
+            .agg(
+                F.expr(f"max(__enc) div {1 << 33}")
+                .cast("int")
+                .alias("max_rho")
+            )
+        )
     spark = items.sparkSession
-    all_regs = spark.range(m).select(F.col("id").cast("long").alias("reg"))
+    # numPartitions=1: the dense side is 2^p <= 256 rows at ANY data
+    # size — the default (defaultParallelism splits) made the final
+    # join stage's task count track the core count for a fixed-size
+    # relation (optimization r13)
+    all_regs = spark.range(0, m, 1, 1).select(
+        F.col("id").cast("long").alias("reg")
+    )
     return all_regs.join(touched, "reg", "left").select(
         "reg", F.coalesce("max_rho", F.lit(0)).cast("int").alias("max_rho")
     )
@@ -251,7 +287,11 @@ def bloom_filter(
         .alias("bits_value")
     )
     spark = items.sparkSession
-    all_words = spark.range(n_words).select(F.col("id").cast("long").alias("word"))
+    # numPartitions=1: fixed m_bits/32-row dense side (the hll_sketch
+    # range note — optimization r13)
+    all_words = spark.range(0, n_words, 1, 1).select(
+        F.col("id").cast("long").alias("word")
+    )
     return all_words.join(packed, "word", "left").select(
         "word", F.coalesce("bits_value", F.lit(0)).cast("long").alias("bits_value")
     )

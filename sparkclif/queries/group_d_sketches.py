@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkclif.io import spread, table
+from sparkclif.io import spread_by_bytes, table
 from sparkclif.registry import register
 
 _TOKENS_SQL = r"""
@@ -20,11 +20,28 @@ _TOKENS_SQL = r"""
 """
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, cnt) — the token stream pre-aggregated to its vocabulary
+    (optimization r13, guide §2.3 "aggregate before you shuffle"): all
+    three sketch builds are duplicate-insensitive given the count (CMS
+    sums weights; HLL max and bloom OR cannot move on a repeat), so the
+    4-md5-per-row hash work runs over the VOCABULARY instead of the
+    occurrence stream — at corpus scale that is orders of magnitude
+    less hashing for bit-identical sketch state, and the shuffled
+    partials are vocab-bounded per map task instead of cell-bounded
+    (fewer, never more). The tokenize+count pass itself is light
+    per-row work, so its parallelism is sized by input bytes, not core
+    count (spread_by_bytes — the r12 driver measured the five sketch
+    queries scaling NEGATIVELY with cores because every stage's task
+    count tracked defaultParallelism)."""
     from sparkclif.operators.text import tokens
 
-    docs = spread(table(spark, sf_dir, "documents"))
-    return docs.select(F.explode(tokens("text")).alias("item"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
 
 
 @register(
@@ -46,12 +63,20 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (4×64) over token occurrences, portable md5
-    hash rows: the full counter matrix is hash-checked. One map-side-
-    combined aggregation; partial agg IS the sketch merge
-    (operators/sketch.py)."""
+    hash rows: the full counter matrix is hash-checked. Two-level
+    build (optimization r13): token counts first, then the weighted
+    CMS over the vocabulary — identical matrix (sum of per-token
+    counts == occurrence count), md5 work on the vocab, not the
+    stream (operators/sketch.py weight_col path, _token_counts)."""
     from sparkclif.operators.sketch import count_min
 
-    return count_min(_tokens(spark, sf_dir), depth=4, width=64)
+    return count_min(
+        _token_counts(spark, sf_dir),
+        col="tok",
+        depth=4,
+        width=64,
+        weight_col="cnt",
+    )
 
 
 _HLL_T_SQL = f"""
@@ -86,12 +111,16 @@ _HLL_T_SQL = f"""
 )
 def d_agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register table (p=6, m=64) over tokens, portable
-    md5 basis: all 64 registers hash-checked. Build = scan-side hash
-    split + one max() agg (map-side combine IS the HLL merge); no
-    distinct pass needed — duplicates cannot move a max."""
+    md5 basis: all 64 registers hash-checked. Two-level build
+    (optimization r13): duplicates cannot move a max, so the md5/rho
+    split runs over the vocabulary (_token_counts) — the weight_col
+    path keeps the pre-aggregation from being optimized away (see
+    hll_sketch)."""
     from sparkclif.operators.sketch import hll_sketch
 
-    return hll_sketch(_tokens(spark, sf_dir), p=6)
+    return hll_sketch(
+        _token_counts(spark, sf_dir), col="tok", p=6, weight_col="cnt"
+    )
 
 
 @register(
@@ -119,7 +148,12 @@ def d_agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so even the ESTIMATE is hash-checked cross-engine."""
     from sparkclif.operators.sketch import hll_estimate, hll_sketch
 
-    return hll_estimate(hll_sketch(_tokens(spark, sf_dir), p=6), p=6)
+    return hll_estimate(
+        hll_sketch(
+            _token_counts(spark, sf_dir), col="tok", p=6, weight_col="cnt"
+        ),
+        p=6,
+    )
 
 
 @register(
@@ -151,12 +185,16 @@ def d_agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter (512 bits, 4 portable md5 hash rows) over the
     token vocabulary, packed as 16 × 32-bit words — the third classic
-    sketch with hash-checked STATE. Distinct-bit dedup then per-word
-    power-of-two sums; partial aggregation is the filter union
-    (operators/sketch.py)."""
+    sketch with hash-checked STATE. Two-level build (optimization
+    r13): OR is idempotent, so the 4-hash explode runs over the
+    vocabulary (_token_counts; cnt is pruned, leaving a distinct —
+    the explode between the two aggregations blocks
+    RemoveRedundantAggregates, unlike the bare-max HLL case)."""
     from sparkclif.operators.sketch import bloom_filter
 
-    return bloom_filter(_tokens(spark, sf_dir), m_bits=512, k=4)
+    return bloom_filter(
+        _token_counts(spark, sf_dir), col="tok", m_bits=512, k=4
+    )
 
 
 @register(
@@ -206,9 +244,8 @@ def d_agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkclif.operators.hashing import md5_bits
     from sparkclif.operators.sketch import count_min
 
-    items = _tokens(spark, sf_dir)
-    true_counts = items.groupBy(F.col("item").alias("tok")).agg(
-        F.count("*").cast("long").alias("true_cnt")
+    true_counts = _token_counts(spark, sf_dir).withColumnRenamed(
+        "cnt", "true_cnt"
     )
     cms = count_min(true_counts, col="tok", depth=4, width=64, weight_col="true_cnt")
     from pyspark.sql import Window

@@ -118,3 +118,43 @@ def test_bloom_matches_hashlib_model_and_membership(spark):
         for j in range(4):
             b = int(hashlib.md5(f"bloom{j}|{v}".encode()).hexdigest()[24:32], 16) % 512
             assert want[b // 32] >> (b % 32) & 1
+
+def test_hll_weight_path_matches_plain_and_keeps_preagg(spark):
+    """The weight_col (pre-aggregated vocabulary) path must produce
+    bit-identical registers AND actually keep the pre-aggregation in
+    the plan: a bare distinct under max() is removed by
+    RemoveRedundantAggregates, silently putting the hash work back on
+    the occurrence stream (optimization r13 — the encoded-long max
+    exists exactly to block that)."""
+    vals = [f"x{i % 23}" for i in range(300)]
+    plain = hll_sketch(_items(spark, vals)).collect()
+    counted = (
+        _items(spark, vals)
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    weighted_df = hll_sketch(counted, weight_col="cnt")
+    assert sorted(map(tuple, plain)) == sorted(
+        map(tuple, weighted_df.collect())
+    )
+    # two aggregations must survive optimization: the vocabulary
+    # pre-agg (keyed on item) and the register max. explain lists each
+    # HashAggregate node twice (tree + details).
+    plan = weighted_df._sc._jvm.PythonSQLUtils.explainString(
+        weighted_df._jdf.queryExecution(), "formatted"
+    )
+    n_hash_aggs = plan.count("HashAggregate") // 2
+    assert n_hash_aggs >= 4, f"pre-aggregation collapsed:\n{plan}"
+    assert "SortAggregate" not in plan, "weight path must stay hash-aggregable"
+
+
+def test_hll_weight_cap_is_safe_for_huge_counts(spark):
+    """Counts above 2^33-1 are capped before encoding so rho stays the
+    strictly dominant term of the encoded max (a count overflowing
+    into rho's bits would corrupt a register)."""
+    counted = _items(spark, ["a", "b"]).withColumn(
+        "cnt", F.lit((1 << 40)).cast("long")
+    )
+    plain = hll_sketch(_items(spark, ["a", "b"])).collect()
+    weighted = hll_sketch(counted, weight_col="cnt").collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, weighted))
