@@ -106,6 +106,7 @@ def run_versioned_merge_stream(
     key_col: str,
     name_prefix: str,
     buckets: int = STATE_BUCKETS,
+    stream_transform=None,
 ) -> pd.DataFrame:
     """The ONE versioned-bucketed-MERGE streaming lifecycle (round-12
     extraction — the ANN-index harness would otherwise have copied
@@ -125,7 +126,19 @@ def run_versioned_merge_stream(
 
     The bucketed layout is the 100 TB point: each batch's merge join
     reads the O(state) side co-located — only the O(delta) side
-    shuffles (asserted for both callers in tests)."""
+    shuffles (asserted for both callers in tests).
+
+    ``stream_transform``: optional STATELESS transformation applied to
+    the streaming DataFrame itself (scan-side projections/explodes —
+    no aggregation or other stateful op). Expression-heavy per-row
+    work (e.g. a PQ encode against large frozen literals) belongs
+    here, not in ``delta_fn``: the streaming plan is built and
+    analyzed ONCE at query start, while everything inside
+    ``delta_fn`` is re-built through py4j and re-analyzed on EVERY
+    micro-batch (measured 0.37 s of driver time per epoch for the ANN
+    encode — guide §7.3's planning-cost class; optimization r13).
+    ``delta_fn`` keeps the per-batch aggregation, which cannot ride a
+    stream without becoming a stateful operator."""
     tag = hashlib.sha256(source_dir.encode()).hexdigest()[:12]
     name = f"{name_prefix}_{tag}"
     current: dict[str, str | None] = {"table": None}
@@ -159,6 +172,8 @@ def run_versioned_merge_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
     )
+    if stream_transform is not None:
+        stream = stream_transform(stream)
     with stream_shuffle(spark):
         q = stream.writeStream.foreachBatch(batch_merge).outputMode("update").start()
         try:
