@@ -185,6 +185,7 @@ def spread(
 def spread_by_bytes(
     df: DataFrame,
     split_bytes: int = 64 * 1024,
+    by: "list[str] | None" = None,
 ) -> DataFrame:
     """``spread()`` with the target derived from the INPUT SIZE instead
     of the session's core count (optimization r13, guide §2: make
@@ -204,14 +205,18 @@ def spread_by_bytes(
 
     For HEAVY per-row work (pandas kernels, shingling) keep spread():
     there the per-task work dwarfs launch overhead and idle cores are
-    the waste."""
+    the waste.
+
+    ``by``: hash-partition on these columns instead of round-robin
+    (same contract as spread's ``by`` — downstream groupBy/window
+    keyed on a prefix of ``by`` reuses this exchange)."""
     sc = df.sparkSession.sparkContext
     stats_bytes = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     target = max(1, min(sc.defaultParallelism, -(-stats_bytes // split_bytes)))
     if _num_partitions(df) < target:
-        return df.repartition(target)
+        return df.repartition(target, *by) if by else df.repartition(target)
     return df
 
 

@@ -109,14 +109,21 @@ def kmeans_exact(
     q_df = emb.select(F.col(id_col), int_basis(F.col(vec_col)).alias("qv"))
     # materialize the quantized projection ONCE: every pass (seed scan,
     # n_updates update jobs, final assignment) would otherwise re-read
-    # and re-quantize the input. 'checkpoint' (localCheckpoint) is the
-    # local-mode default — fastest, but its blocks are UNRECOVERABLE
-    # on executor loss; on a cluster pass materialize='persist'
-    # (lineage-recoverable, recomputes lost blocks) or None to skip.
+    # and re-quantize the input. 'checkpoint' (localCheckpoint) cuts
+    # lineage hardest but its blocks are UNRECOVERABLE on executor
+    # loss AND it drops outputPartitioning (every keyed consumer
+    # re-exchanges); 'persist' is lineage-recoverable and keeps the
+    # child's partitioning — the registered query passes it
+    # (optimization r13 A/B: persist >= checkpoint locally too).
     if materialize == "checkpoint":
         # lazy: the seed TakeOrdered below scans every partition, so it
         # materializes the checkpoint as a side effect — same compute,
-        # one fewer job barrier (optimization r12; was eager=True)
+        # one fewer job barrier (optimization r12; was eager=True).
+        # NOTE: this trade pays off only while the seed probe plans as
+        # a full-scan single job (TakeOrderedAndProject); an
+        # early-stopping seed shape would leave partitions
+        # unmaterialized and doCheckpoint would launch an extra job
+        # for them (ADVICE r12).
         q_df = q_df.localCheckpoint(eager=False)
     elif materialize == "persist":
         q_df = q_df.persist()

@@ -880,8 +880,12 @@ def ivf_pq_residual_search(
 
     Plan: ONE metadata collect (donors ∪ heads); the residual
     projection (in-row coarse argmax + centroid-map residual +
-    per-sub slices) is materialized ONCE (localCheckpoint locally,
-    ``materialize='persist'`` on a cluster — the kmeans_exact rule)
+    per-sub slices) is materialized ONCE (the registered query passes
+    ``materialize='persist'`` — lineage-recoverable AND it preserves
+    the projection's hash partitioning, which the final code fold's
+    groupBy(id, cluster) reuses; localCheckpoint drops
+    outputPartitioning and forced a fresh corpus exchange there —
+    optimization r13)
     so the n_updates training passes and the final encode don't
     re-read the corpus; each training pass collapses map-side to
     n_sub × n_codes × sub_dim metadata rows; the final encode folds
