@@ -14,10 +14,12 @@ Edge relaxation alone needs O(diameter) rounds (a 1M-doc chain would
 take 1M rounds); the jump step halves label-tree depth every round, so
 convergence is O(log diameter) — the same doubling trick as
 large-star/small-star CC (public literature). Each round is two
-equi-join shuffles + an agg; lineage is truncated per round with an
-eager localCheckpoint so the plan does not grow with the iteration
-count (on a cluster, point checkpoints at reliable storage instead).
-State per round is one (vertex, label) table — never driver-sized.
+equi-join shuffles + an agg, and ONE action: a lazy localCheckpoint
+materialized by the convergence count (the count's scan computes and
+caches every partition; doCheckpoint truncates lineage at job end —
+optimization r12), so the plan does not grow with the iteration count
+(on a cluster, point checkpoints at reliable storage instead). State
+per round is one (vertex, label) table — never driver-sized.
 """
 
 from __future__ import annotations
@@ -153,17 +155,33 @@ def pagerank_int(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     outdeg = e.groupBy("u").agg(F.count("*").alias("__deg"))
     # Materialize the degree-normalized edge relation and the node set
-    # ONCE: both are consumed every iteration, and without the
-    # checkpoint each round re-runs the full upstream lineage (scan +
-    # distinct per iteration — measured 3 extra corpus scans at
-    # iters=3). Same move the docstring prescribes for 100 TB; lazy
-    # checkpoints so a never-executed plan costs nothing.
-    en = e.join(outdeg, "u").localCheckpoint(eager=False)
+    # ONCE: both are consumed every iteration, and without it each
+    # round re-runs the full upstream lineage (scan + distinct per
+    # iteration — measured 3 extra corpus scans at iters=3).
+    # persist + explicit keyed repartition, NOT localCheckpoint
+    # (optimization r13): localCheckpoint drops outputPartitioning, so
+    # every iteration re-exchanged BOTH cached relations; persist
+    # keeps the hash layout, making the per-round message join and
+    # teleport join exchange-free on the cached sides — the
+    # co-partitioning the docstring prescribes for 100 TB. The
+    # partition count derives from the edge relation's plan-stats size
+    # (~1 MB/partition, capped at the session's parallelism — the cap
+    # binds on any real cluster; locally a 4 MB graph gets 4-5
+    # partitions instead of 32 near-empty tasks per stage per round:
+    # measured 1.57 s -> 0.78 s at 32 cores, identical ranks, and
+    # repartition(32)+persist was the worst shape measured, 2.4 s).
+    sc = edges.sparkSession.sparkContext
+    stats_bytes = int(
+        e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_parts = max(1, min(sc.defaultParallelism, -(-stats_bytes // (1 << 20))))
+    en = e.join(outdeg, "u").repartition(n_parts, "u").persist()
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .repartition(n_parts, "node")
+        .persist()
     )
     teleport = (100 - damping_pct) * scale_bp // 100
     pr = nodes.withColumn("pr_bp", F.lit(scale_bp).cast("long"))

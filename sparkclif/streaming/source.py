@@ -60,7 +60,21 @@ def suppress_no_data_batches(spark):
     equal). It is WRONG for append-mode windowed aggregations
     (late/rollup) and timeout-based stateful operators: there the
     final watermark advance is what EMITS closed windows / flushes
-    sessions — those harnesses keep the default."""
+    sessions — those harnesses keep the default.
+
+    SESSION-GLOBAL conf: a streaming query started concurrently on the
+    shared session during this window would capture
+    noDataMicroBatches=false at start and (if append-mode windowed)
+    silently never emit its final windows. The guard below asserts the
+    single-concurrent-query discipline the harness relies on instead
+    of leaving it implicit (ADVICE r12); restore-on-error alone does
+    not cover concurrent starts."""
+    active = [q.name or q.id for q in spark.streams.active]
+    if active:
+        raise RuntimeError(
+            "suppress_no_data_batches flips a session-global conf; "
+            f"refusing with streaming queries already active: {active}"
+        )
     prev = spark.conf.get(_NO_DATA_CONF)
     spark.conf.set(_NO_DATA_CONF, "false")
     try:

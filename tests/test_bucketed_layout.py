@@ -148,3 +148,22 @@ def test_parquet_row_count_recurses_partitioned_layout(tmp_path):
     pq.write_table(pa.table({"x": [4]}), root / "flag=B" / "part-1.parquet")
     pq.write_table(pa.table({"x": [9, 9]}), root / "_temporary" / "part-2.parquet")
     assert parquet_row_count(str(tmp_path), "t") == 4
+
+
+def test_overwrite_saveastable_replaces_changed_bucket_spec(spark):
+    """run_versioned_merge_stream dropped its guard DROP on the claim
+    that mode('overwrite').saveAsTable drops and recreates an existing
+    managed table INCLUDING a changed bucket spec (optimization r12).
+    That behavior is version-sensitive; this pins it on the running
+    Spark (ADVICE r12) — if an upgrade ever keeps the stale spec, the
+    bucketed merge-join exchange elimination silently breaks."""
+    name = "t_bucket_overwrite_pin"
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    try:
+        df.write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable(name)
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(name)
+        ddl = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+        assert "8 BUCKETS" in ddl, ddl
+        assert spark.table(name).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

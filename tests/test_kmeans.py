@@ -113,3 +113,52 @@ def test_kmeans_single_centroid(spark):
     out = kmeans_exact(emb, k=1, n_updates=1).collect()
     assert len(out) == 5
     assert all(r["cluster"] == 0 for r in out)
+
+
+def _new_fully_cached_rdds(spark, before_ids):
+    jsc = spark.sparkContext._jsc.sc()
+    out = []
+    for info in jsc.getRDDStorageInfo():
+        if info.id() in before_ids:
+            continue
+        out.append((info.numCachedPartitions(), info.numPartitions()))
+    return out
+
+
+def _storage_ids(spark):
+    jsc = spark.sparkContext._jsc.sc()
+    return {info.id() for info in jsc.getRDDStorageInfo()}
+
+
+def test_lazy_checkpoint_materialized_by_kmeans_build(spark):
+    """The materialize='checkpoint' projection is a LAZY localCheckpoint
+    whose blocks must be FULLY cached by the time the builder returns:
+    the seed TakeOrdered is the full-scan action that materializes it
+    (optimization r12). If the seed probe ever stops being a full
+    scan (early-stopping shape), partitions stay uncached here and
+    the per-update scans silently recompute the projection — this
+    test is the safety net VERDICT r12 item 6 asked for."""
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    before = _storage_ids(spark)
+    kmeans_exact(emb.repartition(4), k=2, n_updates=1)
+    cached = _new_fully_cached_rdds(spark, before)
+    assert cached, "builder left no cached checkpoint blocks"
+    assert any(n == total and total > 0 for n, total in cached), (
+        f"checkpoint only partially materialized by the build: {cached}"
+    )
+
+
+def test_lazy_checkpoint_materialized_by_residual_build(spark):
+    """Same net for ivf_pq_residual_search(materialize='checkpoint'):
+    the first training aggregation must fully materialize the lazy
+    residual-projection checkpoint."""
+    from sparkclif.operators.quantize import ivf_pq_residual_search
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    before = _storage_ids(spark)
+    ivf_pq_residual_search(emb.repartition(4), materialize="checkpoint")
+    cached = _new_fully_cached_rdds(spark, before)
+    assert cached, "builder left no cached checkpoint blocks"
+    assert any(n == total and total > 0 for n, total in cached), (
+        f"checkpoint only partially materialized by the build: {cached}"
+    )
