@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkclif.io import spread, table
+from sparkclif.io import spread, spread_by_bytes, table
 from sparkclif.operators import dedup as D
 from sparkclif.operators import multimodal as M
 from sparkclif.operators import similarity as S
@@ -215,7 +215,7 @@ def i_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
 
     def shingle_kernel(batches):
         for batch in batches:
@@ -281,7 +281,7 @@ def i_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: 32-lane signatures, 8
     bands, bucket self-join (pairs only meet inside a shared band
     bucket). Property-tested against exact Jaccard in tests/."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     sigs = D.minhash_signatures(docs, num_hashes=32, shingle_n=3)
     return D.minhash_candidate_pairs(sigs, num_bands=8)
 
@@ -329,7 +329,7 @@ def i_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints + bucket sizes (same-fingerprint
     docs are near-dup candidates). Portable md5-based token hash makes
     the fingerprints exact-SQL-checkable (see operators/dedup.py)."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     fps = D.simhash64(docs)
     w = Window.partitionBy("simhash")
     return fps.withColumn("bucket_size", F.count("*").over(w))
@@ -376,7 +376,7 @@ def i_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector first, and even raw.count() is a full extra scan pass
     from sparkclif.io import parquet_row_count
 
-    return S.lsh_ann(spread(raw), k=3, n_rows=parquet_row_count(sf_dir, "embeddings"))
+    return S.lsh_ann(spread_by_bytes(raw), k=3, n_rows=parquet_row_count(sf_dir, "embeddings"))
 
 
 @register(
@@ -461,7 +461,7 @@ def i_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: opaque payload + typed
     metadata -> Arrow-batched mapInPandas feature extraction (decode
     step stubbed deterministically; see operators/multimodal.py)."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     media = M.attach_fake_media(docs)
     return M.extract_features(media).select(
         "doc_id", "media_type", "n_bytes", "byte_mean", "byte_entropy"
@@ -540,7 +540,7 @@ def i_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp polynomial rolling hash per doc — the incremental
     fingerprint primitive (same fold computed by the DuckDB oracle)."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.rolling_hash("text").alias("rhash"))
 
 
@@ -589,7 +589,7 @@ def i_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-many multimodal kernel: payload -> 4 sampled frames via
     mapInPandas (video keyframe shape; decode stubbed, plumbing real).
     Rolled up per (media_type, frame_idx) to bound output."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     media = M.attach_fake_media(docs)
     frames = M.sample_frames(media, n_frames=4)
     return (
@@ -648,7 +648,7 @@ def i_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII_PATTERNS; no Python in the scrub path). spread(): five java
     regex passes per doc are compute-heavy per-row work — a one-file
     scan would run them all on one core."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     enriched = docs.select(
         "doc_id",
         F.concat(

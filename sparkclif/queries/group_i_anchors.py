@@ -38,7 +38,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkclif.io import spread, table
+from sparkclif.io import spread_by_bytes, table
 from sparkclif.operators import dedup as D
 from sparkclif.operators.hashing import md5_bits
 from sparkclif.operators.text import word_shingles
@@ -156,7 +156,7 @@ def i_dedup_minhash_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     based = docs.select(
         "doc_id",
         F.transform(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkclif.io import spread, table
+from sparkclif.io import spread, spread_by_bytes, table
 from sparkclif.operators import quantize as Q
 from sparkclif.operators import text as T
 from sparkclif.operators.sampling import shard_interleave
@@ -58,7 +58,7 @@ def i_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: pure scan-side array lambdas (operators/text.py),
     zero shuffles, whole-stage codegen end to end."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     toks = T.tokens(F.col("text"))
     grams = T.word_shingles(F.col("text"), 3)
     base = docs.select(
@@ -196,7 +196,7 @@ def i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = spread_by_bytes(table(spark, sf_dir, "documents")).select("doc_id", "text")
 
     def gram_kernel(batches):
         for batch in batches:
@@ -328,7 +328,7 @@ def i_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: pure scan kernel — per-row array lambdas inside
     whole-stage codegen, zero shuffles, no Python workers."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb = spread_by_bytes(table(spark, sf_dir, "embeddings"))
     stats = Q.int8_quant_stats(F.col("embedding"))
     return emb.select(
         "vec_id",
@@ -519,7 +519,7 @@ def i_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkclif.operators.sampling import pack_sequences
 
-    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = spread_by_bytes(table(spark, sf_dir, "documents")).select("doc_id", "text")
 
     # -- decontamination candidate set (broadcast eval grams) --------
     def gram_kernel(batches):

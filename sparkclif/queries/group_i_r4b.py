@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkclif.io import spread, table
+from sparkclif.io import spread_by_bytes, table
 from sparkclif.operators import corpus as C
 from sparkclif.operators import similarity as S
 from sparkclif.registry import register
@@ -123,7 +123,7 @@ def i_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the headers/nav-chrome of web text) are stripped; each doc comes
     back as (n_segs, n_boiler, clean_text). The boilerplate set is
     heavy-hitters-only, so it broadcasts back over the exploded scan."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     return C.boilerplate_removal(docs, min_docs=25, width=2)
 
 
@@ -165,7 +165,7 @@ def i_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from the materialized tf relation); the common set
     broadcasts back over tf. Spread is hash-partitioned on doc_id so
     the tf agg and the final per-doc agg reuse that one exchange."""
-    docs = spread(table(spark, sf_dir, "documents"), by=["doc_id"])
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"), by=["doc_id"])
     return C.rarity_score(docs, rare_df_pct=10)
 
 
@@ -250,7 +250,7 @@ def i_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window both satisfy their distribution from that single
     exchange (only the vocabulary-sized df agg re-shuffles); AQE's
     ReusedExchange dedupes tf between the idf and scored branches."""
-    docs = spread(table(spark, sf_dir, "documents"), by=["doc_id"])
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"), by=["doc_id"])
     from sparkclif.operators.text import tokens as _tokens
 
     w = docs.select("doc_id", F.explode(_tokens("text")).alias("tok"))
@@ -336,7 +336,7 @@ def i_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of where it sits in each document. Scan-side selection
     + one bucket shuffle + in-bucket pair emission with a df <= 16
     boilerplate cap (operators/dedup.py:substring_candidate_pairs)."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     from sparkclif.operators.dedup import substring_candidate_pairs
 
     return substring_candidate_pairs(docs, window=32, stride=16, max_df=16)

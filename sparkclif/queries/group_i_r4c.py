@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkclif.io import spread, table
+from sparkclif.io import spread, spread_by_bytes, table
 from sparkclif.operators import corpus as C
 from sparkclif.operators.quantize import dim_stats
 from sparkclif.registry import register
@@ -77,7 +77,7 @@ def i_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized and never broadcasts); at testbed size the same
     min(struct) runs as a window over ``seg`` — one scan instead of
     two (identical output, both paths pinned by tests)."""
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     return C.segment_dedup(docs, width=3)
 
 

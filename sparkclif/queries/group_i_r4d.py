@@ -323,7 +323,7 @@ def i_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side, zero joins/shuffles (operators/quantize.py)."""
     from sparkclif.operators.quantize import pq_encode
 
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb = spread_by_bytes(table(spark, sf_dir, "embeddings"))
     return pq_encode(emb)
 
 
@@ -368,5 +368,5 @@ def i_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py resize_media)."""
     from sparkclif.operators import multimodal as M
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     return M.resize_media(M.attach_fake_media(docs), target=16)

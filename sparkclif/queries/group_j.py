@@ -113,7 +113,7 @@ def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op at cluster scale)."""
     from pyspark.sql.functions import udtf
 
-    from sparkclif.io import spread
+    from sparkclif.io import spread_by_bytes
 
     @udtf(returnType="doc_id bigint, tok string")
     class SplitWords:
@@ -123,7 +123,7 @@ def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield doc_id, tok
 
     spark.udtf.register("split_words", SplitWords)
-    spread(table(spark, sf_dir, "documents")).createOrReplaceTempView(
+    spread_by_bytes(table(spark, sf_dir, "documents")).createOrReplaceTempView(
         "__docs_for_udtf"
     )
     return spark.sql(

@@ -292,7 +292,7 @@ def i_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_r11_queries.py). See operators/quantize.py
     pq_adc_search for the plan (one code-fold shuffle + literal LUTs
     + two-phase salted top-k window)."""
-    from sparkclif.io import spread
+    from sparkclif.io import spread_by_bytes
 
     raw = table(spark, sf_dir, "embeddings")
     # heavy encode path gets the spread, hash-partitioned on vec_id so
@@ -301,7 +301,7 @@ def i_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed/query collects run on the raw scan (no repartition exchange
     # under a TakeOrdered(16) — 3x off the build's collect job at
     # sf0.1)
-    return pq_adc_search(spread(raw, by=["vec_id"]), meta_src=raw)
+    return pq_adc_search(spread_by_bytes(raw, by=["vec_id"]), meta_src=raw)
 
 
 @register(
@@ -409,11 +409,11 @@ def i_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/quantize.py ivf_pq_search for the plan (in-row cluster
     argmax + code fold on one reused exchange + probe-table map
     literal + two-phase salted top-k)."""
-    from sparkclif.io import spread
+    from sparkclif.io import spread_by_bytes
     from sparkclif.operators.quantize import ivf_pq_search
 
     raw = table(spark, sf_dir, "embeddings")
-    return ivf_pq_search(spread(raw, by=["vec_id"]), meta_src=raw)
+    return ivf_pq_search(spread_by_bytes(raw, by=["vec_id"]), meta_src=raw)
 
 
 @register(

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkclif.io import spread, spread_by_bytes, table
+from sparkclif.io import spread_by_bytes, table
 from sparkclif.registry import register
 from sparkclif.session import tmp_dir
 
@@ -413,7 +413,7 @@ def i_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup so band buckets stay small)."""
     from sparkclif.operators import dedup as D
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
     batch_fps = D.simhash64(docs.where(F.col("doc_id") % 3 == 0))
     store_fps = D.simhash64(docs.where(F.col("doc_id") % 3 != 0))
     return D.dedup_simhash_incremental(batch_fps, store_fps)
