@@ -59,6 +59,55 @@ def connected_components(
     labels = labels.localCheckpoint(eager=False)
     both = both.localCheckpoint(eager=False)
 
+    # Loop shuffle sizing (optimization r13, guide §2.2): every
+    # per-round relation is VERTEX-sized, so the loop's shuffle
+    # partitions derive from the vertex relation's plan-stats size
+    # (~64 KB/partition) instead of inheriting the session default,
+    # which hands each tiny round 32 near-empty reduce tasks AND pins
+    # the checkpointed label RDDs at that width for the next round's
+    # scans (measured in a calm phase: cluster 2.57 -> 2.34 s,
+    # keep_best 2.81 -> 2.50 s at 32 cores; flat across 1-8 partitions
+    # at sf0.1, labels bit-identical). The derived value is CAPPED at
+    # the session's configured width, so it only ever shrinks tiny
+    # loops — on a real graph the cap binds and this is a no-op.
+    # Derived from ``vertices`` when given (a clean scan with real
+    # stats); the post-union ``edges`` estimate is a join product
+    # (garbage), so without ``vertices`` the cap keeps today's
+    # behavior. Pinned via session conf for the loop only and restored
+    # after (the stream_shuffle pattern; CC runs its rounds
+    # synchronously on this thread).
+    spark = edges.sparkSession
+    _size_src = vertices if vertices is not None else edges
+    _stats = int(
+        _size_src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    _conf_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_conf_key)
+    try:
+        _cap = int(_prev_parts)
+    except (TypeError, ValueError):
+        _cap = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(_cap, -(-_stats // (64 * 1024))))
+
+    spark.conf.set(_conf_key, str(loop_parts))
+    try:
+        converged, labels = _cc_loop(labels, both, id_col, max_iter)
+    finally:
+        spark.conf.set(_conf_key, _prev_parts)
+    if not converged:
+        # pointer jumping converges in O(log diameter) rounds, so
+        # exhausting max_iter (default 50 => diameter ~2^50) always
+        # means a bug or pathological input — returning the unconverged
+        # labels would silently over-split components downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
+def _cc_loop(labels, both, id_col, max_iter):
+    """The min-label-propagation rounds (see connected_components).
+    Returns (converged, labels)."""
     converged = False
     for _ in range(max_iter):
         # edge relax: min neighbor label per vertex
@@ -106,15 +155,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    if not converged:
-        # pointer jumping converges in O(log diameter) rounds, so
-        # exhausting max_iter (default 50 => diameter ~2^50) always
-        # means a bug or pathological input — returning the unconverged
-        # labels would silently over-split components downstream
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    return labels
+    return converged, labels
 
 
 def pagerank_int(
