@@ -797,3 +797,22 @@ def test_percentile_paths_agree_on_null_group(spark):
     assert None in base and base[None][0] is not None
     for force, got in outs.items():
         assert got == base, f"{force} diverged: {got} vs {base}"
+
+
+def test_theta_union_two_level_preagg_survives(spark, sf_dir):
+    """The r13 two-level build hashes DISTINCT (group, key) pairs, not
+    the item stream; collect_set is duplicate-agnostic, so if
+    RemoveRedundantAggregates ever learns to look through the md5
+    projection it would collapse the pre-aggregation and silently put
+    the md5 back on every occurrence. Pin: the plan keeps a plain
+    hash aggregation (the key pre-agg) UNDER the ObjectHashAggregate
+    (collect_set) on the fused path."""
+    from sparkclif.io import table
+    from sparkclif.queries.group_r8 import theta_union_plan
+
+    df = theta_union_plan(table(spark, sf_dir, "lineitem"), force="fused")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    plain = plan.count("HashAggregate") // 2 - plan.count("ObjectHashAggregate") // 2
+    assert plain >= 2, f"key pre-aggregation collapsed:\n{plan}"
