@@ -539,8 +539,12 @@ def i_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp polynomial rolling hash per doc — the incremental
-    fingerprint primitive (same fold computed by the DuckDB oracle)."""
-    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
+    fingerprint primitive (same fold computed by the DuckDB oracle).
+    spread(), not spread_by_bytes: the per-character hash fold is
+    HEAVY per-row work — the r13 byte-sized target measured 50%
+    SLOWER at 32 cores (0.21 -> 0.30 s, 12-rep A/B); compute-bound
+    sites keep the full fan-out."""
+    docs = spread(table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.rolling_hash("text").alias("rhash"))
 
 
@@ -647,8 +651,10 @@ def i_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, as a pure JVM regexp_replace chain (operators/text.py
     PII_PATTERNS; no Python in the scrub path). spread(): five java
     regex passes per doc are compute-heavy per-row work — a one-file
-    scan would run them all on one core."""
-    docs = spread_by_bytes(table(spark, sf_dir, "documents"))
+    scan would run them all on one core (and the r13 byte-sized
+    target measured consistently slower, 12-rep A/B — kept on full
+    fan-out with fingerprint_rolling)."""
+    docs = spread(table(spark, sf_dir, "documents"))
     enriched = docs.select(
         "doc_id",
         F.concat(
